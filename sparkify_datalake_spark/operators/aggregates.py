@@ -1,0 +1,264 @@
+"""Aggregation operators (SURVEY.md §2-D).
+
+All Spark-side plans are plain ``groupBy().agg()`` / ``rollup`` / ``cube``
+so Catalyst produces hash aggregation with map-side partial aggregation
+automatically (partial → shuffle on group keys → final).
+
+Scale notes (100 TB): partial aggregation means the shuffle carries one row
+per (task × group), not per input row — for low-cardinality keys like
+(l_returnflag, l_linestatus) the shuffle is KB-sized regardless of input
+size. High-cardinality group-bys (per-customer) shuffle O(groups) rows;
+AQE coalesces post-shuffle partitions. Skewed keys are handled by AQE
+skew-join/agg splitting, no manual salting needed for these shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.functions.determinism import (
+    dec2,
+    dec_avg,
+    dec_sum,
+    dec_sum_exact,
+    sql_dec2,
+    sql_dec_avg,
+    sql_dec_sum,
+    sql_dec_sum_exact,
+)
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary by (returnflag, linestatus)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = dec2("l_extendedprice") * (one - dec2("l_discount", 4))
+    charge = disc_price * (one + dec2("l_tax", 4))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum_exact(disc_price, "sum_disc_price"),
+            dec_sum_exact(charge, "sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dec_sum("l_quantity", "sum_qty")},
+  {sql_dec_sum("l_extendedprice", "sum_base_price")},
+  {sql_dec_sum_exact(f"{sql_dec2('l_extendedprice')} * (CAST(1 AS DECIMAL(3,2)) - {sql_dec2('l_discount', 4)})", "sum_disc_price")},
+  {sql_dec_sum_exact(f"{sql_dec2('l_extendedprice')} * (CAST(1 AS DECIMAL(3,2)) - {sql_dec2('l_discount', 4)}) * (CAST(1 AS DECIMAL(3,2)) + {sql_dec2('l_tax', 4)})", "sum_charge")},
+  {sql_dec_avg("l_quantity", "avg_qty")},
+  {sql_dec_avg("l_extendedprice", "avg_price")},
+  {sql_dec_avg("l_discount", "avg_disc")},
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+query("agg_groupby", Q1_ORACLE)(q1_pricing_summary)
+
+
+@query(
+    "agg_global",
+    f"""
+SELECT
+  count(*) AS n_rows,
+  {sql_dec_sum("l_quantity", "sum_qty")},
+  {sql_dec_avg("l_quantity", "avg_qty")},
+  min(l_quantity) AS min_qty,
+  max(l_quantity) AS max_qty,
+  min(l_shipdate) AS min_shipdate,
+  max(l_shipdate) AS max_shipdate
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-group aggregate over lineitem (no GROUP BY → 1 row)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("l_quantity", "sum_qty"),
+        dec_avg("l_quantity", "avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+@query(
+    "agg_having",
+    f"""
+SELECT o_custkey, count(*) AS n_orders,
+  {sql_dec_sum("o_totalprice", "total_spend")}
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups filtered on an aggregate value (HAVING)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+SELECT o_orderstatus,
+  count(DISTINCT o_custkey) AS n_customers,
+  count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (expand + two-phase agg in Spark)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# HLL sketches differ across engines by design → rows-only check.
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per order status.
+
+    Scale note: the whole point at 100 TB — one pass, fixed-size sketch per
+    group, mergeable across partitions; exact distinct would shuffle every
+    distinct key.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers")
+    )
+
+
+_ROLLUP_AGGS = """
+  count(*) AS n_orders,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+"""
+
+
+@query(
+    "agg_rollup",
+    f"""
+SELECT o_orderstatus, o_orderpriority,
+  GROUPING(o_orderstatus) AS g_status,
+  GROUPING(o_orderpriority) AS g_priority,
+  {_ROLLUP_AGGS}
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicators (hierarchy subtotals + grand total)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    f"""
+SELECT o_orderstatus, o_orderpriority,
+  GROUPING(o_orderstatus) AS g_status,
+  GROUPING(o_orderpriority) AS g_priority,
+  {_ROLLUP_AGGS}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    f"""
+SELECT o_orderstatus, o_orderpriority,
+  {_ROLLUP_AGGS}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via spark.sql over a temp view."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+SELECT o_orderstatus, o_orderpriority,
+  count(*) AS n_orders,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM gs_orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+    )
+
+
+@query(
+    "agg_maxby_collect",
+    """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+    row_number() OVER (
+      PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders
+), grouped AS (
+  SELECT o_custkey,
+    max(o_totalprice) AS best_price,
+    list_sort(list(o_orderstatus)) AS statuses
+  FROM orders GROUP BY o_custkey
+)
+SELECT g.o_custkey, r.o_orderkey AS best_order, g.best_price, g.statuses
+FROM grouped g JOIN ranked r ON g.o_custkey = r.o_custkey AND r.rn = 1
+""",
+)
+def agg_maxby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a deterministic (price, key) tiebreak + sorted collect_list."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "best_order"
+        ),
+        F.max("o_totalprice").alias("best_price"),
+        F.sort_array(F.collect_list("o_orderstatus")).alias("statuses"),
+    )

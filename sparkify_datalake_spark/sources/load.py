@@ -1,0 +1,56 @@
+"""Table loader — the single entry point for reading fixture tables.
+
+Every query goes through ``load(spark, sf_dir, name)``; this is the one
+place that knows about the events nanosecond-timestamp workaround
+(SURVEY.md §7.3-R1) and keeps session confs pinned.
+
+Scale notes (100 TB): at cluster scale each ``name`` maps to a partitioned
+directory (e.g. ``s3://lake/lineitem/l_shipdate_month=*/``) instead of one
+file; ``spark.read.parquet`` handles both shapes unchanged, and partition
+pruning + predicate pushdown reach the scan because queries filter on the
+partition columns declaratively. Nothing in this module assumes
+single-file inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.session import configure_session
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _events_from_nanos(df: DataFrame) -> DataFrame:
+    # With spark.sql.legacy.parquet.nanosAsLong=true the ns-precision `ts`
+    # arrives as int64 epoch-nanos; truncate to microseconds (exactly what
+    # DuckDB does when it reads the same file) and rebuild a timestamp.
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame with normalized types.
+
+    ``events.ts`` comes back as a proper microsecond TIMESTAMP_NTZ; all
+    other tables are returned exactly as stored.
+    """
+    configure_session(spark)
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = _events_from_nanos(df)
+    return df

@@ -1,0 +1,48 @@
+"""Local DuckDB-oracle mirror over every registered hash query (SURVEY §5.2).
+
+Runs at sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF_DIR to
+/root/testdata/sf0.01 for the pre-submit pass. Also smoke-runs the
+rows-only queries (no oracle) to assert they execute and return rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkify_datalake_spark.registry import oracle_sql, queries
+from tests.conftest import SF_DIR
+from tests.oracle_utils import compare, duck_connect
+
+ALL_QUERIES = queries()
+ALL_ORACLES = oracle_sql()
+HASH_NAMES = sorted(ALL_ORACLES)
+ROWS_ONLY_NAMES = sorted(set(ALL_QUERIES) - set(ALL_ORACLES))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connect(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HASH_NAMES)
+def test_hash_query_matches_oracle(spark, duck, sf_dir, name):
+    errors = compare(
+        spark, duck, ALL_QUERIES[name], ALL_ORACLES[name], sf_dir, name
+    )
+    assert not errors, f"{name}: " + " | ".join(errors)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    df = ALL_QUERIES[name](spark, sf_dir)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    rows = e.entry(spark).collect()
+    assert len(rows) > 0
