@@ -1,1 +1,270 @@
-"""Placeholder — queries land in the next milestone."""
+"""Join operators (SURVEY.md §2-C): all join types plus range and as-of.
+
+Scale notes (100 TB):
+- Equi-joins are declared with plain ``.join`` so Catalyst/AQE pick
+  broadcast-hash vs shuffled-hash vs sort-merge from runtime sizes;
+  ``join_broadcast`` pins the broadcast path for dimension tables
+  (region/nation/customer stay < 10 MB far beyond these fixtures —
+  broadcast eliminates the big-side shuffle entirely).
+- The range join (key + date window) is an equi-join with a residual
+  predicate: it shuffles only on the equi key, the range is a post-join
+  filter — never a cartesian.
+- The as-of join avoids the classic O(n·m) inequality-join blowup by a
+  union + per-user window scan: one shuffle on user_id, one ordered pass —
+  the same trick scales to billions of events/user-partitioned data and is
+  skew-safe up to per-user volume (salt the union by time-bucket if one
+  user dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.functions.determinism import dec2, sql_dec2
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+
+@query(
+    "join_inner",
+    """
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer equi-join (Catalyst picks the physical strategy)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_broadcast",
+    """
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as join_inner with the broadcast-hash path pinned."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_3way",
+    f"""
+SELECT n.n_name,
+  CAST(round(sum({sql_dec2('l.l_extendedprice')} * (CAST(1 AS DECIMAL(3,2)) - {sql_dec2('l.l_discount', 4)})), 2) AS DOUBLE) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation (Q5 flavor)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = dec2("l_extendedprice") * (one - dec2("l_discount", 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "join_left",
+    """
+SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN keeping order-less customers (count = 0 for them)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full",
+    """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+  coalesce(c.n_customers, 0) AS n_customers,
+  coalesce(s.n_suppliers, 0) AS n_suppliers
+FROM c FULL JOIN s ON c.nationkey = s.nationkey
+""",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer vs supplier counts."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, "nationkey", "full").select(
+        F.col("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_semi",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers having at least one order with status P."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders at all."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    """
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian region × nation (5 × 25 pairs)."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@query(
+    "join_range",
+    """
+SELECT l.l_orderkey, l.l_linenumber,
+  CAST(o.o_orderdate AS DATE) AS o_orderdate,
+  CAST(l.l_shipdate AS DATE) AS l_shipdate
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+  AND date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+      BETWEEN 0 AND 90
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + date-interval residual: shipped within 90 days of order."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    gap = F.datediff(
+        li.l_shipdate.cast("date"), orders.o_orderdate.cast("date")
+    )
+    return li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey) & gap.between(0, 90),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        orders.o_orderdate.cast("date").alias("o_orderdate"),
+        li.l_shipdate.cast("date").alias("l_shipdate"),
+    )
+
+
+@query(
+    "join_asof",
+    """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at-or-before it.
+
+    Spark has no native ASOF; emulate with a union + one per-user ordered
+    window pass (O(n log n) in events-per-user, single shuffle on user_id).
+    Clicks sort before purchases at equal ts (kind 0 < 1) so an
+    equal-timestamp click is visible to the purchase — matching DuckDB's
+    ``p.ts >= c.ts`` bound. Inner semantics: purchases with no prior click
+    are dropped.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("kind"), "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_click = unioned.withColumn(
+        "click_ts",
+        F.max(F.when(F.col("kind") == 0, F.col("ts"))).over(w),
+    )
+    return (
+        with_click.filter((F.col("kind") == 1) & F.col("click_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+        )
+    )

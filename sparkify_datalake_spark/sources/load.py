@@ -37,8 +37,14 @@ def _events_from_nanos(df: DataFrame) -> DataFrame:
     # With spark.sql.legacy.parquet.nanosAsLong=true the ns-precision `ts`
     # arrives as int64 epoch-nanos; truncate to microseconds (exactly what
     # DuckDB does when it reads the same file) and rebuild a timestamp.
+    # Cast to TIMESTAMP_NTZ (identity under the pinned UTC session tz) so
+    # events.ts has the same type family as the parquet ms-timestamps and
+    # collects as naive datetimes like DuckDB's. Integer `div` is load-
+    # bearing: epoch-nanos (~1.7e18) overflow a double's 53-bit mantissa,
+    # so `/ 1000` + cast drifts the microseconds by ±1.
     return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        "ts",
+        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
     )
 
 
