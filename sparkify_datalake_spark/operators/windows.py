@@ -1,1 +1,206 @@
-"""Placeholder — queries land in the next milestone."""
+"""Window-function operators (SURVEY.md §2-E).
+
+Every window orders by a total order (sort keys + unique-key tiebreak) —
+mandatory for cross-engine determinism (SURVEY §7.2-4).
+
+Scale notes (100 TB): a window = one shuffle on the partition keys + an
+in-partition sort. Partition keys here (customer, nation) have bounded
+per-key row counts, so partitions can't blow out executor memory; for
+billion-row-per-key cases the pattern is `repartitionByRange` + AQE. The
+rank-filter top-k (win_topk_group) never materializes full sort output —
+the filter prunes to k rows per group right after the window operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.functions.determinism import dec2
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+
+@query(
+    "win_rank",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  row_number() OVER w AS rn,
+  rank() OVER w AS rnk,
+  dense_rank() OVER w AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank per customer by (price DESC, key)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_topk_group",
+    """
+SELECT c_nationkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT c.c_nationkey, o.o_orderkey, o.o_totalprice,
+    row_number() OVER (
+      PARTITION BY c.c_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rn <= 3
+""",
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per nation via the rank-filter pattern."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.select(
+            "c_nationkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_lag_lead",
+    """
+SELECT o_custkey, o_orderkey,
+  date_diff('day',
+    lag(CAST(o_orderdate AS DATE)) OVER w,
+    CAST(o_orderdate AS DATE)) AS days_since_prev,
+  date_diff('day',
+    CAST(o_orderdate AS DATE),
+    lead(CAST(o_orderdate AS DATE)) OVER w) AS days_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day gap to previous/next order per customer (NULL at the edges)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+        F.datediff(F.lead(d).over(w), d).alias("days_to_next"),
+    )
+
+
+@query(
+    "win_running",
+    """
+SELECT o_custkey, o_orderkey,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+  AS running_spend
+FROM orders
+""",
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer in date order (decimal-exact)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec2("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "win_moving",
+    """
+SELECT o_custkey, o_orderkey,
+  (sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w
+     // count(*) OVER w) / 100.0 AS moving_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average per customer, truncated to whole cents.
+
+    A rounded avg() of doubles is nondeterministic across engines: a
+    2-row frame averages to exact .xx5 ties that HALF_UP/half-even
+    resolve differently. Instead: exact integer-cent sum, integer
+    division by the frame count (identical in both engines), /100.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(w).alias("cents_sum"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        (F.expr("cents_sum div cnt") / 100.0).alias("moving_avg"),
+    )
+
+
+@query(
+    "win_range_ntile",
+    """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+  count(*) OVER (
+    PARTITION BY o_orderstatus ORDER BY o_totalprice
+    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_band,
+  ntile(4) OVER (
+    PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile
+FROM orders
+""",
+)
+def win_range_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (±1000 price band) + ntile quartiles."""
+    orders = load(spark, sf_dir, "orders")
+    w_range = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 0)
+    )
+    w_ntile = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w_range).alias("n_in_band"),
+        F.ntile(4).over(w_ntile).alias("quartile"),
+    )
