@@ -1,1 +1,310 @@
-"""Placeholder — queries land in the next milestone."""
+"""Scalar function families (SURVEY.md §2-H) — one query per family.
+
+All expressions are built-in ``pyspark.sql.functions`` (JVM-side, inside
+whole-stage codegen); no Python crosses the executor boundary on this
+path. Cross-engine drift traps handled per SURVEY §7.2: dayofweek offset,
+double→int cast (Spark truncates, DuckDB rounds — go through floor),
+libm-computed ln/exp rounded to 6dp.
+
+Scale notes (100 TB): scalar projections are map-side only — they fuse
+into the enclosing stage and add zero shuffles at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+
+@query(
+    "fn_string",
+    """
+SELECT p_partkey,
+  upper(p_name) AS name_upper,
+  lower(p_brand) AS brand_lower,
+  trim(concat(' ', p_name, ' ')) AS name_trimmed,
+  substring(p_name, 1, 5) AS name_prefix,
+  length(p_name) AS name_len,
+  concat_ws('-', p_name, p_brand) AS name_brand,
+  replace(p_name, ' ', '_') AS name_snake,
+  lpad(p_name, 20, '.') AS name_padded
+FROM part
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/lower/trim/substring/length/concat_ws/replace/lpad."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_name", "p_brand").alias("name_brand"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad("p_name", 20, ".").alias("name_padded"),
+    )
+
+
+@query(
+    "fn_string_regex",
+    """
+SELECT p_partkey,
+  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+  regexp_matches(p_name, 'widget') AS has_widget
+FROM part
+""",
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family, patterns restricted to the Java∩RE2-safe subset."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.col("p_name").rlike("widget").alias("has_widget"),
+    )
+
+
+@query(
+    "fn_string_split_explode",
+    """
+SELECT p_partkey, unnest(string_split(p_name, ' ')) AS token
+FROM part
+""",
+)
+def fn_string_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral/UDTF shape: one row per whitespace token of p_name."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.explode(F.split(F.col("p_name"), " ")).alias("token"),
+    )
+
+
+@query(
+    "fn_datetime",
+    """
+SELECT o_orderkey,
+  year(o_orderdate) AS o_year,
+  month(o_orderdate) AS o_month,
+  day(o_orderdate) AS o_day,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow
+FROM orders
+""",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family; Spark dayofweek is 1-based Sunday, DuckDB 0-based."""
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias(
+            "month_start"
+        ),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
+@query(
+    "fn_math",
+    """
+SELECT p_partkey,
+  abs(-p_size) AS size_abs,
+  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+  round(sqrt(p_size), 6) AS size_sqrt,
+  round(ln(p_size), 6) AS size_ln,
+  round(exp(p_size * 0.1), 6) AS size_exp,
+  power(p_size, 2) AS size_sq,
+  mod(p_size, 7) AS size_mod7
+FROM part
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family on positive arguments; libm outputs rounded to 6dp."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.abs(-F.col("p_size")).alias("size_abs"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.round(F.sqrt("p_size"), 6).alias("size_sqrt"),
+        F.round(F.log(F.col("p_size").cast("double")), 6).alias("size_ln"),
+        F.round(F.exp(F.col("p_size") * 0.1), 6).alias("size_exp"),
+        F.power("p_size", F.lit(2)).alias("size_sq"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+    )
+
+
+@query(
+    "fn_conditional",
+    """
+SELECT o_orderkey,
+  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+  greatest(o_totalprice, 100000.0) AS price_floor_100k,
+  least(o_totalprice, 100000.0) AS price_cap_100k,
+  CASE WHEN o_orderstatus = 'F' THEN 'done' ELSE 'pending' END AS simple_if
+FROM orders
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: coalesce/nullif/greatest/least/if."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_filled"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("price_floor_100k"),
+        F.least("o_totalprice", F.lit(100000.0)).alias("price_cap_100k"),
+        F.when(F.col("o_orderstatus") == "F", "done")
+        .otherwise("pending")
+        .alias("simple_if"),
+    )
+
+
+@query(
+    "fn_cast",
+    """
+SELECT o_orderkey,
+  CAST(o_orderkey AS VARCHAR) AS key_str,
+  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+  CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+  CAST(o_orderdate AS DATE) AS order_date,
+  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_digit
+FROM orders
+""",
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts string↔int↔double↔date + try_cast failure→NULL.
+
+    double→int goes through floor(): Spark's ANSI cast truncates where
+    DuckDB's rounds, floor makes both explicit and identical.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias(
+            "priority_digit"
+        ),
+    )
+
+
+@query(
+    "fn_json",
+    """
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction: path-based get_json_object + from_json struct access.
+
+    Two independent Spark implementations of the same value (the oracle
+    computes it once per column) — proves both API routes agree.
+    """
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        parsed.getField("k").alias("k_struct"),
+    )
+
+
+@query(
+    "fn_array",
+    """
+SELECT vec_id,
+  len(embedding) AS dim,
+  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+  list_transform(list_slice(embedding, 1, 3),
+                 x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+  round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sum_sq
+FROM embeddings
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order transform/aggregate on embeddings."""
+    emb = load(spark, sf_dir, "embeddings")
+    x_sq = lambda x: x.cast("double") * x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "first_elem"
+        ),
+        F.transform(
+            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+        ).alias("head3"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x_sq(x)
+            ),
+            6,
+        ).alias("sum_sq"),
+    )
+
+
+# MAP literal/ordering semantics differ between engines → rows-only.
+@query("fn_map")
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key/value projection per event."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k").cast("int")
+    )
+    return ev.select(
+        "event_id",
+        m.alias("kv"),
+        F.map_keys(m).alias("keys"),
+        F.map_values(m).alias("vals"),
+    )
+
+
+@query(
+    "fn_hash",
+    """
+SELECT c_custkey,
+  md5(c_name) AS name_md5,
+  sha256(c_name) AS name_sha256,
+  length(md5(c_name)) AS md5_len
+FROM customer
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: md5 / sha2-256 hex digests."""
+    customer = load(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.length(F.md5("c_name")).alias("md5_len"),
+    )

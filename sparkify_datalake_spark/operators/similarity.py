@@ -1,1 +1,224 @@
-"""Placeholder — queries land in the next milestone."""
+"""Embedding similarity-search operators (SURVEY.md §2-I; ANN scale path
+per the similarity-search literature referenced in PAPERS.md).
+
+Cosine kernels use higher-order functions (`zip_with`/`aggregate`) —
+JVM-side, no Python boundary, exact double arithmetic that DuckDB's
+list lambdas reproduce bit-for-bit.
+
+Scale notes (100 TB):
+- ``sim_cosine_topk`` broadcasts the (tiny) query side and runs a single
+  map + TakeOrderedAndProject (bounded heap) — no shuffle of the corpus;
+  this is the right brute-force shape even at scale when the query set is
+  small.
+- ``sim_threshold_pairs`` self-joins within `label` (IVF-style coarse
+  partition); at 100 TB the label is a learned/IVF centroid id so each
+  bucket's O(n²) is bounded.
+- ``sim_ann_lsh`` is the unbounded-corpus path: random-hyperplane LSH
+  buckets (one map + one shuffle), candidates only within the probe's
+  bucket.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+_DIM = 64
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+@query(
+    "embed_norm",
+    f"""
+SELECT vec_id, label,
+  round({_sql_norm('embedding')}, 6) AS l2_norm,
+  round(CAST(embedding[1] AS DOUBLE) / {_sql_norm('embedding')}, 6)
+    AS first_normalized
+FROM embeddings
+""",
+)
+def embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per vector + first component of the normalized vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = _norm("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(nrm, 6).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double") / nrm, 6).alias(
+            "first_normalized"
+        ),
+    )
+
+
+_COS_SQL = (
+    f"{_sql_dot('t.embedding', 'e.embedding')} / "
+    f"({_sql_norm('t.embedding')} * {_sql_norm('e.embedding')})"
+)
+
+
+@query(
+    "sim_cosine_topk",
+    f"""
+WITH t AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_COS_SQL}, 6) AS cos_sim
+FROM embeddings e, t
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0.
+
+    Orders by the *rounded* similarity with vec_id tiebreak so the top-k
+    set is engine-deterministic even when unrounded values differ at
+    1e-16.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("t_embedding")
+    )
+    cos = _dot("embedding", "t_embedding") / (
+        _norm("embedding") * _norm("t_embedding")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(target))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_PAIR_COS_SQL = (
+    f"{_sql_dot('a.embedding', 'b.embedding')} / "
+    f"({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})"
+)
+
+
+@query(
+    "sim_threshold_pairs",
+    f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+  round({_PAIR_COS_SQL}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_PAIR_COS_SQL}, 6) > 0.3
+""",
+)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label pairs above a cosine threshold (IVF-bucketed shape)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+    )
+    cos = _dot("a_emb", "b_emb") / (_norm("a_emb") * _norm("b_emb"))
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("b_label"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a", "vec_b", "label", F.round(cos, 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") > 0.3)
+    )
+
+
+def _hyperplanes(n_planes: int = 4, dim: int = _DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixture-independent seed)."""
+    rng = random.Random(20240813)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+@query("sim_ann_lsh")
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for vec_id=0 via random-hyperplane LSH with multi-probe.
+
+    Each vector gets a 4-bit signature (sign of dot with 4 fixed
+    hyperplanes); the probe scans its own bucket plus all buckets at
+    hamming distance 1 (multi-probe LSH), then ranks candidates by exact
+    cosine. Rows-only: recall is probabilistic by design — the
+    brute-force twin (sim_cosine_topk) is the hash-checked anchor.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = F.lit(0)
+    n_planes = len(_hyperplanes())
+    for p, plane in enumerate(_hyperplanes()):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = (_dot("embedding", plane_col) > 0).cast("int")
+        bucket = bucket + F.shiftleft(bit, p)
+    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    # Multi-probe: the target row fans out to its bucket + the n one-bit
+    # flips, then a broadcast equi-join picks up all candidate vectors.
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(n_planes)
+        ],
+    )
+    target = (
+        bucketed.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("t_embedding"),
+            F.explode(probes).alias("t_bucket"),
+        )
+    )
+    cos = _dot("embedding", "t_embedding") / (
+        _norm("embedding") * _norm("t_embedding")
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(target), F.col("bucket") == F.col("t_bucket"))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -1,1 +1,470 @@
-"""Placeholder — queries land in the next milestone."""
+"""Text-analysis and deduplication operators (SURVEY.md §2-I plus the
+LLM-data-pipeline extensions: language-ID, quality scoring, token
+counting, fingerprinting, MinHash-LSH and SimHash near-dedup).
+
+Everything on the hash-checked paths is built-in-function SQL (JVM-side);
+the dedup pipelines are compositions of explode/groupBy/join — the shapes
+that scale.
+
+Scale notes (100 TB):
+- ``dedup_exact`` is one hash-shuffle on text (at scale: on md5(text) so
+  the shuffle key is 16 bytes, not the document).
+- ``dedup_near_exact`` (all-pairs Jaccard) is the *correctness oracle*
+  only — O(n²) — while ``dedup_near`` is the scale path: MinHash
+  signatures (one groupBy), banded LSH bucketing (one groupBy), candidate
+  pairs only within buckets, exact-Jaccard verification on candidates.
+  Cost is O(n·tokens) + O(candidate pairs), the standard web-scale dedup
+  shape (cf. PAPERS.md similarity-search background).
+- ``dedup_simhash`` keeps a 64-bit signature per doc; banding on 16-bit
+  chunks finds hamming-≤k neighbors without an all-pairs pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+# Shared marker vocabularies for the language-ID heuristic. On the
+# synthetic corpus most docs classify as 'en'/'und'; the mechanism (n-gram
+# /stopword scoring + deterministic argmax) is what the operator
+# demonstrates.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de5", "shi4", "bu4", "le5", "ren2"],
+}
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def _sql_tokens(expr: str = "text") -> str:
+    return f"string_split(lower({expr}), ' ')"
+
+
+@query(
+    "text_tokenize",
+    f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({_sql_tokens()}) AS token FROM documents)
+GROUP BY token
+""",
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies: explode + group (the wordcount shape)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_stats",
+    """
+SELECT lang,
+  count(*) AS n_docs,
+  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+  min(n_chars) AS min_chars,
+  max(n_chars) AS max_chars,
+  count(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_chars"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "dedup_exact",
+    """
+SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+FROM documents
+GROUP BY text
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) + copy count per distinct text.
+
+    Deterministic replacement for dropDuplicates (whose survivor depends
+    on partition order). At 100 TB group on md5(text) instead of the raw
+    document so the shuffle carries 16-byte keys.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("survivor_id", "n_copies")
+
+
+_JACCARD_SQL = """
+WITH toksets AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(lower(text), ' '))) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6
+"""
+
+
+@query("dedup_near_exact", _JACCARD_SQL)
+def dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs token-set Jaccard ≥ 0.6 — the exact oracle for dedup_near.
+
+    O(n²); exists to verify the LSH path at fixture scale, never run at
+    100 TB (dedup_near is the scale path).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toksets = docs.select(
+        "doc_id", F.array_distinct(_tokens()).alias("toks")
+    )
+    a, b = toksets.alias("a"), toksets.alias("b")
+    jac = F.size(F.array_intersect("a.toks", "b.toks")).cast(
+        "double"
+    ) / F.size(F.array_union("a.toks", "b.toks"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+_N_HASHES = 32
+_BANDS = 8
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+
+
+@query("dedup_near")
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash + banded LSH, exact-Jaccard verified.
+
+    Pipeline (all distributed, no all-pairs stage):
+      1. doc → distinct tokens (explode)
+      2. 32 min-hashes per doc (one groupBy; xxhash64(token, seed))
+      3. 8 bands × 4 rows; band-hash buckets (explode bands + self-join)
+      4. candidate pairs from shared buckets only
+      5. exact token-set Jaccard on candidates; keep ≥ 0.6
+
+    Rows-only: LSH recall at j=0.6 is probabilistic (~1-(1-0.6⁴)⁸ ≈ 0.67
+    per band config), so the exact all-pairs twin (dedup_near_exact) is
+    the hash-checked correctness anchor at fixture scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    )
+    sigs = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("token", F.lit(i))).alias(f"mh{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+            ).alias("sig"),
+        )
+        for b in range(_BANDS)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    toksets = docs.select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+    jac = F.size(F.array_intersect("a_toks", "b_toks")).cast("double") / F.size(
+        F.array_union("a_toks", "b_toks")
+    )
+    return (
+        candidates.join(
+            toksets.select(
+                F.col("doc_id").alias("doc_a"), F.col("toks").alias("a_toks")
+            ),
+            "doc_a",
+        )
+        .join(
+            toksets.select(
+                F.col("doc_id").alias("doc_b"), F.col("toks").alias("b_toks")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+def _marker_scores():
+    toks = F.array_distinct(_tokens())
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+
+
+def _sql_marker_score(markers: list[str]) -> str:
+    lit = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_intersect(list_distinct({_sql_tokens()}), {lit}))"
+
+
+_LANGID_SCORES = ",\n  ".join(
+    f"{_sql_marker_score(m)} AS score_{lang}"
+    for lang, m in _LANG_MARKERS.items()
+)
+_LANGID_BEST = "greatest(score_en, score_de, score_es, score_fr, score_zh)"
+
+
+@query(
+    "text_langid",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+  {_LANGID_SCORES}
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN {_LANGID_BEST} = 0 THEN 'und'
+       WHEN score_en = {_LANGID_BEST} THEN 'en'
+       WHEN score_de = {_LANGID_BEST} THEN 'de'
+       WHEN score_es = {_LANGID_BEST} THEN 'es'
+       WHEN score_fr = {_LANGID_BEST} THEN 'fr'
+       ELSE 'zh' END AS lid_guess,
+  {_LANGID_BEST} AS lid_score
+FROM scored
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic argmax tie order."""
+    docs = load(spark, sf_dir, "documents")
+    scores = _marker_scores()
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_MARKERS])
+    guess = F.when(best == 0, "und")
+    for lang in _LANG_MARKERS:  # dict order fixes the tie-break priority
+        guess = guess.when(F.col(f"score_{lang}") == best, lang)
+    return scored.select(
+        "doc_id",
+        "lang",
+        guess.alias("lid_guess"),
+        best.alias("lid_score"),
+    )
+
+
+_SQL_STOP = "['" + "', '".join(_STOPWORDS) + "']"
+
+
+@query(
+    "text_quality",
+    f"""
+SELECT doc_id,
+  len({_sql_tokens()}) AS n_tokens,
+  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / len({_sql_tokens()}), 4) AS avg_token_len,
+  round(CAST(len(list_filter({_sql_tokens()},
+        t -> list_contains({_SQL_STOP}, t))) AS DOUBLE)
+        / len({_sql_tokens()}), 4) AS stopword_ratio,
+  round(least(1.0, len({_sql_tokens()}) / 100.0) * 0.5
+        + (CAST(len(list_filter({_sql_tokens()},
+             t -> list_contains({_SQL_STOP}, t))) AS DOUBLE)
+           / len({_sql_tokens()})) * 0.5, 4) AS quality_score
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, token stats, stopword ratio."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+                "double"
+            )
+            / n_tokens,
+            4,
+        ).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), n_tokens / 100.0) * 0.5 + stop_ratio * 0.5, 4
+        ).alias("quality_score"),
+    )
+
+
+_BPE_PATTERN = "[a-z]+|[0-9]+"
+
+
+@query(
+    "text_token_count",
+    f"""
+SELECT doc_id,
+  length(text) AS n_chars_exact,
+  len({_sql_tokens()}) AS ws_tokens,
+  len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS bpe_ish_tokens
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split vs a BPE-ish regex tokenizer."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_exact"),
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{_BPE_PATTERN}', 0)")
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+WITH fp AS (
+  SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+      AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+  count(*) OVER (PARTITION BY fingerprint) AS n_same_fp
+FROM fp
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (md5 of sorted distinct tokens).
+
+    Token-permuted copies of a document collide on the fingerprint —
+    a one-shuffle near-dup detector for reordered text.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.sort_array(F.array_distinct(_tokens())), " ")
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).withColumn(
+        "n_same_fp", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures + banded hamming-neighbor candidate pairs.
+
+    Signature: per token h = xxhash64(token); bit b of the signature is the
+    sign of Σ_tokens (2·((h>>b)&1) − 1). Near-dup candidates share one of
+    four 16-bit bands; pairs are kept when hamming distance ≤ 8
+    (bit_count(xor)). Rows-only: xxhash64 has no DuckDB twin.
+
+    Scale note: the explode-by-64-bits stage is O(docs × tokens × 64) rows
+    in the shuffle; at 100 TB replace with a pandas-UDF signature kernel
+    (one pass per doc, same output schema) — the banding/join stages are
+    unchanged.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        "h",
+    ).withColumn(
+        "contrib",
+        F.expr("shiftright(h, CAST(b AS INT))").bitwiseAND(F.lit(1)) * 2 - 1,
+    )
+    sig = (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("bit") * F.expr("shiftleft(1L, CAST(b AS INT))"))
+            .alias("simhash")
+        )
+    )
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.chunk")
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 8)
+    )
