@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark driver: run every registered query at a scale factor and
+print ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Env:
+  SPARK_GRAFT_SF_DIR  fixture dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] threads (default *)
+  BENCH_REPEAT        runs per query, min taken (default 1)
+  BENCH_ONLY          comma-separated subset of query names
+
+Materialization is a noop-format write: full execution of the physical
+plan (scan → shuffle → sink) without collect() driver pressure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    only = os.environ.get("BENCH_ONLY")
+
+    from sparkify_datalake_spark.registry import queries
+    from sparkify_datalake_spark.session import get_spark
+
+    spark = get_spark("sparkify-bench")
+    qs = queries()
+    if only:
+        names = [n for n in only.split(",") if n in qs]
+    else:
+        names = sorted(qs)
+
+    # Warm up the JVM/codegen paths on a trivial query before timing.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,127 @@
-"""Placeholder — queries land in the next milestone."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2-K).
+
+The slow-path demo family: row-at-a-time Python UDF (worker round-trip
+per row batch), Arrow-vectorized pandas UDF, grouped applyInPandas as the
+UDAF shape, and a Spark 4 Python UDTF.
+
+Scale notes (100 TB): the scalar Python UDF exists to *measure* the
+boundary cost — every production expression in this engine uses built-in
+functions instead. When Python is unavoidable, the pandas UDF path
+(Arrow batches, ~10-100× faster than per-row) is the only acceptable
+shape; applyInPandas shuffles once on the group key and streams Arrow
+batches per group.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+
+@query(
+    "udf_scalar_py",
+    """
+SELECT o_orderkey,
+  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_digit
+FROM orders
+""",
+)
+def udf_scalar_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF parsing '1-URGENT' → 1."""
+
+    @F.udf(IntegerType())
+    def leading_digit(s: str) -> int | None:
+        if s and s[0].isdigit():
+            return int(s[0])
+        return None
+
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", leading_digit("o_orderpriority").alias("priority_digit")
+    )
+
+
+@query(
+    "udf_pandas_vec",
+    """
+SELECT event_id, value * 2.0 + 1.0 AS scaled
+FROM events
+""",
+)
+def udf_pandas_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF: same IEEE arithmetic as the SQL oracle.
+
+    No rounding on purpose: *2.0 and +1.0 on identical doubles are
+    bit-deterministic, while pandas' half-even round would drift from
+    SQL engines' half-up.
+    """
+
+    @F.pandas_udf("double")
+    def scale(v: pd.Series) -> pd.Series:
+        return v * 2.0 + 1.0
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", scale("value").alias("scaled"))
+
+
+@query(
+    "udaf_grouped_pandas",
+    """
+SELECT event_type, round(exp(avg(ln(value))), 4) AS geomean
+FROM events
+GROUP BY event_type
+""",
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate geometric mean via applyInPandas (UDAF shape).
+
+    math.fsum gives an exactly-rounded log-sum, so the only cross-engine
+    noise is per-element libm ln (≤1 ulp) — far inside the 4dp rounding.
+    """
+    import numpy as np
+
+    def geomean(pdf: pd.DataFrame) -> pd.DataFrame:
+        logs = np.log(pdf["value"].to_numpy())
+        gm = math.exp(math.fsum(logs) / len(logs))
+        return pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]], "geomean": [round(gm, 4)]}
+        )
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_type", "value").groupBy("event_type").applyInPandas(
+        geomean, "event_type string, geomean double"
+    )
+
+
+@query(
+    "udtf_python",
+    """
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF exploding text into (doc_id, token) rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string")
+    class SplitDoc:
+        def eval(self, doc_id: int, text: str):
+            for token in text.split(" "):
+                yield doc_id, token
+
+    spark.udtf.register("split_doc", SplitDoc)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.token "
+        "FROM udtf_docs d, LATERAL split_doc(d.doc_id, d.text) s"
+    )

@@ -1,0 +1,154 @@
+"""Multimodal-column operators: opaque binary payloads + typed metadata.
+
+The engine's model for image/audio/video at 100 TB: a ``binary`` payload
+column plus a typed metadata struct, processed by Arrow-batched
+``mapInPandas`` kernels. The fixtures carry no real media, so the
+*payload* here is the UTF-8 encoding of ``documents.text`` and the
+decode kernel is a clearly-marked deterministic stub — the Spark-side
+plumbing (schema, batch iteration, partitioning) is real and is what
+these operators demonstrate/test.
+
+Scale notes (100 TB): media payloads dominate row size — keep them in
+their own column so column pruning skips them unless the kernel needs
+bytes; process with ``mapInPandas`` (streaming Arrow batches, bounded
+memory) rather than collect-style UDFs; repartition by size-balanced
+ranges before decode so one 4K video doesn't skew a task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload + typed metadata struct."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("lang").alias("lang"),
+            F.col("n_chars").cast("int").alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "mm_binary_meta",
+    """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  n_chars,
+  octet_length(encode(text)) = n_chars AS is_ascii,
+  md5(text) AS payload_md5
+FROM documents
+""",
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata: byte length, ascii check, content digest."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        "n_chars",
+        (
+            F.octet_length(F.encode(F.col("text"), "UTF-8"))
+            == F.col("n_chars")
+        ).alias("is_ascii"),
+        F.md5("text").alias("payload_md5"),
+    )
+
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, channels int, "
+    "decode_status string"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB decode — deterministic fake dimensions from a content hash.
+
+    A real deployment replaces this body with e.g. PIL/libav decode; the
+    container has no media libraries, so the kernel derives stable fake
+    dimensions instead. Everything outside this function is the real
+    production plumbing.
+    """
+    digest = hashlib.md5(payload).digest()
+    width = 16 + digest[0] % 1024
+    height = 16 + digest[1] % 1024
+    channels = 1 + digest[2] % 4
+    return width, height, channels
+
+
+@query("mm_decode_features")
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract kernel over binary payloads via mapInPandas.
+
+    Rows-only: the decode is stubbed (no media libs in the container);
+    the Arrow batch shape, output schema, and distributed execution are
+    the tested surface.
+    """
+    payloads = with_payload(load(spark, sf_dir, "documents"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "decode_status": "stub",
+                }
+            )
+
+    return payloads.mapInPandas(decode, _DECODE_SCHEMA)
+
+
+@query("mm_frame_sample")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling kernel: every k-th fixed-size chunk of the payload.
+
+    Stands in for video frame extraction: one input row fans out to many
+    (frame_idx, frame_digest) rows. Rows-only (content digests have no
+    SQL oracle); demonstrates the 1→N mapInPandas fan-out shape with
+    bounded per-batch memory.
+    """
+    payloads = with_payload(load(spark, sf_dir, "documents"))
+    chunk, stride = 64, 4  # 64-byte "frames", sample every 4th
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_bytes": [],
+                "frame_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[i : i + chunk]
+                    for i in range(0, len(payload), chunk)
+                ]
+                for idx in range(0, len(frames), stride):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frames[idx]))
+                    out["frame_md5"].append(
+                        hashlib.md5(frames[idx]).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        sample, "doc_id bigint, frame_idx int, frame_bytes int, frame_md5 string"
+    )

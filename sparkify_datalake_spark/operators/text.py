@@ -198,17 +198,24 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-    x, y = buckets.alias("x"), buckets.alias("y")
+    # Pairs per bucket WITHOUT a self-join: collect the bucket's sorted doc
+    # ids and explode the in-bucket combinations. A self-join here would
+    # recompute the whole minhash pipeline for its second input (verified
+    # on the physical plan) and shuffle it again; this shape is one pass.
     candidates = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+        buckets.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
         .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     toksets = docs.select("doc_id", F.array_distinct(_tokens()).alias("toks"))

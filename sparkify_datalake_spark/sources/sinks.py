@@ -1,0 +1,51 @@
+"""Sinks (SURVEY.md §2-A `test` rows): partitioned Parquet, CSV/JSON.
+
+The reference family's signature op `[RECONSTRUCTED]` is
+``df.write.partitionBy(...).parquet(out)`` (star-schema tables partitioned
+by e.g. (year, artist_id)); these helpers are the engine's equivalents,
+exercised by tests/test_sinks.py.
+
+Scale notes (100 TB): partition columns must be low-cardinality (status,
+date buckets) — a high-cardinality partitionBy creates millions of tiny
+files. Pair with ``df.repartition(cols)`` before the write so each
+partition directory is produced by one task (one file), and let AQE
+coalesce small post-shuffle partitions. Readers get partition pruning for
+free on the directory layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Partitioned Parquet sink; one file per partition directory."""
+    (
+        df.repartition(*partition_cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)

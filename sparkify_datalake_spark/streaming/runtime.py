@@ -1,0 +1,90 @@
+"""Structured Streaming runtime helpers (SURVEY.md §2-J `test` rows:
+stream_watermark_late, stream_stateful_dedup).
+
+Batch queries in streaming/windows.py prove the *semantics*; this module
+runs the *runtime*: file-source replay → watermark-governed state →
+memory sink. tests/test_streaming.py drives it.
+
+Scale notes (100 TB stream): the same topology runs against Kafka by
+swapping the source; watermark delay bounds state size (windows/dedup
+keys older than watermark are evicted), and ``dropDuplicatesWithinWatermark``
+keeps one state entry per key within the horizon instead of forever.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def write_replay_batch(
+    spark: SparkSession, path: str, rows: list[tuple], batch_name: str
+) -> None:
+    """Write one replay file into the streaming source directory."""
+    os.makedirs(path, exist_ok=True)
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+    # Touch marker so each call lands in distinct files (mtime ordering).
+    _ = batch_name
+
+
+def windowed_counts_stream(
+    spark: SparkSession, src_path: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked 10-minute tumbling counts over a file-source replay."""
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def dedup_stream(
+    spark: SparkSession, src_path: str, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark horizon."""
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    df: DataFrame, table: str, output_mode: str, checkpoint: str
+):
+    """Start a memory-sink query; caller drives processAllAvailable()."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,70 @@
+"""Sink round-trip tests (SURVEY.md §2-A rows sink_parquet_partitioned,
+sink_csv_json_roundtrip; §2.1 surrogate-id coverage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.sources.load import load
+from sparkify_datalake_spark.sources import sinks
+
+
+def test_parquet_partitioned_roundtrip(spark, sf_dir, tmp_path):
+    orders = load(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_by_status")
+    sinks.write_partitioned_parquet(orders, out, ["o_orderstatus"])
+
+    back = sinks.read_partitioned_parquet(spark, out)
+    expected = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    actual = {
+        r["o_orderstatus"]: r["n"]
+        for r in back.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    assert actual == expected
+    # partition pruning: a filter on the partition column reads one directory
+    plan = back.filter(F.col("o_orderstatus") == "F")._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" in plan
+    pruned = back.filter(F.col("o_orderstatus") == "F").count()
+    assert pruned == expected["F"]
+
+
+def test_parquet_partition_directories(spark, sf_dir, tmp_path):
+    import os
+
+    orders = load(spark, sf_dir, "orders")
+    out = str(tmp_path / "dirs")
+    sinks.write_partitioned_parquet(orders, out, ["o_orderstatus"])
+    dirs = {d for d in os.listdir(out) if d.startswith("o_orderstatus=")}
+    statuses = {r[0] for r in orders.select("o_orderstatus").distinct().collect()}
+    assert dirs == {f"o_orderstatus={s}" for s in statuses}
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    region = load(spark, sf_dir, "region")
+    schema = region.schema
+    expected = sorted(tuple(r) for r in region.collect())
+
+    csv_path = str(tmp_path / "region_csv")
+    sinks.write_csv(region, csv_path)
+    csv_back = sinks.read_csv(spark, csv_path, schema)
+    assert csv_back.schema == schema
+    assert sorted(tuple(r) for r in csv_back.collect()) == expected
+
+    json_path = str(tmp_path / "region_json")
+    sinks.write_json(region, json_path)
+    json_back = sinks.read_json(spark, json_path, schema)
+    assert json_back.schema == schema
+    assert sorted(tuple(r) for r in json_back.collect()) == expected
+
+
+def test_surrogate_id_distinct(spark, sf_dir):
+    """monotonically_increasing_id: nondeterministic values, but always
+    distinct and non-null (reference's songplay_id pattern)."""
+    orders = load(spark, sf_dir, "orders")
+    with_id = orders.withColumn("sid", F.monotonically_increasing_id())
+    n = with_id.count()
+    assert with_id.select("sid").distinct().count() == n
+    assert with_id.filter(F.col("sid").isNull()).count() == 0

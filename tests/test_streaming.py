@@ -1,0 +1,105 @@
+"""Structured Streaming runtime tests (SURVEY.md §2-J `test` rows).
+
+Drives real readStream → watermark state → memory sink:
+- stream_watermark_late: a row older than the watermark is dropped from
+  an append-mode windowed aggregation.
+- stream_stateful_dedup: dropDuplicatesWithinWatermark emits each
+  event_id once across micro-batches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from sparkify_datalake_spark.streaming import runtime
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 6, 1, 12, minute, second)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+
+    # Batch 1: window [12:00,12:10) gets 2 events; [12:20,12:30) one event
+    # (advances max event time to 12:25 → watermark 12:15 after the batch).
+    runtime.write_replay_batch(
+        spark,
+        src,
+        [
+            (1, _ts(1), 10, "view"),
+            (2, _ts(5), 10, "view"),
+            (3, _ts(25), 11, "view"),
+        ],
+        "b1",
+    )
+    query = runtime.run_to_memory(
+        runtime.windowed_counts_stream(spark, src), "wm_counts", "append", chk
+    )
+    try:
+        query.processAllAvailable()
+
+        # Batch 2: one LATE row for [12:00,12:10) — window end 12:10 <=
+        # watermark 12:15, so it must be dropped; plus a row at 12:45
+        # advancing the watermark to 12:35 which closes both old windows.
+        runtime.write_replay_batch(
+            spark,
+            src,
+            [
+                (4, _ts(6), 10, "view"),
+                (5, _ts(45), 12, "view"),
+            ],
+            "b2",
+        )
+        query.processAllAvailable()
+
+        result = {
+            r["window_start"].minute: r["n_events"]
+            for r in spark.sql("SELECT * FROM wm_counts").collect()
+        }
+        # Closed windows: [12:00,12:10) → 2 (late row 4 dropped),
+        # [12:20,12:30) → 1. [12:40,...) is still open (not emitted).
+        assert result.get(0) == 2, f"late row leaked into window 12:00: {result}"
+        assert result.get(20) == 1
+        assert 40 not in result
+    finally:
+        query.stop()
+
+
+def test_stateful_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+
+    runtime.write_replay_batch(
+        spark,
+        src,
+        [
+            (100, _ts(0), 1, "click"),
+            (101, _ts(1), 1, "click"),
+            (100, _ts(2), 1, "click"),  # duplicate within batch
+        ],
+        "b1",
+    )
+    query = runtime.run_to_memory(
+        runtime.dedup_stream(spark, src), "dedup_out", "append", chk
+    )
+    try:
+        query.processAllAvailable()
+        # duplicate again in a later micro-batch, still inside watermark
+        runtime.write_replay_batch(
+            spark,
+            src,
+            [
+                (100, _ts(3), 1, "click"),
+                (102, _ts(4), 1, "click"),
+            ],
+            "b2",
+        )
+        query.processAllAvailable()
+
+        rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+        ids = sorted(r["event_id"] for r in rows)
+        assert ids == [100, 101, 102], f"dedup failed: {ids}"
+    finally:
+        query.stop()
