@@ -1,0 +1,73 @@
+"""Physical-plan shape assertions (SURVEY.md §4).
+
+Correctness tests prove the right rows come back; these prove the right
+PLAN produces them — the properties that decide whether an operator
+survives a 100× scale-up: predicate pushdown into the Parquet reader,
+column pruning, broadcast joins for small dims, partial aggregation,
+and bounded-heap top-k.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sparkify_datalake_spark.registry import queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(spark, name: str) -> str:
+    df = queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prune_columns_reads_two_columns(spark):
+    plan = _plan(spark, "scan_prune_columns")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity" in plan
+    # the 11-column lineitem schema must NOT be read
+    assert "l_comment" not in plan
+
+
+def test_scan_filter_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "scan_filter_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_join_broadcast_uses_broadcast_hash_join(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_join_3way_broadcasts_all_dims(spark):
+    # lineitem is the fact side; orders/customer/nation must all arrive
+    # broadcast at fixture scale (no sort-merge shuffle of the fact table).
+    plan = _plan(spark, "join_3way")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_groupby_has_partial_and_final_agg(spark):
+    plan = _plan(spark, "agg_groupby")
+    assert "partial_" in plan, "map-side partial aggregation missing"
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_sort_limit_topk_uses_bounded_heap(spark):
+    plan = _plan(spark, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan, (
+        "top-k must use the bounded-heap operator, not a global sort"
+    )
+
+
+def test_join_semi_anti_plan_types(spark):
+    assert "LeftSemi" in _plan(spark, "join_semi")
+    assert "LeftAnti" in _plan(spark, "join_anti")
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    plan = _plan(spark, "project_arith")
+    # codegen stages print as "*(n) Operator" in the executed plan
+    assert "*(1)" in plan
