@@ -237,3 +237,48 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+_EMBED_DUP_TAU = 0.4
+
+
+@query(
+    "dedup_embed",
+    f"""
+SELECT a.vec_id, min(b.vec_id) AS survivor_id
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label
+  AND round({_PAIR_COS_SQL}, 6) >= {_EMBED_DUP_TAU}
+GROUP BY a.vec_id
+""",
+)
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup survivors: vec_id → min similar vec_id.
+
+    Dedup shape, not pair shape: each vector maps to the smallest vec_id
+    among its cosine-neighbors within its label block (itself included —
+    cos(v,v)=1 — so singletons survive as themselves). τ is calibrated
+    to the synthetic corpus (within-label cosines top out ≈0.5); on a
+    real corpus this is ≥0.95. Same blocked-GEMM kernel as
+    sim_threshold_pairs: one float64 matmul per label block via
+    applyInPandas, O(block²) bounded by the IVF/label blocking.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        sims = np.round((x @ x.T) / np.outer(norms, norms), 6)
+        neigh = sims >= _EMBED_DUP_TAU
+        # min vec_id over each row's neighbor set (diagonal is 1.0 ≥ τ)
+        out = [ids[mask].min() for mask in neigh]
+        return pd.DataFrame({"vec_id": ids, "survivor_id": out})
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(survivors, "vec_id long, survivor_id long")
+    )

@@ -476,3 +476,71 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 8)
         .distinct()
     )
+
+
+_NGRAM_SAMPLE = 300
+_NGRAM_TAU = 0.5
+
+
+@query(
+    "dedup_ngram",
+    f"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(string_split(lower(text),' ')) - 1),
+      i -> concat(string_split(lower(text),' ')[i], ' ',
+                  string_split(lower(text),' ')[i+1], ' ',
+                  string_split(lower(text),' ')[i+2]))) AS shingles
+  FROM documents
+  WHERE doc_id < {_NGRAM_SAMPLE} AND len(string_split(lower(text),' ')) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {_NGRAM_TAU}
+""",
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram shingle Jaccard pairs on a bounded doc_id sample.
+
+    Shingling (n-gram) jaccard is the order-sensitive sibling of the
+    token-set jaccard in dedup_near_exact: two docs with the same words
+    in a different order stop being duplicates. Same scale discipline as
+    the other exact variant — the all-pairs form exists as a bounded
+    correctness anchor (pinned 300-doc sample); at 100 TB the same
+    shingles feed the MinHash-LSH path (dedup_near) unchanged.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _NGRAM_SAMPLE
+    )
+    toks = _tokens()
+    sh = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3), "
+                    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+                )
+            ).alias("shingles"),
+        )
+        # single-file input → parallelize the per-pair jaccard stage
+        .repartition(16)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.shingles", "b.shingles")).cast(
+        "double"
+    ) / F.size(F.array_union("a.shingles", "b.shingles"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_TAU)
+    )
