@@ -152,3 +152,52 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         sample, "doc_id bigint, frame_idx int, frame_bytes int, frame_md5 string"
     )
+
+
+@query(
+    "mm_resize",
+    """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes_in,
+  least(octet_length(encode(text)), 256) AS n_bytes_out,
+  md5(CASE WHEN octet_length(encode(text)) <= 256 THEN text
+           ELSE substring(text, 1, 256) END) AS resized_md5
+FROM documents
+""",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample kernel: cap each payload at a byte budget.
+
+    Stands in for image resize / audio downsample: a 1→1 mapInPandas
+    kernel that shrinks the payload and reports old/new sizes plus the
+    digest of the resized content. The "resize" is a deterministic
+    truncation stub (no media libs in the container); hash-checked
+    because truncation IS expressible in SQL — which pins the batch
+    plumbing end-to-end, unlike the rows-only stubs.
+
+    Scale note: resize is compute-heavy and 1→1 — the ideal mapInPandas
+    shape (no shuffle, Arrow-batched, whole-stage pipelined with the
+    scan); output payloads are smaller than inputs so the stage shrinks
+    data volume for everything downstream.
+    """
+    payloads = with_payload(load(spark, sf_dir, "documents"))
+    budget = 256
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [p[:budget] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes_in": [len(p) for p in pdf["payload"]],
+                    "n_bytes_out": [len(r) for r in resized],
+                    "resized_md5": [
+                        hashlib.md5(r).hexdigest() for r in resized
+                    ],
+                }
+            )
+
+    return payloads.mapInPandas(
+        resize,
+        "doc_id bigint, n_bytes_in int, n_bytes_out int, resized_md5 string",
+    )

@@ -77,6 +77,46 @@ def dedup_stream(
     )
 
 
+def running_counts_stream(spark: SparkSession, src_path: str) -> DataFrame:
+    """Custom stateful operator: per-event_type running count + last seen id.
+
+    ``applyInPandasWithState`` — the escape hatch when built-in streaming
+    aggregations can't express the state machine. The GroupState holds
+    (count, max_event_id) per event_type and survives across micro-batches
+    (asserted by the runtime test). State is per-key and partitioned by
+    the group key, so it scales horizontally; a production operator adds
+    a state timeout to bound the key space.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_type string, n_events long, max_event_id long"
+    state_schema = "n long, max_id long"
+
+    def update(key, pdfs, state: GroupState):
+        n, max_id = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            max_id = max(max_id, int(pdf["event_id"].max()))
+        state.update((n, max_id))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [n], "max_event_id": [max_id]}
+        )
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     df: DataFrame, table: str, output_mode: str, checkpoint: str
 ):

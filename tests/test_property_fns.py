@@ -1,0 +1,124 @@
+"""Property-based Spark↔DuckDB semantics-drift probes (SURVEY §5.6).
+
+Each example draws a batch of random values, pushes the batch through
+the same scalar expressions in Spark SQL and DuckDB, and compares under
+the §7.2 rounding discipline. This is the cheap way to catch dialect
+drift (round half-up vs half-even, regex corners, date-part off-by-one)
+that the fixture corpus happens not to exercise.
+
+Examples are batched (one Spark job per example, 64 values each) and
+example counts kept small — a Spark round-trip is ~100 ms.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite_doubles = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+# tokens in the Java∩RE2-safe, quote-free ascii subset
+tokens = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 _-", min_size=0, max_size=24
+)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    return duckdb.connect()
+
+
+def _spark_rows(spark, values, sql_exprs: str, typ: str):
+    df = spark.createDataFrame([(v,) for v in values], f"x {typ}")
+    df.createOrReplaceTempView("prop_t")
+    return [tuple(r) for r in spark.sql(
+        f"SELECT {sql_exprs} FROM prop_t"
+    ).collect()]
+
+
+def _duck_rows(ddb, values, sql_exprs: str, typ: str):
+    ddb.execute("DROP TABLE IF EXISTS prop_t")
+    ddb.execute(f"CREATE TABLE prop_t (x {typ})")
+    ddb.executemany("INSERT INTO prop_t VALUES (?)", [(v,) for v in values])
+    return [tuple(r) for r in ddb.execute(
+        f"SELECT {sql_exprs} FROM prop_t"
+    ).fetchall()]
+
+
+@given(st.lists(finite_doubles, min_size=1, max_size=64))
+@settings(**_SETTINGS)
+def test_math_functions_agree(spark, ddb, xs):
+    # libm-backed fns rounded to 6dp; exact fns compared raw
+    exprs = (
+        "round(abs(x), 6), ceil(x), floor(x), "
+        "round(sqrt(abs(x)), 6), round(exp(least(abs(x), 20.0) * -1), 6), "
+        "round(ln(abs(x) + 1.0), 6)"
+    )
+    assert sorted(_spark_rows(spark, xs, exprs, "double")) == sorted(
+        _duck_rows(ddb, xs, exprs, "DOUBLE")
+    )
+
+
+@given(st.lists(tokens, min_size=1, max_size=64))
+@settings(**_SETTINGS)
+def test_string_functions_agree(spark, ddb, ss):
+    exprs = (
+        "upper(x), lower(x), trim(x), length(x), "
+        "substring(x, 1, 5), replace(x, 'a', 'z'), reverse(x)"
+    )
+    assert sorted(_spark_rows(spark, ss, exprs, "string")) == sorted(
+        _duck_rows(ddb, ss, exprs, "VARCHAR")
+    )
+
+
+@given(st.lists(tokens, min_size=1, max_size=64))
+@settings(**_SETTINGS)
+def test_regex_safe_subset_agrees(spark, ddb, ss):
+    # patterns restricted to the Java∩RE2-safe subset per SURVEY §2-H
+    sp = _spark_rows(
+        spark, ss,
+        "regexp_extract(x, '[a-z]+', 0), x rlike '^[0-9]'", "string",
+    )
+    du = _duck_rows(
+        ddb, ss,
+        "coalesce(regexp_extract(x, '[a-z]+', 0), ''), "
+        "regexp_matches(x, '^[0-9]')", "VARCHAR",
+    )
+    assert sorted(sp) == sorted(du)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=40000), min_size=1,
+                max_size=64))
+@settings(**_SETTINGS)
+def test_date_parts_agree(spark, ddb, days):
+    # dates via epoch-day offsets: covers leap years, month ends, y2k
+    exprs_spark = (
+        "year(d), month(d), day(d), dayofweek(d), "
+        "date_format(last_day(d), 'yyyy-MM-dd')"
+    )
+    df_vals = [(int(d),) for d in days]
+    spark_df = spark.createDataFrame(df_vals, "n int")
+    spark_df.createOrReplaceTempView("prop_d")
+    sp = [tuple(r) for r in spark.sql(
+        "SELECT " + exprs_spark + " FROM "
+        "(SELECT date_add(DATE '1970-01-01', n) AS d FROM prop_d)"
+    ).collect()]
+    ddb.execute("DROP TABLE IF EXISTS prop_d")
+    ddb.execute("CREATE TABLE prop_d (n INTEGER)")
+    ddb.executemany("INSERT INTO prop_d VALUES (?)", df_vals)
+    # Spark dayofweek: Sun=1..Sat=7; DuckDB dayofweek: Sun=0..Sat=6
+    du = [tuple(r) for r in ddb.execute(
+        "SELECT year(d), month(d), day(d), dayofweek(d) + 1, "
+        "strftime(last_day(d), '%Y-%m-%d') FROM "
+        "(SELECT DATE '1970-01-01' + n AS d FROM prop_d)"
+    ).fetchall()]
+    assert sorted(sp) == sorted(du)

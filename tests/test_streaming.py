@@ -103,3 +103,40 @@ def test_stateful_dedup_within_watermark(spark, tmp_path):
         assert ids == [100, 101, 102], f"dedup failed: {ids}"
     finally:
         query.stop()
+
+
+def test_stateful_running_counts_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches."""
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+
+    runtime.write_replay_batch(
+        spark,
+        src,
+        [
+            (1, _ts(0), 1, "click"),
+            (2, _ts(1), 1, "view"),
+            (3, _ts(2), 2, "click"),
+        ],
+        "b1",
+    )
+    query = runtime.run_to_memory(
+        runtime.running_counts_stream(spark, src), "run_counts", "update", chk
+    )
+    try:
+        query.processAllAvailable()
+        runtime.write_replay_batch(
+            spark, src, [(9, _ts(3), 3, "click")], "b2"
+        )
+        query.processAllAvailable()
+
+        # memory sink in update mode appends each emission; the LAST
+        # emission per key carries the accumulated state.
+        rows = spark.sql("SELECT * FROM run_counts").collect()
+        latest = {}
+        for r in rows:
+            latest[r["event_type"]] = (r["n_events"], r["max_event_id"])
+        assert latest["click"] == (3, 9), f"state not kept: {latest}"
+        assert latest["view"] == (1, 2)
+    finally:
+        query.stop()
