@@ -262,3 +262,68 @@ def agg_maxby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("best_price"),
         F.sort_array(F.collect_list("o_orderstatus")).alias("statuses"),
     )
+
+
+@query(
+    "agg_percentile",
+    """
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+  round(quantile_cont(l_quantity, 0.75), 4) AS qty_p75,
+  round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group.
+
+    Spark `percentile` and DuckDB `quantile_cont` share the same
+    interpolation (verified exact at sf0.01). Exact percentile keeps all
+    values per group in the agg buffer — at 100 TB switch to
+    `approx_percentile(col, p, accuracy)` (KLL-sketch-style, fixed
+    memory, mergeable partials) and accept the documented error bound;
+    the exact form stays as the small-partition correctness anchor.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("qty_p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("qty_p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+            "price_p90"
+        ),
+    )
+
+
+@query(
+    "agg_pivot",
+    """
+SELECT o_orderpriority,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status, statuses as columns.
+
+    Explicit pivot value list — without it Spark runs an extra
+    distinct-collect job to discover values, and column order becomes
+    data-dependent (both wrong at scale).
+    """
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )

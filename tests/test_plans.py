@@ -71,3 +71,12 @@ def test_whole_stage_codegen_on_hot_path(spark):
     plan = _plan(spark, "project_arith")
     # codegen stages print as "*(n) Operator" in the executed plan
     assert "*(1)" in plan
+
+
+def test_q3_composite_plan_shape(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    # all three scans carry pushed filters
+    assert plan.count("PushedFilters: [") >= 3
