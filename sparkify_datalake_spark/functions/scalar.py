@@ -308,3 +308,31 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("c_name", 256).alias("name_sha256"),
         F.length(F.md5("c_name")).alias("md5_len"),
     )
+
+
+@query(
+    "fn_bitwise",
+    """
+SELECT o_orderkey,
+  o_orderkey & 255 AS b_and,
+  o_orderkey | 15 AS b_or,
+  xor(o_orderkey, 85) AS b_xor,
+  o_orderkey << 2 AS b_shl,
+  o_orderkey >> 3 AS b_shr,
+  bit_count(o_orderkey) AS popcount
+FROM orders
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount — all row-wise codegen."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(15)).alias("b_or"),
+        k.bitwiseXOR(F.lit(85)).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+        F.bit_count(k).alias("popcount"),
+    )

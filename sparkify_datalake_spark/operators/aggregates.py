@@ -327,3 +327,41 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("n_p"),
         )
     )
+
+
+@query(
+    "agg_salted_twophase",
+    f"""
+SELECT o_orderpriority,
+  {sql_dec_sum('o_totalprice', 'sum_price')},
+  count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation: explicit salt → partial → final.
+
+    The manual form of what you deploy when ONE group key carries a
+    disproportionate share of rows and even AQE's skew handling can't
+    split a single aggregation key: salt the key into 16 sub-groups,
+    aggregate (salted shuffle spreads the hot key over 16 reducers),
+    then aggregate the 16 partials (tiny). Decimal partials merge
+    exactly, so the result hash-matches the plain one-phase oracle —
+    which is the point: same answer, skew-proof shuffle.
+
+    (For the built-in shapes AQE skew splitting suffices; this operator
+    documents + verifies the manual pattern the 100 TB playbook needs.)
+    """
+    orders = load(spark, sf_dir, "orders")
+    salted = orders.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(16))
+    )
+    partial = salted.groupBy("o_orderpriority", "salt").agg(
+        F.sum(dec2("o_totalprice")).alias("p_sum"),
+        F.count(F.lit(1)).alias("p_n"),
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.round(F.sum("p_sum"), 2).cast("double").alias("sum_price"),
+        F.sum("p_n").alias("n_orders"),
+    )

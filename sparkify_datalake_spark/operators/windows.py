@@ -204,3 +204,40 @@ def win_range_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_range).alias("n_in_band"),
         F.ntile(4).over(w_ntile).alias("quartile"),
     )
+
+
+@query(
+    "win_first_last",
+    """
+SELECT o_custkey, o_orderkey,
+  first_value(o_orderkey) OVER w AS first_order,
+  last_value(o_orderkey) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+  nth_value(o_orderkey, 2) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth order id per customer — the frame-semantics trap.
+
+    `last_value`/`nth_value` over the DEFAULT frame (unbounded→current)
+    see only the prefix, which is almost never what's meant; both get the
+    explicit full-partition frame here, identically in Spark and the
+    oracle. ORDER BY carries the orderkey tiebreak (§7.2-4).
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )
