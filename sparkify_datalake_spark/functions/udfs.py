@@ -76,14 +76,18 @@ def udf_pandas_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type, round(exp(avg(ln(value))), 4) AS geomean
 FROM events
+WHERE value > 0
 GROUP BY event_type
 """,
 )
 def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate geometric mean via applyInPandas (UDAF shape).
 
-    math.fsum gives an exactly-rounded log-sum, so the only cross-engine
-    noise is per-element libm ln (≤1 ulp) — far inside the 4dp rounding.
+    Geomean is defined over positive values — the value>0 guard matters
+    at SFs where events carry zeros (DuckDB ln(0) errors; numpy returns
+    -inf). math.fsum gives an exactly-rounded log-sum, so the only
+    cross-engine noise is per-element libm ln (≤1 ulp) — far inside the
+    4dp rounding.
     """
     import numpy as np
 
@@ -94,7 +98,7 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_type": [pdf["event_type"].iloc[0]], "geomean": [round(gm, 4)]}
         )
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
     return ev.select("event_type", "value").groupBy("event_type").applyInPandas(
         geomean, "event_type string, geomean double"
     )
