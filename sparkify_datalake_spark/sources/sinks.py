@@ -49,3 +49,25 @@ def write_json(df: DataFrame, path: str) -> None:
 
 def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, key: str, n_buckets: int, path: str
+) -> None:
+    """Bucketed (hash-clustered) + sorted table sink.
+
+    THE 100 TB fact-⋈-fact join technique: two tables bucketed on the
+    join key with the same bucket count join with NO exchange — each
+    task reads bucket i of both sides and merge-joins presorted files
+    (tests/test_sinks.py asserts the Exchange-free plan). At 100 TB,
+    bucketing lineitem+orders on orderkey turns the biggest shuffle in
+    the workload into a metadata lookup; the write-side shuffle is paid
+    once, amortized over every subsequent join.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    )

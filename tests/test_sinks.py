@@ -68,3 +68,39 @@ def test_surrogate_id_distinct(spark, sf_dir):
     n = with_id.count()
     assert with_id.select("sid").distinct().count() == n
     assert with_id.filter(F.col("sid").isNull()).count() == 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join with no Exchange."""
+    from sparkify_datalake_spark.sources.load import load
+    from sparkify_datalake_spark.sources.sinks import write_bucketed_table
+
+    write_bucketed_table(
+        load(spark, sf_dir, "orders"), "b_orders", "o_orderkey", 8,
+        str(tmp_path / "b_orders"),
+    )
+    write_bucketed_table(
+        load(spark, sf_dir, "lineitem"), "b_lineitem", "l_orderkey", 8,
+        str(tmp_path / "b_lineitem"),
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, orders = spark.table("b_lineitem"), spark.table("b_orders")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # and it still returns the right rows
+        n = joined.count()
+        li0 = load(spark, sf_dir, "lineitem")
+        orders0 = load(spark, sf_dir, "orders")
+        expected = li0.join(
+            orders0, li0.l_orderkey == orders0.o_orderkey
+        ).count()
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
