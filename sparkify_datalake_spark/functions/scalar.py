@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkify_datalake_spark.functions.determinism import dec2
 from sparkify_datalake_spark.registry import query
 from sparkify_datalake_spark.sources.load import load
 
@@ -335,4 +336,36 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("b_shl"),
         F.shiftright(k, 3).alias("b_shr"),
         F.bit_count(k).alias("popcount"),
+    )
+
+
+@query(
+    "fn_struct",
+    """
+SELECT o_orderkey,
+  to_json({'status': o_orderstatus, 'priority': o_orderpriority})
+    AS order_meta_json,
+  {'status': o_orderstatus, 'priority': o_orderpriority}.status
+    AS meta_status,
+  CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS price
+FROM orders
+""",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct build + field access + JSON serialization.
+
+    The struct itself is projected as to_json (field order preserved in
+    both engines) — raw struct values collect as engine-specific types
+    (Row vs dict) and can't be value-hashed across engines.
+    """
+    orders = load(spark, sf_dir, "orders")
+    meta = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.to_json(meta).alias("order_meta_json"),
+        meta.getField("status").alias("meta_status"),
+        F.round(dec2("o_totalprice"), 2).cast("double").alias("price"),
     )

@@ -121,3 +121,66 @@ def distinct_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "customer").select(
         "c_mktsegment", "c_nationkey"
     ).distinct()
+
+
+@query(
+    "subquery_scalar_corr",
+    """
+SELECT c.c_custkey, c.c_name,
+  CAST(round(CAST(c.c_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE) AS acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT avg(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+""",
+)
+def subquery_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's average.
+
+    Expressed in SQL so Catalyst's RewriteCorrelatedScalarSubquery runs:
+    the correlated aggregate decorrelates into an aggregate-then-join
+    (one shuffle on nationkey + broadcast of the 25-row per-nation
+    averages) — never a per-row subquery execution. The DataFrame-API
+    equivalent is the groupBy+join written out by hand; this pins the
+    SQL surface.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+          CAST(round(CAST(c.c_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE)
+            AS acctbal
+        FROM customer_sq c
+        WHERE c.c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM customer_sq c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+@query(
+    "subquery_in_agg",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+) AND o_orderstatus = 'O'
+""",
+)
+def subquery_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery over a filtered dimension (rewritten to a semi-join)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq2")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_sq
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer_sq2
+          WHERE c_mktsegment = 'MACHINERY'
+        ) AND o_orderstatus = 'O'
+        """
+    )
