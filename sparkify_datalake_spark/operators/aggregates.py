@@ -365,3 +365,32 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("p_sum"), 2).cast("double").alias("sum_price"),
         F.sum("p_n").alias("n_orders"),
     )
+
+
+@query(
+    "fn_unpivot",
+    """
+SELECT o_orderkey, 'totalprice' AS measure,
+  CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS value
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS value
+FROM orders
+""",
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide columns → (key, measure, value) long rows.
+
+    The inverse of agg_pivot. Spark's unpivot is a zero-shuffle
+    generator (each row fans out to one row per value column in-place);
+    the oracle is the equivalent UNION ALL.
+    """
+    orders = load(spark, sf_dir, "orders")
+    wide = orders.select(
+        "o_orderkey",
+        F.round(dec2("o_totalprice"), 2).cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot(
+        ["o_orderkey"], ["totalprice", "custkey"], "measure", "value"
+    )
