@@ -221,6 +221,10 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     # Hash-to-min: rep(doc) = min doc_id reachable through shared buckets.
+    # With buckets checkpointed, doc_rep_{i+1} references doc_rep_i once,
+    # so lineage grows linearly — the whole propagation can stay one lazy
+    # job (fewer scheduling points than checkpointing every iteration; at
+    # cluster scale with many iterations, persist every k-th instead).
     doc_rep = buckets.groupBy("doc_id").agg(F.min("doc_id").alias("rep"))
     for _ in range(3):
         bucket_rep = (
@@ -232,7 +236,6 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             buckets.join(bucket_rep, "bucket")
             .groupBy("doc_id")
             .agg(F.min("brep").alias("rep"))
-            .localCheckpoint()
         )
     return doc_rep.select("doc_id", F.col("rep").alias("rep_id"))
 
