@@ -547,3 +547,38 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _NGRAM_TAU)
     )
+
+
+@query(
+    "text_ngram_freq",
+    f"""
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT unnest(list_transform(range(1, len({_sql_tokens()})),
+    i -> concat({_sql_tokens()}[i], ' ', {_sql_tokens()}[i+1]))) AS bigram
+  FROM documents
+  WHERE len({_sql_tokens()}) >= 2
+)
+GROUP BY bigram
+""",
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequencies (n-gram LM / contamination checks).
+
+    Same wordcount shape as text_tokenize but over adjacent-token pairs;
+    at 100 TB the explode produces ~tokens-per-doc rows/doc and the
+    groupBy partial-aggregates before the shuffle, so the shuffle
+    carries one row per distinct bigram per task.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> concat(toks[i], ' ', toks[i+1]))"
+    )
+    return (
+        docs.select(_tokens().alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

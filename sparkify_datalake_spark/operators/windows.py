@@ -241,3 +241,25 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wfull).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
     )
+
+
+@query(
+    "win_percent_rank",
+    """
+SELECT o_custkey, o_orderkey,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank family: percent_rank + cume_dist per customer."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
