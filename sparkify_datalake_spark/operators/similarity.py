@@ -282,3 +282,121 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .applyInPandas(survivors, "vec_id long, survivor_id long")
     )
+
+
+_IVF_K = 8
+# 2 Lloyd's iterations: at k=8 the quantizer converges almost immediately
+# and each extra iteration is a full corpus pass + centroid collect cycle
+# (the recall test pins quality). A real deployment trains once offline
+# and persists the centroids; queries() is stateless so training runs
+# per call here.
+_IVF_ITERS = 2
+_IVF_NPROBE = 3
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str):
+    """Lloyd's k-means coarse quantizer — the IVF training step.
+
+    The MLlib topology: centroids (k×64 floats — bytes, not data) live on
+    the driver and ship into each iteration's Arrow kernel closure; the
+    assignment pass is distributed (one mapInPandas over the corpus), and
+    the centroid update is one small groupBy. Deterministic: init =
+    vectors with vec_id 0..k-1, fixed iteration count, float64 math.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = np.stack(
+        [
+            np.array(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id") < _IVF_K)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    for _ in range(_IVF_ITERS):
+        c = cent  # bind for closure
+
+        def assign(batches):
+            for pdf in batches:
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cluster": d.argmin(axis=1).astype("int32"),
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        assigned = emb.mapInPandas(
+            assign, "vec_id long, cluster int, embedding array<float>"
+        )
+        # centroid update: per-dimension mean via one small groupBy
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = cent.copy()
+        for r in sums:
+            new[r["cluster"], r["dim"]] = r["m"]
+        cent = new
+    return cent
+
+
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for vec_id=0 via IVF: k-means buckets + nprobe search.
+
+    The inverted-file scale path the LSH variant complements: train a
+    k=8 coarse quantizer, assign every vector to its nearest centroid,
+    then search only the nprobe=3 centroid lists nearest the query —
+    at 100 TB the assignment is a partitioning column, so a probe scans
+    nprobe/k of the corpus (partition pruning does the skipping).
+    Rows-only: recall is probabilistic by design; tests assert overlap
+    with the brute-force twin (sim_cosine_topk) on the fixtures.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = _kmeans_centroids(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:_IVF_NPROBE]
+    probe_set = {int(p) for p in probe}
+    c = cent
+
+    def in_probed(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cl = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(
+                axis=1
+            )
+            mask = np.isin(cl, list(probe_set)) & (pdf["vec_id"].to_numpy() != 0)
+            xs = x[mask]
+            if len(xs) == 0:
+                yield pd.DataFrame({"vec_id": [], "cos_sim": []})
+                continue
+            sims = (xs @ q) / (
+                np.sqrt((xs * xs).sum(axis=1)) * np.sqrt((q * q).sum())
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[mask],
+                    "cos_sim": np.round(sims, 6),
+                }
+            )
+
+    return (
+        emb.mapInPandas(in_probed, "vec_id long, cos_sim double")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -46,3 +46,17 @@ def test_entry_smoke(spark):
 
     rows = e.entry(spark).collect()
     assert len(rows) > 0
+
+
+def test_sim_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVF-probed ANN must recover most of the exact top-10 (deterministic
+    on the fixtures: fixed init, fixed iterations, float64 math)."""
+    from sparkify_datalake_spark.registry import queries
+
+    qs = queries()
+    ivf = [r["vec_id"] for r in qs["sim_ivf_topk"](spark, sf_dir).collect()]
+    brute = [
+        r["vec_id"] for r in qs["sim_cosine_topk"](spark, sf_dir).collect()
+    ]
+    assert len(ivf) == 10
+    assert len(set(ivf) & set(brute)) >= 7
