@@ -369,3 +369,43 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.getField("status").alias("meta_status"),
         F.round(dec2("o_totalprice"), 2).cast("double").alias("price"),
     )
+
+
+@query(
+    "fn_array_setops",
+    """
+SELECT p_partkey,
+  list_sort(list_distinct(list_intersect(
+    string_split(p_name, ' '), string_split(p_brand, '#')))) AS common,
+  list_sort(list_distinct(list_concat(
+    string_split(p_name, ' '), string_split(p_brand, '#')))) AS united,
+  list_sort(list_filter(string_split(p_name, ' '),
+    t -> NOT list_contains(string_split(p_brand, '#'), t))) AS name_only
+FROM part
+""",
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row array set algebra: intersect / union / except, sorted.
+
+    Outputs are sort_array'd per §7.2-5 (set-op element order is
+    engine-internal). The except is expressed as a filter in both
+    engines: Spark array_except also dedups, DuckDB has no list_except —
+    the filter formulation keeps both sides identical.
+    """
+    part = load(spark, sf_dir, "part")
+    name_toks = F.split(F.col("p_name"), " ")
+    brand_toks = F.split(F.col("p_brand"), "#")
+    return part.select(
+        "p_partkey",
+        F.sort_array(
+            F.array_distinct(F.array_intersect(name_toks, brand_toks))
+        ).alias("common"),
+        F.sort_array(
+            F.array_distinct(F.array_union(name_toks, brand_toks))
+        ).alias("united"),
+        F.sort_array(
+            F.filter(
+                name_toks, lambda t: ~F.array_contains(brand_toks, t)
+            )
+        ).alias("name_only"),
+    )

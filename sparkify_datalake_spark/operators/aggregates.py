@@ -394,3 +394,35 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["o_orderkey"], ["totalprice", "custkey"], "measure", "value"
     )
+
+
+@query(
+    "agg_stats",
+    """
+SELECT l_returnflag,
+  round(stddev_samp(l_quantity), 6) AS qty_stddev,
+  round(var_samp(l_quantity), 6) AS qty_var,
+  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+  round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance.
+
+    All four are single-pass mergeable aggregates (sum, sum-of-squares,
+    co-moments) — partial→final like any hash agg, so they scale exactly
+    like sum/count. libm-touched outputs rounded per §7.2-2.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )
