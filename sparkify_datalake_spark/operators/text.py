@@ -582,3 +582,37 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_SQL_STOPLIST = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+
+@query(
+    "text_stopword_removal",
+    f"""
+SELECT doc_id,
+  list_filter({_sql_tokens()},
+    t -> NOT list_contains({_SQL_STOPLIST}, t)) AS content_tokens,
+  len({_sql_tokens()})
+    - len(list_filter({_sql_tokens()},
+        t -> NOT list_contains({_SQL_STOPLIST}, t))) AS n_removed
+FROM documents
+""",
+)
+def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword filtering: content tokens + removed count per doc.
+
+    The standard cleaning pass before dedup/quality scoring. Pure
+    per-row array filter — map-side only, zero shuffles at any scale;
+    token order is preserved (no sort needed: filter keeps the stable
+    document order, identical in both engines).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    content = F.filter(toks, lambda t: ~F.array_contains(stop, t))
+    return docs.select(
+        "doc_id",
+        content.alias("content_tokens"),
+        (F.size(toks) - F.size(content)).alias("n_removed"),
+    )
