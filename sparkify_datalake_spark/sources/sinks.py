@@ -71,3 +71,23 @@ def write_bucketed_table(
         .option("path", path)
         .saveAsTable(table)
     )
+
+
+def read_json_permissive(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """JSON source that quarantines malformed rows instead of failing.
+
+    PERMISSIVE mode: parseable rows populate the schema columns;
+    malformed lines land whole in ``_corrupt_record`` with NULLs
+    elsewhere. At 100 TB ingest this is the only sane default — one bad
+    row in a billion must not kill the job; the corrupt column is
+    filtered into a quarantine sink for inspection.
+    """
+    full = schema.add("_corrupt_record", "string")
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

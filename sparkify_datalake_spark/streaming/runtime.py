@@ -128,3 +128,48 @@ def run_to_memory(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def click_purchase_join_stream(
+    spark: SparkSession, clicks_path: str, purchases_path: str
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to recent clicks.
+
+    Both sides are unbounded, so Spark buffers each side in state; the
+    watermarks + the time-bound join condition (purchase within 30 min
+    AFTER the click) tell the engine when buffered rows can never match
+    again and get evicted — without the bound, stream-stream join state
+    grows forever. Same topology at 100 TB/day: state is per join-key
+    partition, watermark delay bounds its size.
+    """
+    clicks = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clicks_path)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(purchases_path)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select("p_user", "purchase_id", "click_id", "purchase_ts", "click_ts")

@@ -104,3 +104,28 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_json_permissive_quarantines_corrupt_rows(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sparkify_datalake_spark.sources.sinks import read_json_permissive
+
+    src = tmp_path / "in.json"
+    src.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{bad json line\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "not-a-number", "name": "type-mismatch"}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    df = read_json_permissive(spark, str(src), schema).cache()
+    good = df.filter(df._corrupt_record.isNull())
+    bad = df.filter(df._corrupt_record.isNotNull())
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    # both the syntax error and the type mismatch are quarantined whole
+    assert bad.count() == 2
+    assert all(r["id"] is None for r in bad.collect())
+    df.unpersist()

@@ -140,3 +140,46 @@ def test_stateful_running_counts_across_batches(spark, tmp_path):
         assert latest["view"] == (1, 2)
     finally:
         query.stop()
+
+
+def test_stream_stream_join_with_time_bound(spark, tmp_path):
+    """Purchases join clicks within 30 min; out-of-bound pairs excluded."""
+    clicks_src = str(tmp_path / "clicks")
+    purchases_src = str(tmp_path / "purchases")
+    chk = str(tmp_path / "chk")
+
+    runtime.write_replay_batch(
+        spark,
+        clicks_src,
+        [
+            (1, _ts(0), 7, "click"),    # matched by purchase at 12:10
+            (2, _ts(5), 8, "click"),    # no purchase for this user
+            (3, _ts(0), 9, "click"),    # purchase 40 min later → excluded
+        ],
+        "c1",
+    )
+    runtime.write_replay_batch(
+        spark,
+        purchases_src,
+        [
+            (100, _ts(10), 7, "purchase"),  # 10 min after click 1 → match
+            (101, _ts(40), 9, "purchase"),  # 40 min after click 3 → no match
+            (102, _ts(15), 6, "purchase"),  # user with no click
+        ],
+        "p1",
+    )
+    query = runtime.run_to_memory(
+        runtime.click_purchase_join_stream(spark, clicks_src, purchases_src),
+        "ss_join",
+        "append",
+        chk,
+    )
+    try:
+        query.processAllAvailable()
+        rows = spark.sql(
+            "SELECT purchase_id, click_id FROM ss_join"
+        ).collect()
+        pairs = sorted((r["purchase_id"], r["click_id"]) for r in rows)
+        assert pairs == [(100, 1)], f"wrong join pairs: {pairs}"
+    finally:
+        query.stop()
