@@ -263,3 +263,43 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "win_trailing_1h",
+    """
+SELECT event_id, user_id,
+  CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY date_trunc('second', ts)
+    RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+  ), 2) AS DOUBLE) AS trailing_1h_sum
+FROM events
+""",
+)
+def win_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour event-time RANGE window per user (rolling metric).
+
+    The time-series rolling-aggregate shape: RANGE (not ROWS) so the
+    frame is defined by event time, and same-timestamp peers always
+    aggregate together. Both engines order by second-truncated time —
+    Spark ranges over epoch seconds (interval RANGE frames need a
+    numeric key), DuckDB over the truncated timestamp with an INTERVAL
+    frame; the two are equivalent exactly because sub-second parts are
+    dropped on both sides. Decimal-disciplined sum per §7.2-1.
+    """
+    ev = load(spark, sf_dir, "events")
+    # epoch seconds (truncated); ntz→ltz cast is exact under the pinned
+    # UTC session timezone
+    sec = F.unix_seconds(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("trailing_1h_sum"),
+    )
