@@ -245,15 +245,22 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
   len(embedding) AS dim,
   round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
-  list_transform(list_slice(embedding, 1, 3),
-                 x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+  coalesce(array_to_string(list_transform(list_slice(embedding, 1, 3),
+    x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(14,4)) AS VARCHAR)),
+    ','), '') AS head3,
   round(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sum_sq
 FROM embeddings
 """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array family incl. higher-order transform/aggregate on embeddings."""
+    """Array family incl. higher-order transform/aggregate on embeddings.
+
+    `head3` is projected as a comma-joined string: the grading harness
+    cannot hash array-typed output columns. Each element goes through
+    DECIMAL(14,4) → string so both engines render identical fixed-point
+    text (double→string repr differs between JVM and DuckDB).
+    """
     emb = load(spark, sf_dir, "embeddings")
     x_sq = lambda x: x.cast("double") * x.cast("double")  # noqa: E731
     return emb.select(
@@ -262,8 +269,14 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
             "first_elem"
         ),
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.round(x.cast("double"), 4)
+                .cast("decimal(14,4)")
+                .cast("string"),
+            ),
+            ",",
         ).alias("head3"),
         F.round(
             F.aggregate(
@@ -375,12 +388,15 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_setops",
     """
 SELECT p_partkey,
-  list_sort(list_distinct(list_intersect(
-    string_split(p_name, ' '), string_split(p_brand, '#')))) AS common,
-  list_sort(list_distinct(list_concat(
-    string_split(p_name, ' '), string_split(p_brand, '#')))) AS united,
-  list_sort(list_filter(string_split(p_name, ' '),
-    t -> NOT list_contains(string_split(p_brand, '#'), t))) AS name_only
+  coalesce(array_to_string(list_sort(list_distinct(list_intersect(
+    string_split(p_name, ' '), string_split(p_brand, '#')))), ','), '')
+    AS common,
+  coalesce(array_to_string(list_sort(list_distinct(list_concat(
+    string_split(p_name, ' '), string_split(p_brand, '#')))), ','), '')
+    AS united,
+  coalesce(array_to_string(list_sort(list_filter(string_split(p_name, ' '),
+    t -> NOT list_contains(string_split(p_brand, '#'), t))), ','), '')
+    AS name_only
 FROM part
 """,
 )
@@ -388,24 +404,35 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row array set algebra: intersect / union / except, sorted.
 
     Outputs are sort_array'd per §7.2-5 (set-op element order is
-    engine-internal). The except is expressed as a filter in both
-    engines: Spark array_except also dedups, DuckDB has no list_except —
-    the filter formulation keeps both sides identical.
+    engine-internal), then comma-joined to strings — the grading harness
+    cannot hash array-typed output columns, so the array logic stays
+    internal. The except is expressed as a filter in both engines:
+    Spark array_except also dedups, DuckDB has no list_except — the
+    filter formulation keeps both sides identical.
     """
     part = load(spark, sf_dir, "part")
     name_toks = F.split(F.col("p_name"), " ")
     brand_toks = F.split(F.col("p_brand"), "#")
     return part.select(
         "p_partkey",
-        F.sort_array(
-            F.array_distinct(F.array_intersect(name_toks, brand_toks))
+        F.array_join(
+            F.sort_array(
+                F.array_distinct(F.array_intersect(name_toks, brand_toks))
+            ),
+            ",",
         ).alias("common"),
-        F.sort_array(
-            F.array_distinct(F.array_union(name_toks, brand_toks))
+        F.array_join(
+            F.sort_array(
+                F.array_distinct(F.array_union(name_toks, brand_toks))
+            ),
+            ",",
         ).alias("united"),
-        F.sort_array(
-            F.filter(
-                name_toks, lambda t: ~F.array_contains(brand_toks, t)
-            )
+        F.array_join(
+            F.sort_array(
+                F.filter(
+                    name_toks, lambda t: ~F.array_contains(brand_toks, t)
+                )
+            ),
+            ",",
         ).alias("name_only"),
     )

@@ -245,7 +245,7 @@ WITH ranked AS (
 ), grouped AS (
   SELECT o_custkey,
     max(o_totalprice) AS best_price,
-    list_sort(list(o_orderstatus)) AS statuses
+    array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses
   FROM orders GROUP BY o_custkey
 )
 SELECT g.o_custkey, r.o_orderkey AS best_order, g.best_price, g.statuses
@@ -253,14 +253,21 @@ FROM grouped g JOIN ranked r ON g.o_custkey = r.o_custkey AND r.rn = 1
 """,
 )
 def agg_maxby_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by with a deterministic (price, key) tiebreak + sorted collect_list."""
+    """max_by with a deterministic (price, key) tiebreak + sorted collect_list.
+
+    `statuses` is projected as a comma-joined string (not array<string>):
+    the grading harness canonicalizer cannot hash array-typed output columns,
+    so arrays stay internal and the output surface is scalar.
+    """
     orders = load(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
         F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
             "best_order"
         ),
         F.max("o_totalprice").alias("best_price"),
-        F.sort_array(F.collect_list("o_orderstatus")).alias("statuses"),
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderstatus")), ","
+        ).alias("statuses"),
     )
 
 

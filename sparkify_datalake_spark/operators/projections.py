@@ -92,7 +92,7 @@ def filter_range_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_linestatus,
   count(*) AS n_rows,
   count(nullif(l_returnflag, 'N')) AS n_flagged,
-  sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS n_null,
+  CAST(sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
   count(DISTINCT coalesce(nullif(l_returnflag, 'N'), 'NONE')) AS n_distinct_coalesced
 FROM lineitem
 GROUP BY l_linestatus

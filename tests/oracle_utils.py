@@ -62,7 +62,7 @@ def run_spark(spark, fn, sf_dir):
     df = fn(spark, sf_dir)
     cols = [c.lower() for c in df.columns]
     rows = [tuple(r) for r in df.collect()]
-    return rows, cols
+    return rows, cols, df.schema
 
 
 def run_duck(con, sql):
@@ -72,10 +72,72 @@ def run_duck(con, sql):
     return rows, cols
 
 
-def compare(spark, con, fn, sql, sf_dir, name="query"):
-    s_rows, s_cols = run_spark(spark, fn, sf_dir)
-    d_rows, d_cols = run_duck(con, sql)
+def _value_kind(rows, idx):
+    """'int' / 'float' / None for one column, from actual values."""
+    has_null = False
+    kind = None
+    for r in rows:
+        v = r[idx]
+        if v is None:
+            has_null = True
+        elif isinstance(v, bool):
+            return None, has_null
+        elif isinstance(v, float):
+            kind = "float"
+        elif isinstance(v, int) and kind is None:
+            kind = "int"
+        else:
+            if not isinstance(v, (int, float)):
+                return None, has_null
+    return kind, has_null
+
+
+def driver_trap_errors(schema, s_rows, s_cols, duck_pdf):
+    """Mirror the grading driver's pandas-based hasher failure modes.
+
+    1. Array/map/struct output columns crash the driver's canonicalizer
+       (TypeError: unhashable numpy.ndarray in sort_values) — confirmed
+       red on agg_maxby_collect in round 1.
+    2. A DuckDB HUGEINT (bare integer sum) lands in pandas as float64
+       while Spark emits int64 — value hash breaks on 9924 vs 9924.0 —
+       confirmed red on filter_null_semantics in round 1.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     errors = []
+    complex_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if complex_cols:
+        errors.append(
+            f"complex-typed output columns {complex_cols} would crash the "
+            "driver hasher — project array_join/to_json strings instead"
+        )
+    duck_kinds = {}
+    for c in duck_pdf.columns:
+        k = duck_pdf[c].dtype.kind
+        duck_kinds[c.lower()] = (
+            "int" if k in "iu" else "float" if k == "f" else None
+        )
+    for i, c in enumerate(s_cols):
+        s_kind, s_null = _value_kind(s_rows, i)
+        d_kind = duck_kinds.get(c)
+        if s_kind and d_kind and s_kind != d_kind and not s_null:
+            errors.append(
+                f"column {c!r}: spark values are {s_kind} but the oracle "
+                f"lands in pandas as {d_kind} (HUGEINT/coercion trap) — "
+                "CAST the oracle expression to BIGINT/DOUBLE to match"
+            )
+    return errors
+
+
+def compare(spark, con, fn, sql, sf_dir, name="query"):
+    s_rows, s_cols, s_schema = run_spark(spark, fn, sf_dir)
+    d_rows, d_cols = run_duck(con, sql)
+    duck_pdf = con.execute(sql).df()
+    errors = driver_trap_errors(s_schema, s_rows, s_cols, duck_pdf)
     if sorted(s_cols) != sorted(d_cols):
         errors.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
     if len(s_rows) != len(d_rows):
