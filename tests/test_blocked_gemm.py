@@ -1,0 +1,66 @@
+"""Blocked-GEMM invariance + IVF build/probe caching (SURVEY §2-I scale
+path). The 100 TB guarantee under test: per-task memory is bounded by the
+block size, never the label size, and the blocking never changes results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkify_datalake_spark.operators import similarity as sim
+from sparkify_datalake_spark.sources.load import load
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("block_size", [7, 32, 1 << 20])
+def test_threshold_pairs_invariant_to_block_size(spark, sf_dir, block_size):
+    emb = load(spark, sf_dir, "embeddings")
+    base = _rows(sim._threshold_pairs_frame(emb, block_size=1 << 30))
+    assert _rows(sim._threshold_pairs_frame(emb, block_size=block_size)) == base
+    assert len(base) > 0
+
+
+@pytest.mark.parametrize("block_size", [7, 32, 1 << 20])
+def test_dedup_embed_invariant_to_block_size(spark, sf_dir, block_size):
+    emb = load(spark, sf_dir, "embeddings")
+    base = _rows(sim._dedup_embed_frame(emb, block_size=1 << 30))
+    assert _rows(sim._dedup_embed_frame(emb, block_size=block_size)) == base
+    # every vector maps to a survivor (diagonal ⇒ itself at minimum)
+    assert len(base) == emb.count()
+
+
+def test_small_blocks_make_bounded_multi_chunk_tasks(spark, sf_dir):
+    """With a tiny block size the task table really does fan one label
+    out across many block-pair tasks (the anti-OOM property)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    tasks = sim._block_tasks(emb, block_size=8)
+    per_task = (
+        tasks.groupBy("label", "ci", "cj").count().select("count").collect()
+    )
+    # hash-uniform chunking: statistical bound, wide margin at block=8
+    assert max(r["count"] for r in per_task) <= 4 * 8
+    n_tasks = (
+        tasks.select("label", "ci", "cj").distinct().count()
+    )
+    assert n_tasks > emb.select("label").distinct().count()
+
+
+def test_ivf_build_trains_once_per_corpus(spark, sf_dir, monkeypatch):
+    calls = {"n": 0}
+    real = sim._kmeans_centroids
+
+    def counting(spark_, sf_dir_):
+        calls["n"] += 1
+        return real(spark_, sf_dir_)
+
+    monkeypatch.setattr(sim, "_kmeans_centroids", counting)
+    sim._IVF_CENTROIDS.clear()
+    sim.ivf_build(spark, sf_dir)
+    sim.sim_ivf_topk(spark, sf_dir).collect()
+    sim.sim_ivf_topk(spark, sf_dir).collect()
+    assert calls["n"] == 1
