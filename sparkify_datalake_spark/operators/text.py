@@ -168,6 +168,51 @@ def dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 32
 _BANDS = 8
 _ROWS_PER_BAND = _N_HASHES // _BANDS
+_PROP_MAX_ITERS = 20
+
+
+def _propagate_min_labels(
+    buckets: DataFrame, fixed_iters: int | None = None
+) -> DataFrame:
+    """Hash-to-min label propagation over a (doc_id, bucket) graph.
+
+    Iterates bucket-min → doc-min passes until the rep map stops
+    changing (cheap isEmpty on the changed-rows join of two
+    checkpointed maps), capped at _PROP_MAX_ITERS. Reps only decrease,
+    so "no row changed" is exact convergence. Each iteration
+    localCheckpoints the new map — at cluster scale that is
+    persist/checkpoint between iterations, standard for iterative graph
+    algorithms; a fixed iteration count (the old behavior, kept as
+    fixed_iters for tests) under-converges on deep cluster chains.
+    """
+    doc_rep = (
+        buckets.groupBy("doc_id")
+        .agg(F.min("doc_id").alias("rep"))
+        .localCheckpoint()
+    )
+    for _ in range(fixed_iters if fixed_iters is not None else _PROP_MAX_ITERS):
+        bucket_rep = (
+            buckets.join(doc_rep, "doc_id")
+            .groupBy("bucket")
+            .agg(F.min("rep").alias("brep"))
+        )
+        # The changed-flag rides inside the checkpointed frame, so the
+        # convergence probe below is a cheap scan of materialized data,
+        # not a second join job over two maps.
+        new_rep = (
+            buckets.join(bucket_rep, "bucket")
+            .groupBy("doc_id")
+            .agg(F.min("brep").alias("rep"))
+            .join(doc_rep.withColumnRenamed("rep", "prev"), "doc_id")
+            .select(
+                "doc_id", "rep", (F.col("rep") != F.col("prev")).alias("chg")
+            )
+            .localCheckpoint()
+        )
+        doc_rep = new_rep.select("doc_id", "rep")
+        if fixed_iters is None and new_rep.where("chg").isEmpty():
+            break
+    return doc_rep
 
 
 @query("dedup_near")
@@ -186,9 +231,10 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
          nested higher-order functions (no explode/groupBy shuffle)
       2. 8 bands × 4 rows → band-signature buckets (explode, 8 rows/doc)
       3. single-linkage clustering by hash-to-min label propagation over
-         the doc↔bucket bipartite graph (3 fixed iterations — each is a
-         groupBy min + join; deterministic; at true scale you iterate to
-         a convergence check instead of a fixed count)
+         the doc↔bucket bipartite graph, iterated to convergence (a
+         changed-rows isEmpty check per pass, capped at 20 — deep
+         cluster chains under-converge on any fixed count; see
+         _propagate_min_labels)
 
     Rows-only check: iterative propagation has no single-statement SQL
     equivalent; dedup_near_exact is the hash-checked correctness anchor
@@ -221,22 +267,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     # Hash-to-min: rep(doc) = min doc_id reachable through shared buckets.
-    # With buckets checkpointed, doc_rep_{i+1} references doc_rep_i once,
-    # so lineage grows linearly — the whole propagation can stay one lazy
-    # job (fewer scheduling points than checkpointing every iteration; at
-    # cluster scale with many iterations, persist every k-th instead).
-    doc_rep = buckets.groupBy("doc_id").agg(F.min("doc_id").alias("rep"))
-    for _ in range(3):
-        bucket_rep = (
-            buckets.join(doc_rep, "doc_id")
-            .groupBy("bucket")
-            .agg(F.min("rep").alias("brep"))
-        )
-        doc_rep = (
-            buckets.join(bucket_rep, "bucket")
-            .groupBy("doc_id")
-            .agg(F.min("brep").alias("rep"))
-        )
+    doc_rep = _propagate_min_labels(buckets)
     return doc_rep.select("doc_id", F.col("rep").alias("rep_id"))
 
 
