@@ -15,7 +15,11 @@ free on the directory layout.
 
 from __future__ import annotations
 
+import functools
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -71,6 +75,101 @@ def write_bucketed_table(
         .option("path", path)
         .saveAsTable(table)
     )
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """INSERT OVERWRITE, dynamic mode: replace ONLY the partitions the
+    incoming frame touches, leave every other partition directory alone.
+
+    The day-2 lakehouse operation: a daily re-run replaces yesterday's
+    date partition without rewriting (or deleting!) the other 3 years of
+    partitions, which is exactly what static overwrite mode would do.
+    Set per-write via the partitionOverwriteMode option, not globally —
+    a global conf flip silently changes unrelated writes' semantics.
+    """
+    (
+        df.repartition(*partition_cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    partition_cols: list[str],
+) -> None:
+    """MERGE/upsert into a partitioned Parquet table via partition rewrite.
+
+    Parquet files are immutable, so upsert = rewrite the affected
+    partitions: (1) the updates' distinct partition values prune the
+    base read to just those directories, (2) base rows whose key appears
+    in the updates are anti-joined away, (3) survivors + updates are
+    written back with dynamic partition overwrite — untouched partitions
+    never move. This is the Parquet-level equivalent of Delta/Iceberg
+    MERGE; at 100 TB the rewrite cost is proportional to the touched
+    partitions, not the table, which is why partition design (date,
+    tenant) matters more than anything else for mutation-heavy tables.
+
+    The merged frame is materialized (localCheckpoint) before the write
+    because the write overwrites the very directories being read; on a
+    cluster this is a staging-directory write + metastore location swap.
+    """
+    touched = updates.select(*partition_cols).distinct().collect()
+    part_pred = functools.reduce(
+        lambda a, b: a | b,
+        [
+            functools.reduce(
+                lambda a, b: a & b,
+                [F.col(c) == F.lit(r[c]) for c in partition_cols],
+            )
+            for r in touched
+        ],
+    )
+    base = spark.read.parquet(path).filter(part_pred)
+    merged = (
+        base.join(updates.select(key).distinct(), key, "left_anti")
+        .unionByName(updates)
+        .localCheckpoint()
+    )
+    overwrite_partitions_dynamic(merged, path, partition_cols)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    n_files: int = 1,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Small-file compaction: rewrite a Parquet dataset into few files.
+
+    Streaming/incremental ingest leaves thousands of KB-sized files;
+    scan throughput dies on open/seek overhead long before bytes matter.
+    Rewrite into a staging directory (repartition to the target file
+    count — or by partition column so each directory compacts to one
+    file per writing task), then swap directories. The local-fs swap
+    stands in for the metastore/manifest pointer swap a cluster
+    deployment uses; readers never see a half-written table.
+    """
+    df = spark.read.parquet(path)
+    staged = (
+        df.repartition(*partition_cols)
+        if partition_cols
+        else df.repartition(n_files)
+    )
+    tmp = path.rstrip("/") + ".compact-staging"
+    writer = staged.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
 
 
 def read_json_permissive(

@@ -1,0 +1,91 @@
+"""Lakehouse table-maintenance ops (SURVEY §2-A addendum): dynamic
+partition overwrite, upsert-by-key via partition rewrite, small-file
+compaction. The 100 TB property each test pins: work (and risk) scale
+with the partitions touched, never with the whole table.
+"""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.sources.sinks import (
+    compact_parquet,
+    overwrite_partitions_dynamic,
+    upsert_by_key,
+)
+
+
+def _base_df(spark):
+    rows = [(k, "A" if k <= 5 else "B", k * 10.0) for k in range(1, 11)]
+    return spark.createDataFrame(rows, "id long, part string, val double")
+
+
+def _collect(spark, path):
+    return {
+        (r["id"], r["part"], r["val"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def _files(path, pattern="**/*.parquet"):
+    return sorted(glob.glob(f"{path}/{pattern}", recursive=True))
+
+
+def test_dynamic_overwrite_replaces_only_touched_partition(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    overwrite_partitions_dynamic(_base_df(spark), path, ["part"])
+    a_files_before = _files(path + "/part=A")
+    redo_b = spark.createDataFrame(
+        [(99, "B", 999.0)], "id long, part string, val double"
+    )
+    overwrite_partitions_dynamic(redo_b, path, ["part"])
+    got = _collect(spark, path)
+    # partition A intact (same rows AND same untouched files), B replaced
+    assert {(k, "A", k * 10.0) for k in range(1, 6)} <= got
+    assert (99, "B", 999.0) in got
+    assert not any(r[1] == "B" and r[0] != 99 for r in got)
+    assert _files(path + "/part=A") == a_files_before
+
+
+def test_upsert_by_key_merges_and_prunes(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    overwrite_partitions_dynamic(_base_df(spark), path, ["part"])
+    a_files_before = _files(path + "/part=A")
+    updates = spark.createDataFrame(
+        [(7, "B", -7.0), (11, "B", 111.0)], "id long, part string, val double"
+    )
+    upsert_by_key(spark, path, updates, "id", ["part"])
+    got = _collect(spark, path)
+    expect = {(k, "A", k * 10.0) for k in range(1, 6)}
+    expect |= {(k, "B", k * 10.0) for k in (6, 8, 9, 10)}
+    expect |= {(7, "B", -7.0), (11, "B", 111.0)}
+    assert got == expect
+    # partition A was never touched: pruning proof at the file level
+    assert _files(path + "/part=A") == a_files_before
+
+
+def test_compact_parquet_reduces_files_keeps_content(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(16).write.parquet(path)
+    before = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert len(_files(path)) == 16
+    compact_parquet(spark, path, n_files=2)
+    assert len(_files(path)) == 2
+    assert {
+        (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
+    } == before
+
+
+def test_compact_partitioned_one_file_per_partition(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = _base_df(spark).repartition(8)
+    df.write.partitionBy("part").parquet(path)
+    assert len(_files(path)) > 2
+    before = _collect(spark, path)
+    compact_parquet(spark, path, partition_cols=["part"])
+    assert len(_files(path + "/part=A")) == 1
+    assert len(_files(path + "/part=B")) == 1
+    assert _collect(spark, path) == before
