@@ -187,7 +187,15 @@ FROM orders
 """,
 )
 def win_range_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-based RANGE frame (±1000 price band) + ntile quartiles."""
+    """Value-based RANGE frame (±1000 price band) + ntile quartiles.
+
+    SKEW HAZARD at scale: the window partitions by o_orderstatus (3
+    distinct values), so each partition is a third of the table sorted
+    in a single task — fine at test SFs, a straggler/OOM at 100 TB.
+    win_ntile_twophase below computes the identical result with
+    range-partitioned two-phase ranking (no per-status single-task
+    sort); this variant stays as the naive-window reference point.
+    """
     orders = load(spark, sf_dir, "orders")
     w_range = (
         Window.partitionBy("o_orderstatus")
@@ -203,6 +211,108 @@ def win_range_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.count(F.lit(1)).over(w_range).alias("n_in_band"),
         F.ntile(4).over(w_ntile).alias("quartile"),
+    )
+
+
+@query(
+    "win_ntile_twophase",
+    """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+  count(*) OVER (
+    PARTITION BY o_orderstatus ORDER BY o_totalprice
+    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_band,
+  ntile(4) OVER (
+    PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile
+FROM orders
+""",
+)
+def win_ntile_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """win_range_ntile semantics without the 3-value-partition-key sort.
+
+    The de-skewed 100 TB plan (same oracle as win_range_ntile — results
+    are identical, only the physical strategy changes):
+
+    1. repartitionByRange on (status, price, orderkey): the range
+       partitioner's sampling splits hot statuses across many
+       partitions, so no task ever sorts more than ~n/64 rows.
+    2. Per-(partition, status) counts roll into running offsets (a
+       window over the tiny counts table), and each row's global
+       per-status rank = offset + row_number within its bounded range
+       partition — classic two-phase distributed ranking.
+    3. ntile(4) is computed arithmetically from (rank, status total)
+       with exact SQL NTILE semantics (first n%4 tiles get the extra
+       row).
+    4. The RANGE band count aggregates to one row per distinct (status,
+       price) FIRST (pennies-level prices: orders of magnitude smaller),
+       runs the ±1000 band as a windowed sum over that compact table,
+       and joins back — the same two-phase trick applies recursively if
+       even the distinct-price table were skewed.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    ranged = orders.repartitionByRange(
+        n_parts, "o_orderstatus", "o_totalprice", "o_orderkey"
+    ).withColumn("pid", F.spark_partition_id())
+
+    sizes = ranged.groupBy("pid", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_off = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "pid",
+        "o_orderstatus",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+    )
+    totals = sizes.groupBy("o_orderstatus").agg(
+        F.sum("cnt").alias("n_status")
+    )
+
+    w_local = Window.partitionBy("pid", "o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    rn = F.row_number().over(w_local) + F.col("off")
+    q = F.col("n_status") - (F.col("n_status") % 4)  # 4 * (n div 4)
+    r = F.col("n_status") % 4
+    big = (q / 4 + 1).cast("long")  # size of the first r tiles
+    quartile = F.when(
+        F.col("rn") <= r * big, F.ceil(F.col("rn") / big)
+    ).otherwise(
+        r + F.ceil((F.col("rn") - r * big) / (q / 4).cast("long"))
+    )
+
+    prices = orders.groupBy("o_orderstatus", "o_totalprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_band = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 0)
+    )
+    band = prices.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.sum("c").over(w_band).alias("n_in_band"),
+    )
+
+    return (
+        ranged.join(F.broadcast(offsets), ["pid", "o_orderstatus"])
+        .join(F.broadcast(totals), "o_orderstatus")
+        .withColumn("rn", rn)
+        .withColumn("quartile", quartile.cast("int"))
+        .join(band, ["o_orderstatus", "o_totalprice"])
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "n_in_band",
+            "quartile",
+        )
     )
 
 
