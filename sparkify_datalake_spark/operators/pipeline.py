@@ -1,0 +1,198 @@
+"""Training-data pipeline ops: deterministic sampling/splits, benchmark
+contamination checks, Gopher-style quality gates (SURVEY §2-I-bis family;
+north-star additions per BASELINE.json:6 — the day-2 surface of a corpus
+pipeline once dedup/quality basics exist).
+
+Scale notes (100 TB):
+- Sampling/splitting hashes each row independently (md5 — the one hash
+  both engines share bit-for-bit) — map-side only, no shuffle, stable
+  under reruns/backfills because membership depends on the key alone,
+  never on partitioning or row order. That reproducibility is the whole
+  point: Spark's df.sample() is seed×partitioning-dependent and would
+  resample under AQE/repartition changes.
+- Contamination: the eval-set shingle list is tiny next to the corpus →
+  broadcast it; the corpus side streams shingles through a map + one
+  partial-aggregated groupBy(doc_id). Never join corpus×corpus.
+- Quality gates are pure per-row expressions (whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+# First two hex chars of md5(key): 256 equal-probability buckets shared
+# bit-for-bit by Spark and DuckDB (both emit lowercase hex).
+_MD5_BUCKET_SPARK = "substring(md5(cast(doc_id AS string)), 1, 2)"
+_MD5_BUCKET_SQL = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+
+@query(
+    "sample_hash_pct",
+    f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_MD5_BUCKET_SQL} <= '19'
+""",
+)
+def sample_hash_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample via md5 bucketing.
+
+    Hex buckets '00'..'19' = 26/256 ≈ 10.2%. Unlike df.sample(seed),
+    membership is a pure function of doc_id: stable across reruns,
+    repartitioning, AQE re-plans, and engine versions — the property a
+    100 TB pipeline needs so a sampled eval set doesn't drift between
+    ingest runs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.expr(_MD5_BUCKET_SPARK) <= "19").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "split_train_valid_test",
+    f"""
+SELECT doc_id,
+  CASE WHEN {_MD5_BUCKET_SQL} <= 'cb' THEN 'train'
+       WHEN {_MD5_BUCKET_SQL} <= 'e5' THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents
+""",
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/valid/test assignment by md5 bucket.
+
+    Bucket boundaries: '00'-'cb' (204/256 ≈ 79.7%) → train, 'cc'-'e5'
+    (26/256 ≈ 10.2%) → valid, rest → test. Disjoint and exhaustive by
+    construction, leak-proof under re-ingest (a doc can never migrate
+    between splits), and embarrassingly parallel — no shuffle, no state.
+    """
+    docs = load(spark, sf_dir, "documents")
+    b = F.expr(_MD5_BUCKET_SPARK)
+    return docs.select(
+        "doc_id",
+        F.when(b <= "cb", "train")
+        .when(b <= "e5", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "text_contamination",
+    """
+WITH sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(
+      range(1, len(string_split(lower(text),' ')) - 1),
+      i -> concat_ws(' ', string_split(lower(text),' ')[i],
+                     string_split(lower(text),' ')[i+1],
+                     string_split(lower(text),' ')[i+2])))) AS s
+  FROM documents
+  WHERE len(string_split(lower(text),' ')) >= 3
+),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
+FROM sh c JOIN ev ON c.s = ev.s
+WHERE c.doc_id % 20 <> 0
+GROUP BY c.doc_id
+""",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: corpus docs sharing a word 3-gram
+    with the held-out eval set (docs with doc_id % 20 == 0 stand in for
+    an external benchmark).
+
+    The decontamination pass every serious training corpus runs: n-gram
+    overlap against eval benchmarks, flagging docs for removal. Shape:
+    eval shingles are DISTINCT'd small and broadcast; the corpus side is
+    one explode + broadcast-hash semi-match + partial-agg count per doc.
+    The corpus never self-joins, so cost is O(corpus shingles) — at
+    100 TB with real 8-13-grams the eval list stays a few million rows,
+    still broadcastable (or a bucketed join if not).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    shingles = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 3), i -> "
+                        "concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    ev = (
+        shingles.filter(F.col("doc_id") % 20 == 0).select("s").distinct()
+    )
+    return (
+        shingles.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+    )
+
+
+@query(
+    "text_gopher_rules",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_words,
+  round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+        / len(toks), 4) AS mean_word_len,
+  round(CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+             AS DOUBLE) / len(toks), 4) AS alpha_frac,
+  (len(toks) BETWEEN 5 AND 1000)
+    AND (CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+         / len(toks) BETWEEN 2 AND 10)
+    AND (CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+              AS DOUBLE) / len(toks) >= 0.8)
+    AS keep
+FROM t
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality gate per document.
+
+    Three of the classic repetition/shape filters, composed into a
+    boolean keep flag: word count in [5, 1000], mean word length in
+    [2, 10], fraction of purely-alphabetic words ≥ 0.8. All per-row
+    array expressions — whole-stage codegen, zero shuffles at any scale.
+    Thresholds follow the published Gopher rules adapted to this
+    synthetic corpus's ranges.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    toks = F.col("toks")
+    total_len = F.expr(
+        "aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)"
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    mean_len = total_len.cast("double") / F.size(toks)
+    alpha_frac = n_alpha.cast("double") / F.size(toks)
+    return base.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        (
+            F.size(toks).between(5, 1000)
+            & mean_len.between(2, 10)
+            & (alpha_frac >= 0.8)
+        ).alias("keep"),
+    )
