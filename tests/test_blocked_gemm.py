@@ -50,6 +50,14 @@ def test_small_blocks_make_bounded_multi_chunk_tasks(spark, sf_dir):
     assert n_tasks > emb.select("label").distinct().count()
 
 
+def test_pq_build_trains_once_per_corpus(spark, sf_dir):
+    sim._PQ_CODEBOOKS.clear()
+    b1 = sim.pq_build(spark, sf_dir)
+    b2 = sim.pq_build(spark, sf_dir)
+    assert b1 is b2  # cached object, no retrain
+    assert b1.shape == (sim._PQ_M, sim._PQ_K, 64 // sim._PQ_M)
+
+
 def test_ivf_build_trains_once_per_corpus(spark, sf_dir, monkeypatch):
     calls = {"n": 0}
     real = sim._kmeans_centroids

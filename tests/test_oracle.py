@@ -60,3 +60,17 @@ def test_sim_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     ]
     assert len(ivf) == 10
     assert len(set(ivf) & set(brute)) >= 7
+
+
+def test_sim_pq_topk_recall_vs_brute_force(spark, sf_dir):
+    """PQ+ADC with exact re-rank must recover most of the exact top-10
+    (deterministic: fixed sample init, fixed iterations, float64)."""
+    from sparkify_datalake_spark.registry import queries
+
+    qs = queries()
+    pq = [r["vec_id"] for r in qs["sim_pq_topk"](spark, sf_dir).collect()]
+    brute = [
+        r["vec_id"] for r in qs["sim_cosine_topk"](spark, sf_dir).collect()
+    ]
+    assert len(pq) == 10
+    assert len(set(pq) & set(brute)) >= 7
