@@ -173,3 +173,27 @@ def click_purchase_join_stream(
             <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
         ),
     ).select("p_user", "purchase_id", "click_id", "purchase_ts", "click_ts")
+
+
+def stream_static_enrich(
+    spark: SparkSession, src_path: str, dim: DataFrame
+) -> DataFrame:
+    """Stream ⋈ static-dimension enrichment via broadcast hash join.
+
+    The most common production streaming topology: an unbounded fact
+    stream joined to a small static dimension (user → segment). The
+    static side is broadcast to every task — NO state store involved
+    (unlike stream-stream joins): each micro-batch hash-probes the
+    broadcast table, so the join adds zero streaming state and the
+    dimension can be swapped by restarting the query. At 100 TB/day the
+    same plan holds as long as the dimension fits the broadcast
+    threshold; beyond that it becomes a stream-static shuffled join.
+    """
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    return stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "segment"
+    )

@@ -183,3 +183,45 @@ def test_stream_stream_join_with_time_bound(spark, tmp_path):
         assert pairs == [(100, 1)], f"wrong join pairs: {pairs}"
     finally:
         query.stop()
+
+
+def test_stream_static_broadcast_enrich(spark, tmp_path):
+    """Events enrich against a broadcast static dimension; unmatched
+    users drop (inner join), and the plan carries no streaming state."""
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+
+    dim = spark.createDataFrame(
+        [(10, "power"), (11, "casual")], "user_id long, segment string"
+    )
+    runtime.write_replay_batch(
+        spark,
+        src,
+        [
+            (1, _ts(1), 10, "view"),
+            (2, _ts(2), 11, "click"),
+            (3, _ts(3), 99, "view"),  # no dimension row → dropped
+        ],
+        "b1",
+    )
+    query = runtime.run_to_memory(
+        runtime.stream_static_enrich(spark, src, dim),
+        "enriched",
+        "append",
+        chk,
+    )
+    try:
+        query.processAllAvailable()
+        rows = {
+            (r["event_id"], r["segment"])
+            for r in spark.sql("SELECT * FROM enriched").collect()
+        }
+        assert rows == {(1, "power"), (2, "casual")}
+        # broadcast, stateless: no state-store rows in the progress metrics
+        progress = query.lastProgress
+        assert all(
+            (s.get("numRowsTotal") or 0) == 0
+            for s in progress.get("stateOperators", [])
+        )
+    finally:
+        query.stop()
