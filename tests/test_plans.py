@@ -80,3 +80,25 @@ def test_q3_composite_plan_shape(spark):
     assert "partial_" in plan
     # all three scans carry pushed filters
     assert plan.count("PushedFilters: [") >= 3
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    # the eval shingle set must arrive broadcast; the corpus side must
+    # never participate in a shuffled (sort-merge) self-join
+    plan = _plan(spark, "text_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sampling_is_map_side_only(spark):
+    # hash sampling/splitting must not shuffle: no Exchange in the plan
+    for name in ("sample_hash_pct", "split_train_valid_test"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_two_phase_ntile_has_no_status_only_window_sort(spark):
+    # the de-skewed variant must range-partition before its sorts: every
+    # row-level window partitions by (pid, status), never status alone
+    plan = _plan(spark, "win_ntile_twophase")
+    assert "REPARTITION_BY_RANGE" in plan or "rangepartitioning" in plan.lower()
