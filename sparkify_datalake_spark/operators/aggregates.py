@@ -433,3 +433,39 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_price_covar"
         ),
     )
+
+
+@query(
+    "agg_histogram",
+    """
+SELECT CAST(least(floor(o_totalprice / 60000), 9) AS INT) AS bin,
+  CAST(least(floor(o_totalprice / 60000), 9) * 60000 AS DOUBLE) AS bin_lo,
+  count(*) AS n,
+  round(min(o_totalprice), 2) AS bin_min,
+  round(max(o_totalprice), 2) AS bin_max
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order prices (10 fixed 60k-wide bins,
+    top bin open-ended).
+
+    The profiling primitive behind every data-quality dashboard. Fixed
+    bin edges keep it one partial→final hash aggregate — a single pass,
+    no pre-scan for min/max; at 100 TB a two-pass variant (scan bounds,
+    then bin) or t-digest replaces fixed edges, but the aggregation
+    shape is identical.
+    """
+    orders = load(spark, sf_dir, "orders")
+    bin_c = F.least(
+        F.floor(F.col("o_totalprice") / 60000), F.lit(9)
+    ).cast("int")
+    return orders.groupBy(
+        bin_c.alias("bin"),
+        (bin_c * 60000).cast("double").alias("bin_lo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+        F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+    )

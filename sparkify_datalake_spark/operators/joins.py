@@ -58,6 +58,45 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
 
 
+_JOIN_SALTS = 16
+
+
+@query(
+    "join_skew_salted",
+    """
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join — identical result to join_inner (same oracle),
+    skew-proof physical shape.
+
+    The skew playbook's join half (agg_salted_twophase is the agg half):
+    the fact side gets a deterministic salt pmod(xxhash64(o_orderkey), 16)
+    appended to its join key; the dimension side replicates 16× (explode
+    of the salt range). A key so hot it would stall one reducer now
+    spreads across 16 tasks — at 100 TB this (or AQE skew-join, which
+    only splits partitions, not single keys) is what keeps a
+    celebrity-key join from wedging the stage. Cost: 16× the (small)
+    dimension in the shuffle, zero effect on results — hash-checked
+    against the plain-join oracle.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALTS - 1)))
+    )
+    salted = orders.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_JOIN_SALTS))
+    )
+    return salted.join(
+        customer,
+        (salted.o_custkey == customer.c_custkey)
+        & (salted.salt == customer.salt),
+        "inner",
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+
+
 @query(
     "join_3way",
     f"""

@@ -1,0 +1,94 @@
+"""Time-series resampling operators (SURVEY §2 round-2 additions).
+
+Gap-filling + forward-fill is the canonical "make irregular events a
+regular series" op every metrics pipeline needs before joins against
+other regular series.
+
+Scale notes (100 TB): the grid explodes to (users × buckets) rows but
+each user's chain is independent — the window partitions by user, so it
+scales horizontally like every other entity-keyed window; the observed
+side is pre-aggregated per (user, bucket) before the join, so the join
+input is bounded by the grid, not the raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+
+@query(
+    "ts_resample_ffill",
+    """
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, ts, value
+  FROM events WHERE user_id < 50
+),
+obs AS (
+  SELECT user_id, h, count(*) AS n_events,
+    round(arg_max(value, ts), 6) AS last_value
+  FROM ev GROUP BY user_id, h
+),
+grid AS (
+  SELECT user_id,
+    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+  FROM ev GROUP BY user_id
+)
+SELECT g.user_id, g.h,
+  coalesce(o.n_events, 0) AS n_events,
+  last_value(o.last_value IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+""",
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of the event stream with forward-filled values.
+
+    Three stages, each scale-shaped: (1) observed hours pre-aggregate to
+    one row per (user, hour) — n_events plus the last value by event
+    time (max_by on the unique (ts) order, deterministic because
+    (user_id, ts) is unique in the fixtures); (2) each user's hour grid
+    generates from min to max observed hour (sequence + explode — no
+    driver loop); (3) a left join pins observations onto the grid and
+    last(ignorenulls) forward-fills gaps per user. Bounded to
+    user_id < 50 so the grid is fixture-sized at every SF.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("h"),
+            "ts",
+            "value",
+        )
+    )
+    obs = ev.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.expr("max_by(value, ts)"), 6).alias("last_value"),
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(obs, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("last_value", ignorenulls=True).over(w).alias("ffill_value"),
+    )
