@@ -543,9 +543,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codes fit in cluster memory and the search scans codes, not floats.
 
 _PQ_M = 8          # subspaces (64 dims → 8 per subspace)
-_PQ_K = 16         # centroids per subspace (4-bit codes)
-_PQ_TRAIN_N = 256  # training-sample size (FAISS-style sampled training)
-_PQ_RERANK = 50    # ADC candidates re-ranked exactly
+_PQ_K = 32         # centroids per subspace (5-bit codes)
+_PQ_TRAIN_N = 512  # training-sample size (FAISS-style sampled training)
+_PQ_RERANK = 200   # ADC candidates re-ranked exactly (recall-tested at
+                   # sf0.001/0.01; PQ at k=16 is coarse, so the refine
+                   # pool is deliberately generous — still ≪ corpus)
 _PQ_CODEBOOKS: dict[str, "object"] = {}
 
 
