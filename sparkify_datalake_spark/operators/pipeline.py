@@ -196,3 +196,94 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (alpha_frac >= 0.8)
         ).alias("keep"),
     )
+
+
+@query(
+    "text_pii_redact",
+    """
+SELECT doc_id,
+  regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+  len(regexp_extract_all(text, '[0-9]+')) AS n_redactions
+FROM documents
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based redaction pass (digit runs → <NUM> placeholder).
+
+    The privacy-scrub stage of a corpus pipeline: in production the
+    pattern set covers emails/phones/SSNs (same regexp_replace chain,
+    Java∩RE2-safe patterns per §7.2); the fixture corpus only carries
+    digit runs, which keeps the oracle meaningful. Pure per-row regex —
+    codegen, zero shuffles. n_redactions counts the matches for audit.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "<NUM>").alias("redacted"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias(
+            "n_redactions"
+        ),
+    )
+
+
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "doc_chunking",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+)
+SELECT doc_id, chunk_id,
+  (chunk_id * {_CHUNK_STRIDE}) AS start_tok,
+  array_to_string(
+    list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+               chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}), ' ') AS chunk_text,
+  least({_CHUNK_LEN}, len(toks) - chunk_id * {_CHUNK_STRIDE}) AS n_tokens
+FROM t, unnest(range(0,
+  greatest(1, CAST(ceil((len(toks) - {_CHUNK_LEN})
+                        / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1)
+)) AS u(chunk_id)
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (len 32, stride 24) per doc —
+    the standard pre-embedding segmentation of an ingestion pipeline.
+
+    Chunk count = ceil((n_tokens - len)/stride) + 1 (min 1), each chunk
+    projected as (start, joined text, actual token count). sequence +
+    explode keeps it one narrow stage: no shuffle, no UDF; at 100 TB
+    this is a map-side 1→k fan-out feeding the embedding kernel.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.size("toks") - _CHUNK_LEN) / F.lit(float(_CHUNK_STRIDE))
+        ).cast("long")
+        + 1,
+    )
+    return t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * _CHUNK_STRIDE).cast("long").alias("start_tok"),
+        F.array_join(
+            F.slice(
+                "toks", F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_LEN
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(_CHUNK_LEN),
+            F.size("toks") - F.col("chunk_id") * _CHUNK_STRIDE,
+        ).cast("long").alias("n_tokens"),
+    )

@@ -649,3 +649,88 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(content, " ").alias("content_tokens"),
         (F.size(toks) - F.size(content)).alias("n_removed"),
     )
+
+
+@query("dedup_near_verified")
+def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with exact verification: MinHash-LSH
+    candidates → exact-Jaccard filter (≥ 0.6) → connected components.
+
+    The full production dedup pipeline. dedup_near clusters on bucket
+    collision alone (recall-oriented: banding makes false positives
+    cheap to tolerate); this variant adds the verify stage every
+    web-scale dedup runs — candidate pairs from the bands are checked
+    against exact token-set Jaccard before any merge, so false-positive
+    bucket collisions can no longer glue unrelated docs into one
+    cluster. Cost stays O(n · tokens) + O(candidate pairs): the
+    all-pairs O(n²) never happens; only banded collisions pay the exact
+    check. Singletons survive via self-edges. Rows-only (iterative);
+    pytest asserts consistency with the exact-Jaccard anchor.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sig = F.expr(
+        f"transform(sequence(0, {_N_HASHES - 1}), i -> "
+        "array_min(transform(toks, t -> xxhash64(t, i))))"
+    )
+    bands = F.expr(
+        f"transform(sequence(0, {_BANDS - 1}), b -> "
+        f"xxhash64(b, slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND})))"
+    )
+    toksets = docs.repartition(32).select(
+        "doc_id", F.array_distinct(_tokens()).alias("toks")
+    )
+    buckets = (
+        toksets.select("doc_id", "toks", sig.alias("sig"))
+        .select("doc_id", F.explode(bands).alias("bucket"))
+        .localCheckpoint()
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = toksets.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+    )
+    tb = toksets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")).cast(
+        "double"
+    ) / F.size(F.array_union("toks_a", "toks_b"))
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(F.round(jac, 6) >= 0.6)
+        .select("doc_a", "doc_b")
+    )
+    # verified edges + self-edges (singletons) feed the same hash-to-min
+    # propagation as dedup_near; edge id doubles as the "bucket"
+    edges = (
+        verified.select(
+            F.col("doc_a").alias("doc_id"),
+            F.concat_ws("#", "doc_a", "doc_b").alias("bucket"),
+        )
+        .union(
+            verified.select(
+                F.col("doc_b").alias("doc_id"),
+                F.concat_ws("#", "doc_a", "doc_b").alias("bucket"),
+            )
+        )
+        .union(
+            toksets.select(
+                "doc_id", F.concat_ws("#", F.lit("self"), "doc_id").alias("bucket")
+            )
+        )
+        .localCheckpoint()
+    )
+    rep = _propagate_min_labels(edges)
+    return rep.select("doc_id", F.col("rep").alias("rep_id"))

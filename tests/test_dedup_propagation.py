@@ -50,3 +50,30 @@ def test_propagation_keeps_disjoint_clusters_apart(spark):
     reps = {r["doc_id"]: r["rep"] for r in _propagate_min_labels(buckets).collect()}
     assert all(reps[i] == 0 for i in range(4))
     assert all(reps[i] == 100 for i in range(100, 104))
+
+
+def test_dedup_near_verified_refines_lsh_clusters(spark, sf_dir):
+    """Verified edges are a subset of LSH-bucket edges, so the verified
+    clustering must refine dedup_near's (never merge across its
+    clusters), and converged reps must be per-component minima."""
+    from collections import defaultdict
+
+    from sparkify_datalake_spark.registry import queries
+
+    qs = queries()
+    ver = {
+        r["doc_id"]: r["rep_id"]
+        for r in qs["dedup_near_verified"](spark, sf_dir).collect()
+    }
+    lsh = {
+        r["doc_id"]: r["rep_id"]
+        for r in qs["dedup_near"](spark, sf_dir).collect()
+    }
+    assert set(ver) == set(lsh)
+    assert all(rep <= d for d, rep in ver.items())
+    assert all(ver[rep] == rep for rep in ver.values())  # reps are fixpoints
+    groups = defaultdict(list)
+    for d, rep in ver.items():
+        groups[rep].append(d)
+    for ds in groups.values():
+        assert len({lsh[d] for d in ds}) == 1, "verified merged across LSH clusters"
