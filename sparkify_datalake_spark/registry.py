@@ -52,6 +52,7 @@ def _load_all_modules() -> None:
     import sparkify_datalake_spark.operators.multimodal  # noqa: F401
     import sparkify_datalake_spark.operators.pipeline  # noqa: F401
     import sparkify_datalake_spark.operators.timeseries  # noqa: F401
+    import sparkify_datalake_spark.operators.graph  # noqa: F401
     import sparkify_datalake_spark.functions.scalar  # noqa: F401
     import sparkify_datalake_spark.functions.udfs  # noqa: F401
     import sparkify_datalake_spark.plans.composite  # noqa: F401

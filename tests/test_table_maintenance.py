@@ -89,3 +89,48 @@ def test_compact_partitioned_one_file_per_partition(spark, tmp_path):
     assert len(_files(path + "/part=A")) == 1
     assert len(_files(path + "/part=B")) == 1
     assert _collect(spark, path) == before
+
+
+def test_streaming_foreachbatch_upsert_ingest(spark, tmp_path):
+    """Incremental ingest end-to-end: a file-source stream drives
+    foreachBatch(upsert_by_key) into a partitioned Parquet table — the
+    micro-batch CDC topology (at scale: Kafka source, same sink logic)."""
+    table = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    schema = "id long, part string, val double"
+
+    overwrite_partitions_dynamic(_base_df(spark), table, ["part"])
+
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    updates = spark.createDataFrame(
+        [(3, "A", -3.0), (12, "B", 120.0)], schema
+    )
+    updates.coalesce(1).write.mode("append").parquet(src)
+
+    def apply_batch(batch_df, _batch_id):
+        upsert_by_key(
+            batch_df.sparkSession, table, batch_df, "id", ["part"]
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _collect(spark, table)
+    expect = {(k, "A", k * 10.0) for k in (1, 2, 4, 5)}
+    expect |= {(3, "A", -3.0)}
+    expect |= {(k, "B", k * 10.0) for k in range(6, 11)}
+    expect |= {(12, "B", 120.0)}
+    assert got == expect
