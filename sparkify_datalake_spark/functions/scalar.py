@@ -269,14 +269,17 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
             "first_elem"
         ),
-        F.array_join(
-            F.transform(
-                F.slice("embedding", 1, 3),
-                lambda x: F.round(x.cast("double"), 4)
-                .cast("decimal(14,4)")
-                .cast("string"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.slice("embedding", 1, 3),
+                    lambda x: F.round(x.cast("double"), 4)
+                    .cast("decimal(14,4)")
+                    .cast("string"),
+                ),
+                ",",
             ),
-            ",",
+            F.lit(""),
         ).alias("head3"),
         F.round(
             F.aggregate(
@@ -423,24 +426,33 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_toks = F.split(F.col("p_brand"), "#")
     return part.select(
         "p_partkey",
-        F.array_join(
-            F.sort_array(
-                F.array_distinct(F.array_intersect(name_toks, brand_toks))
+        F.coalesce(
+            F.array_join(
+                F.sort_array(
+                    F.array_distinct(F.array_intersect(name_toks, brand_toks))
+                ),
+                ",",
             ),
-            ",",
+            F.lit(""),
         ).alias("common"),
-        F.array_join(
-            F.sort_array(
-                F.array_distinct(F.array_union(name_toks, brand_toks))
+        F.coalesce(
+            F.array_join(
+                F.sort_array(
+                    F.array_distinct(F.array_union(name_toks, brand_toks))
+                ),
+                ",",
             ),
-            ",",
+            F.lit(""),
         ).alias("united"),
-        F.array_join(
-            F.sort_array(
-                F.filter(
-                    name_toks, lambda t: ~F.array_contains(brand_toks, t)
-                )
+        F.coalesce(
+            F.array_join(
+                F.sort_array(
+                    F.filter(
+                        name_toks, lambda t: ~F.array_contains(brand_toks, t)
+                    )
+                ),
+                ",",
             ),
-            ",",
+            F.lit(""),
         ).alias("name_only"),
     )

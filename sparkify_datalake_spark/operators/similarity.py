@@ -199,20 +199,32 @@ def _threshold_pairs_frame(
     import pandas as pd
 
     def _block_sims(pdf):
+        # hash-chunking does not guarantee every chunk is non-empty: a
+        # cross-chunk task can arrive with one side missing — skip it
+        # (np.stack on an empty selection would crash the job)
         a = pdf[pdf["side"] == 0]
+        if len(a) == 0:
+            return None
         ids_a = a["vec_id"].to_numpy()
         xa = np.stack(a["embedding"].to_numpy()).astype(np.float64)
         na = np.sqrt((xa * xa).sum(axis=1))
         if bool((pdf["ci"] == pdf["cj"]).iloc[0]):
             return ids_a, ids_a, (xa @ xa.T) / np.outer(na, na), True
         b = pdf[pdf["side"] == 1]
+        if len(b) == 0:
+            return None
         ids_b = b["vec_id"].to_numpy()
         xb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
         nb = np.sqrt((xb * xb).sum(axis=1))
         return ids_a, ids_b, (xa @ xb.T) / np.outer(na, nb), False
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids_a, ids_b, sims, same = _block_sims(pdf)
+        sims_out = _block_sims(pdf)
+        if sims_out is None:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "label": [], "cos_sim": []}
+            )
+        ids_a, ids_b, sims, same = sims_out
         if same:
             iu, ju = np.triu_indices(len(ids_a), k=1)
         else:
@@ -331,20 +343,30 @@ def _dedup_embed_frame(
     tau = _EMBED_DUP_TAU
 
     def _block_sims(pdf):
+        # hash-chunking does not guarantee every chunk is non-empty: a
+        # cross-chunk task can arrive with one side missing — skip it
+        # (np.stack on an empty selection would crash the job)
         a = pdf[pdf["side"] == 0]
+        if len(a) == 0:
+            return None
         ids_a = a["vec_id"].to_numpy()
         xa = np.stack(a["embedding"].to_numpy()).astype(np.float64)
         na = np.sqrt((xa * xa).sum(axis=1))
         if bool((pdf["ci"] == pdf["cj"]).iloc[0]):
             return ids_a, ids_a, (xa @ xa.T) / np.outer(na, na), True
         b = pdf[pdf["side"] == 1]
+        if len(b) == 0:
+            return None
         ids_b = b["vec_id"].to_numpy()
         xb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
         nb = np.sqrt((xb * xb).sum(axis=1))
         return ids_a, ids_b, (xa @ xb.T) / np.outer(na, nb), False
 
     def candidates(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids_a, ids_b, sims, same = _block_sims(pdf)
+        sims_out = _block_sims(pdf)
+        if sims_out is None:
+            return pd.DataFrame({"vec_id": [], "cand": []})
+        ids_a, ids_b, sims, same = sims_out
         neigh = np.round(sims, 6) >= tau
         if same:
             # diagonal is cos(v,v)=1 ≥ τ, so every row has ≥1 neighbor
@@ -539,15 +561,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the compression path that complements
 # LSH (bucketing) and IVF (partition pruning): 64-dim float vectors
-# compress to _PQ_M uint8 codes (8 bytes vs 256), so a 100 TB corpus's
-# codes fit in cluster memory and the search scans codes, not floats.
+# compress to _PQ_M (8) small subspace codes — 5 bits each with
+# _PQ_K=32, 8 bytes/vector stored as uint8 vs 256 bytes of floats — so a
+# 100 TB corpus's codes fit in cluster memory and the search scans
+# codes, not floats.
 
 _PQ_M = 8          # subspaces (64 dims → 8 per subspace)
 _PQ_K = 32         # centroids per subspace (5-bit codes)
 _PQ_TRAIN_N = 512  # training-sample size (FAISS-style sampled training)
 _PQ_RERANK = 200   # ADC candidates re-ranked exactly (recall-tested at
-                   # sf0.001/0.01; PQ at k=16 is coarse, so the refine
-                   # pool is deliberately generous — still ≪ corpus)
+                   # sf0.001/0.01/0.1; PQ at k=32 is still coarse, so
+                   # the refine pool is deliberately generous — ≪ corpus)
 _PQ_CODEBOOKS: dict[str, "object"] = {}
 
 
@@ -555,11 +579,12 @@ def pq_build(spark: SparkSession, sf_dir: str, force: bool = False):
     """Train (or fetch the cached) PQ codebooks for a corpus.
 
     Codebooks train driver-side on a fixed deterministic sample
-    (vec_id < 256 — the standard FAISS practice: PQ training needs a
-    bounded sample, not the corpus; the sample is _PQ_TRAIN_N × 64
-    floats = kilobytes). Per subspace: Lloyd's k-means, k=16, fixed
-    init (first k sample rows), fixed 10 iterations, float64 — fully
-    deterministic. Returns array of shape (_PQ_M, _PQ_K, dim/_PQ_M).
+    (vec_id < _PQ_TRAIN_N — the standard FAISS practice: PQ training
+    needs a bounded sample, not the corpus; the sample is
+    _PQ_TRAIN_N × 64 floats = kilobytes). Per subspace: Lloyd's
+    k-means, k = _PQ_K, fixed init (first k sample rows), fixed 10
+    iterations, float64 — fully deterministic. Returns array of shape
+    (_PQ_M, _PQ_K, dim/_PQ_M).
     """
     import numpy as np
 
@@ -595,13 +620,13 @@ def pq_build(spark: SparkSession, sf_dir: str, force: bool = False):
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for vec_id=0 via product quantization + exact re-rank.
 
-    Probe path: (1) encode every vector to _PQ_M 4-bit codes in one
+    Probe path: (1) encode every vector to _PQ_M 5-bit codes in one
     distributed Arrow pass (at 100 TB the codes are a persisted 8-byte
     column, written once at build time); (2) asymmetric distance
     computation — the query precomputes an (_PQ_M × _PQ_K) lookup table
     and each vector's approximate distance is M table lookups, no float
-    math; (3) the ADC top-_PQ_RERANK candidates re-rank by exact cosine
-    (FAISS's standard refine step), returning top-10. Rows-only: PQ
+    math; (3) the ADC top-_PQ_RERANK (200) candidates re-rank by exact
+    cosine (FAISS's standard refine step), returning top-10. Rows-only: PQ
     recall is approximate by design; the pytest recall bound vs the
     brute-force twin is the check.
     """

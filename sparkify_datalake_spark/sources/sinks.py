@@ -16,6 +16,7 @@ free on the directory layout.
 from __future__ import annotations
 
 import functools
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,6 +105,7 @@ def upsert_by_key(
     updates: DataFrame,
     key: str,
     partition_cols: list[str],
+    validate_partition_stability: bool = False,
 ) -> None:
     """MERGE/upsert into a partitioned Parquet table via partition rewrite.
 
@@ -112,16 +114,55 @@ def upsert_by_key(
     base read to just those directories, (2) base rows whose key appears
     in the updates are anti-joined away, (3) survivors + updates are
     written back with dynamic partition overwrite — untouched partitions
-    never move. This is the Parquet-level equivalent of Delta/Iceberg
-    MERGE; at 100 TB the rewrite cost is proportional to the touched
-    partitions, not the table, which is why partition design (date,
-    tenant) matters more than anything else for mutation-heavy tables.
+    never move. At 100 TB the rewrite cost is proportional to the
+    touched partitions, not the table, which is why partition design
+    (date, tenant) matters more than anything else for mutation-heavy
+    tables.
+
+    PRECONDITION (unlike a table-wide Delta/Iceberg MERGE): a key's
+    partition value must be stable — if an update moves key K from
+    partition A to B, the pruned read never sees K's old row in A and
+    it survives as a stale duplicate. That is the inherent contract of
+    partition-pruned upserts (date-keyed facts satisfy it naturally);
+    pass validate_partition_stability=True to pay one column-pruned
+    scan of the base (key + partition columns only) and fail fast on a
+    violation instead.
 
     The merged frame is materialized (localCheckpoint) before the write
     because the write overwrites the very directories being read; on a
     cluster this is a staging-directory write + metastore location swap.
     """
     touched = updates.select(*partition_cols).distinct().collect()
+    if not touched:
+        return  # empty micro-batch (CDC replay/recovery) → no-op
+    if validate_partition_stability:
+        moved = (
+            spark.read.parquet(path)
+            .select(key, *partition_cols)
+            .join(
+                updates.select(key, *partition_cols).withColumnsRenamed(
+                    {c: f"u_{c}" for c in partition_cols}
+                ),
+                key,
+            )
+            .filter(
+                functools.reduce(
+                    lambda a, b: a | b,
+                    [
+                        F.col(c) != F.col(f"u_{c}")
+                        for c in partition_cols
+                    ],
+                )
+            )
+        )
+        if not moved.isEmpty():
+            bad = [r[key] for r in moved.select(key).limit(5).collect()]
+            raise ValueError(
+                f"upsert_by_key: keys changed partition value "
+                f"(e.g. {bad}) — partition-pruned upsert would leave "
+                "stale duplicates; rewrite those keys' old partitions "
+                "explicitly instead"
+            )
     part_pred = functools.reduce(
         lambda a, b: a | b,
         [
@@ -153,9 +194,11 @@ def compact_parquet(
     scan throughput dies on open/seek overhead long before bytes matter.
     Rewrite into a staging directory (repartition to the target file
     count — or by partition column so each directory compacts to one
-    file per writing task), then swap directories. The local-fs swap
-    stands in for the metastore/manifest pointer swap a cluster
-    deployment uses; readers never see a half-written table.
+    file per writing task), then swap via two renames: the old table
+    moves aside, the staging dir renames in, the old copy deletes last.
+    A crash mid-swap leaves either the old or the new table at the
+    path (never neither, never half of each); the rename pair stands in
+    for the metastore/manifest pointer swap a cluster deployment uses.
     """
     df = spark.read.parquet(path)
     staged = (
@@ -164,12 +207,14 @@ def compact_parquet(
         else df.repartition(n_files)
     )
     tmp = path.rstrip("/") + ".compact-staging"
+    old = path.rstrip("/") + ".compact-old"
     writer = staged.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def read_json_permissive(

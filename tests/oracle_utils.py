@@ -92,7 +92,32 @@ def _value_kind(rows, idx):
     return kind, has_null
 
 
-def driver_trap_errors(schema, s_rows, s_cols, duck_pdf):
+# DuckDB type name → the pandas dtype kind its .df() conversion produces.
+# HUGEINT/UHUGEINT/DECIMAL land as float64 — THE trap: Spark int64 vs
+# oracle float64 breaks the driver's value hash.
+_DUCK_INT_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOAT_TYPES = {"FLOAT", "DOUBLE", "HUGEINT", "UHUGEINT"}
+
+
+def duck_pandas_kinds(con, sql) -> dict[str, str | None]:
+    """Column → pandas-kind mapping from DESCRIBE (binder-only: the
+    query is planned, not executed — no second full run per oracle)."""
+    kinds = {}
+    for name, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+        t = typ.upper()
+        if t in _DUCK_INT_TYPES:
+            kinds[name.lower()] = "int"
+        elif t in _DUCK_FLOAT_TYPES or t.startswith("DECIMAL"):
+            kinds[name.lower()] = "float"
+        else:
+            kinds[name.lower()] = None
+    return kinds
+
+
+def driver_trap_errors(schema, s_rows, s_cols, duck_kinds):
     """Mirror the grading driver's pandas-based hasher failure modes.
 
     1. Array/map/struct output columns crash the driver's canonicalizer
@@ -115,12 +140,6 @@ def driver_trap_errors(schema, s_rows, s_cols, duck_pdf):
             f"complex-typed output columns {complex_cols} would crash the "
             "driver hasher — project array_join/to_json strings instead"
         )
-    duck_kinds = {}
-    for c in duck_pdf.columns:
-        k = duck_pdf[c].dtype.kind
-        duck_kinds[c.lower()] = (
-            "int" if k in "iu" else "float" if k == "f" else None
-        )
     for i, c in enumerate(s_cols):
         s_kind, s_null = _value_kind(s_rows, i)
         d_kind = duck_kinds.get(c)
@@ -136,8 +155,8 @@ def driver_trap_errors(schema, s_rows, s_cols, duck_pdf):
 def compare(spark, con, fn, sql, sf_dir, name="query"):
     s_rows, s_cols, s_schema = run_spark(spark, fn, sf_dir)
     d_rows, d_cols = run_duck(con, sql)
-    duck_pdf = con.execute(sql).df()
-    errors = driver_trap_errors(s_schema, s_rows, s_cols, duck_pdf)
+    duck_kinds = duck_pandas_kinds(con, sql)
+    errors = driver_trap_errors(s_schema, s_rows, s_cols, duck_kinds)
     if sorted(s_cols) != sorted(d_cols):
         errors.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
     if len(s_rows) != len(d_rows):

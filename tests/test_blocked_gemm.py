@@ -72,3 +72,27 @@ def test_ivf_build_trains_once_per_corpus(spark, sf_dir, monkeypatch):
     sim.sim_ivf_topk(spark, sf_dir).collect()
     sim.sim_ivf_topk(spark, sf_dir).collect()
     assert calls["n"] == 1
+
+
+def test_block_kernels_survive_empty_chunk(spark):
+    """Hash chunking can leave a chunk empty; a cross-chunk task then
+    has one side missing and the kernel must skip it, not crash."""
+    from pyspark.sql import functions as F
+
+    # find three vec_ids in one label whose xxhash64 all land in chunk 0
+    # of a 2-chunk split — chunk 1 is then empty by construction
+    probe = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.xxhash64("id"), F.lit(2)).alias("c"),
+    )
+    ids = [r["vec_id"] for r in probe.where("c = 0").limit(3).collect()]
+    assert len(ids) == 3
+    emb = spark.createDataFrame(
+        [(i, 0, [float(i % 7) + 0.5] * 64) for i in ids],
+        "vec_id long, label int, embedding array<float>",
+    )
+    # block_size=2 → C=2 chunks; all rows hash to chunk 0
+    pairs = sim._threshold_pairs_frame(emb, block_size=2).collect()
+    assert len(pairs) >= 0  # executes without ValueError
+    surv = sim._dedup_embed_frame(emb, block_size=2).collect()
+    assert len(surv) == 3

@@ -134,3 +134,34 @@ def test_streaming_foreachbatch_upsert_ingest(spark, tmp_path):
     expect |= {(k, "B", k * 10.0) for k in range(6, 11)}
     expect |= {(12, "B", 120.0)}
     assert got == expect
+
+
+def test_upsert_empty_updates_is_noop(spark, tmp_path):
+    """An empty micro-batch (CDC replay/recovery) must not crash or
+    rewrite anything."""
+    path = str(tmp_path / "tbl")
+    overwrite_partitions_dynamic(_base_df(spark), path, ["part"])
+    before_rows = _collect(spark, path)
+    before_files = _files(path)
+    empty = spark.createDataFrame([], "id long, part string, val double")
+    upsert_by_key(spark, path, empty, "id", ["part"])
+    assert _collect(spark, path) == before_rows
+    assert _files(path) == before_files
+
+
+def test_upsert_detects_partition_moving_key(spark, tmp_path):
+    """A key changing partition value violates the pruned-upsert
+    contract; strict mode must fail fast instead of leaving a stale
+    duplicate."""
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    overwrite_partitions_dynamic(_base_df(spark), path, ["part"])
+    moving = spark.createDataFrame(
+        [(3, "B", 999.0)], "id long, part string, val double"  # 3 lives in A
+    )
+    with pytest.raises(ValueError, match="changed partition value"):
+        upsert_by_key(
+            spark, path, moving, "id", ["part"],
+            validate_partition_stability=True,
+        )
