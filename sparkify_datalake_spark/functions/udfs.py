@@ -14,8 +14,6 @@ batches per group.
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,26 +79,64 @@ GROUP BY event_type
 """,
 )
 def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-aggregate geometric mean via applyInPandas (UDAF shape).
+    """Grouped-aggregate geometric mean: partial log-sums + tiny merge.
+
+    Geomean is algebraic (exp of the mean log), so it aggregates in two
+    phases like any sum: (1) mapInPandas computes per-Arrow-batch
+    partials (event_type, fsum(ln value), count) — map-side, no
+    shuffle, each Python worker holds one ~10k-row batch; (2) the
+    partials (#batches × #event_types rows, kilobytes at any corpus
+    size) shuffle once and merge per group via applyInPandas — the
+    UDAF-surface demo, now on provably bounded input. The former shape
+    (groupBy("event_type").applyInPandas over raw rows) materialized a
+    third of the events table in ONE worker per key — the whole-group
+    OOM anti-pattern this engine rejects everywhere else.
 
     Geomean is defined over positive values — the value>0 guard matters
     at SFs where events carry zeros (DuckDB ln(0) errors; numpy returns
-    -inf). math.fsum gives an exactly-rounded log-sum, so the only
-    cross-engine noise is per-element libm ln (≤1 ulp) — far inside the
-    4dp rounding.
+    -inf). math.fsum gives an exactly-rounded log-sum per batch; the
+    merge fsums ~dozens of partials, so cross-engine noise stays
+    per-element libm ln (≤1 ulp) — far inside the 4dp rounding.
     """
-    import numpy as np
 
-    def geomean(pdf: pd.DataFrame) -> pd.DataFrame:
-        logs = np.log(pdf["value"].to_numpy())
-        gm = math.exp(math.fsum(logs) / len(logs))
+    def partial_logs(batches):
+        import math as m
+
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            frame = pd_.DataFrame(
+                {
+                    "event_type": pdf["event_type"],
+                    "lg": np.log(pdf["value"].to_numpy()),
+                }
+            )
+            rows = [
+                (k, m.fsum(grp["lg"]), len(grp))
+                for k, grp in frame.groupby("event_type")
+            ]
+            yield pd_.DataFrame(
+                rows, columns=["event_type", "log_sum", "cnt"]
+            )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math as m
+
+        gm = m.exp(m.fsum(pdf["log_sum"]) / pdf["cnt"].sum())
         return pd.DataFrame(
-            {"event_type": [pdf["event_type"].iloc[0]], "geomean": [round(gm, 4)]}
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "geomean": [round(gm, 4)],
+            }
         )
 
     ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
-    return ev.select("event_type", "value").groupBy("event_type").applyInPandas(
-        geomean, "event_type string, geomean double"
+    partials = ev.select("event_type", "value").mapInPandas(
+        partial_logs, "event_type string, log_sum double, cnt long"
+    )
+    return partials.groupBy("event_type").applyInPandas(
+        merge, "event_type string, geomean double"
     )
 
 

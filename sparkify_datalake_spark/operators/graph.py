@@ -68,19 +68,27 @@ def _propagate_min_labels(
             half = half.join(lookup, "rep", "left").select(
                 "doc_id", F.coalesce("rep2", "rep").alias("rep")
             )
-        # The changed-flag rides inside the checkpointed frame, so the
-        # convergence probe below is a cheap scan of materialized data,
-        # not a second join job over two maps.
+        # The changed-flag rides inside the frame and the checkpoint is
+        # LAZY: the convergence count below is the action that both
+        # materializes the checkpoint and counts changed rows — ONE
+        # scheduled job per iteration instead of the former two (eager
+        # checkpoint job + isEmpty probe job). Per-iteration lineage
+        # truncation itself is non-negotiable here: the pointer-jump
+        # self-join doubles the plan each pass without it.
         new_rep = (
             half.join(doc_rep.withColumnRenamed("rep", "prev"), "doc_id")
             .select(
                 "doc_id", "rep", (F.col("rep") != F.col("prev")).alias("chg")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        doc_rep = new_rep.select("doc_id", "rep")
-        if fixed_iters is None and new_rep.where("chg").isEmpty():
-            break
+        if fixed_iters is None:
+            n_changed = new_rep.where("chg").count()
+            doc_rep = new_rep.select("doc_id", "rep")
+            if n_changed == 0:
+                break
+        else:
+            doc_rep = new_rep.select("doc_id", "rep")
     return doc_rep
 
 

@@ -252,9 +252,19 @@ def win_ntile_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
-    ranged = orders.repartitionByRange(
-        n_parts, "o_orderstatus", "o_totalprice", "o_orderkey"
-    ).withColumn("pid", F.spark_partition_id())
+    # localCheckpoint pins the physical partitioning: both consumers of
+    # `ranged` (the offsets/totals build and the final scan) must see the
+    # SAME pid assignment, and without materialization each consumer
+    # re-executes the range-sampling partitioner independently — correct
+    # only while replanning stays bit-deterministic, which is too fragile
+    # a contract to lean on.
+    ranged = (
+        orders.repartitionByRange(
+            n_parts, "o_orderstatus", "o_totalprice", "o_orderkey"
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
 
     sizes = ranged.groupBy("pid", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -280,11 +290,14 @@ def win_ntile_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.col("n_status") - (F.col("n_status") % 4)  # 4 * (n div 4)
     r = F.col("n_status") % 4
     big = (q / 4 + 1).cast("long")  # size of the first r tiles
+    # divisor guard: when a status group has < 4 rows, q/4 is 0 and the
+    # otherwise-branch would divide by zero (an ERROR under ANSI mode,
+    # shielded today only by CASE laziness since the when-branch covers
+    # all rows for n<4) — greatest(1, ·) makes the expression total
+    small = F.greatest(F.lit(1).cast("long"), (q / 4).cast("long"))
     quartile = F.when(
         F.col("rn") <= r * big, F.ceil(F.col("rn") / big)
-    ).otherwise(
-        r + F.ceil((F.col("rn") - r * big) / (q / 4).cast("long"))
-    )
+    ).otherwise(r + F.ceil((F.col("rn") - r * big) / small))
 
     prices = orders.groupBy("o_orderstatus", "o_totalprice").agg(
         F.count(F.lit(1)).alias("c")

@@ -119,21 +119,30 @@ def upsert_by_key(
     (date, tenant) matters more than anything else for mutation-heavy
     tables.
 
-    PRECONDITION (unlike a table-wide Delta/Iceberg MERGE): a key's
-    partition value must be stable — if an update moves key K from
-    partition A to B, the pruned read never sees K's old row in A and
-    it survives as a stale duplicate. That is the inherent contract of
-    partition-pruned upserts (date-keyed facts satisfy it naturally);
-    pass validate_partition_stability=True to pay one column-pruned
-    scan of the base (key + partition columns only) and fail fast on a
-    violation instead.
+    PRECONDITIONS (unlike a table-wide Delta/Iceberg MERGE):
+    - A key's partition value must be stable — if an update moves key K
+      from partition A to B, the pruned read never sees K's old row in
+      A and it survives as a stale duplicate. That is the inherent
+      contract of partition-pruned upserts (date-keyed facts satisfy it
+      naturally); pass validate_partition_stability=True to pay one
+      column-pruned scan of the base (key + partition columns only) and
+      fail fast on a violation instead.
+    - `updates` carries ONE row per key: the anti-join removes the base
+      row, then the whole updates frame is unioned in verbatim, so two
+      update rows for the same key both survive. Dedupe upstream
+      (e.g. keep the latest by timestamp) before calling.
 
     The merged frame is materialized (localCheckpoint) before the write
     because the write overwrites the very directories being read; on a
     cluster this is a staging-directory write + metastore location swap.
     """
-    touched = updates.select(*partition_cols).distinct().collect()
-    if not touched:
+    # distinct partition values stay a (tiny, materialized) DataFrame:
+    # the base read is pruned by a broadcast semi-join on it, so a wide
+    # CDC batch touching thousands of partitions costs one broadcast —
+    # never a thousands-of-clauses OR-of-ANDs literal predicate tree
+    # (slow to analyze, and codegen chokes on very large expressions)
+    touched = updates.select(*partition_cols).distinct().localCheckpoint()
+    if touched.isEmpty():
         return  # empty micro-batch (CDC replay/recovery) → no-op
     if validate_partition_stability:
         moved = (
@@ -163,17 +172,9 @@ def upsert_by_key(
                 "stale duplicates; rewrite those keys' old partitions "
                 "explicitly instead"
             )
-    part_pred = functools.reduce(
-        lambda a, b: a | b,
-        [
-            functools.reduce(
-                lambda a, b: a & b,
-                [F.col(c) == F.lit(r[c]) for c in partition_cols],
-            )
-            for r in touched
-        ],
+    base = spark.read.parquet(path).join(
+        F.broadcast(touched), partition_cols, "left_semi"
     )
-    base = spark.read.parquet(path).filter(part_pred)
     merged = (
         base.join(updates.select(key).distinct(), key, "left_anti")
         .unionByName(updates)
@@ -196,18 +197,27 @@ def compact_parquet(
     count — or by partition column so each directory compacts to one
     file per writing task), then swap via two renames: the old table
     moves aside, the staging dir renames in, the old copy deletes last.
-    A crash mid-swap leaves either the old or the new table at the
-    path (never neither, never half of each); the rename pair stands in
-    for the metastore/manifest pointer swap a cluster deployment uses.
+    The swap is NOT atomic — between the two renames the table path
+    briefly does not exist, so a crash (or a concurrent reader) in that
+    window sees a missing table; what the rename pair guarantees is
+    that a complete copy of the data is always recoverable on disk
+    (the .compact-old dir until the delete, the table itself after).
+    Stale .compact-* dirs from a previous crash are cleaned up at entry
+    so a rerun always succeeds. os.rename requires a local
+    same-filesystem path — on a cluster this whole dance is replaced by
+    the metastore/manifest pointer swap (Delta/Iceberg commit).
     """
+    tmp = path.rstrip("/") + ".compact-staging"
+    old = path.rstrip("/") + ".compact-old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     df = spark.read.parquet(path)
     staged = (
         df.repartition(*partition_cols)
         if partition_cols
         else df.repartition(n_files)
     )
-    tmp = path.rstrip("/") + ".compact-staging"
-    old = path.rstrip("/") + ".compact-old"
     writer = staged.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

@@ -10,6 +10,7 @@ and bounded-heap top-k.
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 
@@ -98,7 +99,15 @@ def test_sampling_is_map_side_only(spark):
 
 
 def test_two_phase_ntile_has_no_status_only_window_sort(spark):
-    # the de-skewed variant must range-partition before its sorts: every
-    # row-level window partitions by (pid, status), never status alone
+    # the de-skewed variant range-partitions and MATERIALIZES the frame
+    # (localCheckpoint → Scan ExistingRDD carrying the pid column, so
+    # both consumers see one pid assignment), and the row-level
+    # row_number window partitions by (pid, status) — never status alone
     plan = _plan(spark, "win_ntile_twophase")
-    assert "REPARTITION_BY_RANGE" in plan or "rangepartitioning" in plan.lower()
+    assert re.search(r"Scan ExistingRDD\[[^\]]*pid", plan), plan[:2000]
+    assert "row_number()" in plan
+    assert "windowspecdefinition(pid" in plan
+    # no row_number/ntile window keyed on status alone
+    assert not re.search(
+        r"windowspecdefinition\(o_orderstatus[^)]*row_number", plan
+    )
