@@ -20,7 +20,10 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+import os
 import random
+from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +32,28 @@ from sparkify_datalake_spark.registry import query
 from sparkify_datalake_spark.sources.load import load
 
 _DIM = 64
+
+# Persisted ANN index root. Lives under the engine's (gitignored)
+# warehouse dir, resolved from __file__ so the path is stable no matter
+# what cwd the driver launches Spark from; keyed by corpus path so each
+# corpus gets its own index. On a cluster this is an object-store prefix
+# next to the corpus table.
+_INDEX_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse" / "ann_index"
+
+
+def _index_dir(sf_dir: str, kind: str) -> str:
+    resolved = str(Path(sf_dir).resolve())
+    key = (
+        f"{Path(resolved).name}-"
+        f"{hashlib.md5(resolved.encode()).hexdigest()[:10]}"
+    )
+    return str(_INDEX_ROOT / key / kind)
+
+
+def _table_complete(path: str) -> bool:
+    """A table dir counts as built only if its write committed
+    (_SUCCESS marker) — a half-written dir from a crash is rebuilt."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 def _dot(a: Column | str, b: Column | str) -> Column:
@@ -484,60 +509,128 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str):
 
 
 # Build/probe split: a real IVF engine trains the coarse quantizer ONCE
-# (an offline build step) and serves many probes against it. The cache is
-# keyed by corpus path — the first probe in a session trains (2 Lloyd's
-# passes over the corpus), every later probe reuses the k×64-float
-# centroid array. At 100 TB the equivalent is persisting the centroids as
-# a tiny table next to the partitioned-by-cluster corpus.
+# (an offline build step), PERSISTS the index, and serves many probes
+# against it. ivf_build writes two tables under the index root:
+#   centroids/   (cluster, centroid array<double>)  — k×64 floats, tiny
+#   assignment/  (vec_id, embedding) PARTITIONED BY cluster
+# A probe reads only the nprobe partition directories (partition
+# pruning) — the former shape re-scanned and re-assigned the full raw
+# corpus per probe, paying O(corpus) and never realizing the IVF win.
+# The in-process dict only caches the (tiny) centroid array to skip
+# re-reading the centroid parquet within a session.
 _IVF_CENTROIDS: dict[str, "object"] = {}
 
 
 def ivf_build(spark: SparkSession, sf_dir: str, force: bool = False):
-    """Train (or fetch the cached) IVF coarse quantizer for a corpus.
+    """Build (or load) the persisted IVF index for a corpus.
 
-    Explicit build API: call once per corpus, then probe with
-    sim_ivf_topk as many times as you like — training never reruns
-    unless force=True or the corpus path changes.
+    Returns ``(centroids ndarray, assignment_table_path)``. Explicit
+    build API: call once per corpus, then probe with sim_ivf_topk as
+    many times as you like — across sessions and jobs, because the
+    index lives on disk; training and assignment rerun only with
+    force=True. The index snapshots the corpus at build time: rebuild
+    (force=True) after the corpus changes, as with any ANN index.
     """
-    if force or sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = _kmeans_centroids(spark, sf_dir)
-    return _IVF_CENTROIDS[sf_dir]
+    import numpy as np
+
+    cent_path = _index_dir(sf_dir, "ivf/centroids")
+    assign_path = _index_dir(sf_dir, "ivf/assignment")
+    built = _table_complete(cent_path) and _table_complete(assign_path)
+    if not force and built:
+        if sf_dir not in _IVF_CENTROIDS:
+            rows = spark.read.parquet(cent_path).orderBy("cluster").collect()
+            _IVF_CENTROIDS[sf_dir] = np.stack(
+                [np.array(r["centroid"], dtype=np.float64) for r in rows]
+            )
+        return _IVF_CENTROIDS[sf_dir], assign_path
+
+    cent = _kmeans_centroids(spark, sf_dir)
+    c = cent
+
+    def assign(batches):
+        import numpy as np_
+        import pandas as pd_
+
+        for pdf in batches:
+            x = np_.stack(pdf["embedding"].to_numpy()).astype(np_.float64)
+            cl = (
+                ((x[:, None, :] - c[None, :, :]) ** 2)
+                .sum(axis=2)
+                .argmin(axis=1)
+            )
+            yield pd_.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": cl.astype("int32"),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    (
+        emb.mapInPandas(
+            assign, "vec_id long, cluster int, embedding array<float>"
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(assign_path)
+    )
+    spark.createDataFrame(
+        [(i, [float(v) for v in cent[i]]) for i in range(len(cent))],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+    _IVF_CENTROIDS[sf_dir] = cent
+    return cent, assign_path
+
+
+def ivf_probe_scan(
+    spark: SparkSession, sf_dir: str, clusters
+) -> DataFrame:
+    """Scan of the IVF assignment table pruned to the given clusters.
+
+    The isin filter on the partitioning column prunes at the FileIndex:
+    only the cluster=<c> directories are listed and read — at 100 TB a
+    probe touches nprobe/k of the corpus bytes. tests/test_plans.py
+    asserts the executed scan reads files from exactly these partition
+    directories.
+    """
+    _, assign_path = ivf_build(spark, sf_dir)
+    return spark.read.parquet(assign_path).filter(
+        F.col("cluster").isin([int(x) for x in clusters])
+    )
 
 
 @query("sim_ivf_topk")
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for vec_id=0 via IVF: k-means buckets + nprobe search.
 
-    The inverted-file scale path the LSH variant complements: build the
-    k=8 coarse quantizer once (ivf_build — cached per corpus, so
-    repeated probes skip training), assign every vector to its nearest
-    centroid, then search only the nprobe=3 centroid lists nearest the
-    query — at 100 TB the assignment is a partitioning column, so a
-    probe scans nprobe/k of the corpus (partition pruning does the
-    skipping). Rows-only: recall is probabilistic by design; tests
-    assert overlap with the brute-force twin (sim_cosine_topk).
+    The inverted-file scale path the LSH variant complements: ivf_build
+    trains the k=8 coarse quantizer and persists the corpus PARTITIONED
+    BY cluster assignment once; a probe ranks the centroids against the
+    query and scans only the nprobe=3 nearest partitions (partition
+    pruning skips the rest — nprobe/k of the corpus, the actual IVF
+    win). Rows-only: recall is probabilistic by design; tests assert
+    overlap with the brute-force twin (sim_cosine_topk).
     """
     import numpy as np
     import pandas as pd
 
-    cent = ivf_build(spark, sf_dir)
+    cent, _ = ivf_build(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = np.array(
         emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"],
         dtype=np.float64,
     )
     probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:_IVF_NPROBE]
-    probe_set = {int(p) for p in probe}
-    c = cent
 
-    def in_probed(batches):
+    def score(batches):
         for pdf in batches:
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            cl = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(
-                axis=1
-            )
-            mask = np.isin(cl, list(probe_set)) & (pdf["vec_id"].to_numpy() != 0)
-            xs = x[mask]
+            if len(pdf) == 0:
+                continue
+            mask = pdf["vec_id"].to_numpy() != 0
+            xs = np.stack(pdf["embedding"].to_numpy()[mask]).astype(
+                np.float64
+            ) if mask.any() else np.empty((0, len(q)))
             if len(xs) == 0:
                 yield pd.DataFrame({"vec_id": [], "cos_sim": []})
                 continue
@@ -552,7 +645,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return (
-        emb.mapInPandas(in_probed, "vec_id long, cos_sim double")
+        ivf_probe_scan(spark, sf_dir, probe)
+        .select("vec_id", "embedding")
+        .mapInPandas(score, "vec_id long, cos_sim double")
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
@@ -576,20 +671,41 @@ _PQ_CODEBOOKS: dict[str, "object"] = {}
 
 
 def pq_build(spark: SparkSession, sf_dir: str, force: bool = False):
-    """Train (or fetch the cached) PQ codebooks for a corpus.
+    """Build (or load) the persisted PQ index for a corpus.
 
+    Returns ``(codebooks ndarray, codes_table_path)``. Two artifacts
+    under the index root:
+      codebooks/  (m, k, centroid array<double>) — _PQ_M×_PQ_K rows
+      codes/      (vec_id, codes array<smallint>) — M small ids/vector
     Codebooks train driver-side on a fixed deterministic sample
     (vec_id < _PQ_TRAIN_N — the standard FAISS practice: PQ training
     needs a bounded sample, not the corpus; the sample is
     _PQ_TRAIN_N × 64 floats = kilobytes). Per subspace: Lloyd's
     k-means, k = _PQ_K, fixed init (first k sample rows), fixed 10
-    iterations, float64 — fully deterministic. Returns array of shape
-    (_PQ_M, _PQ_K, dim/_PQ_M).
+    iterations, float64 — fully deterministic. The codes table is the
+    point of PQ: at 100 TB a probe scans 8 small ints per vector
+    instead of 256 bytes of floats, and the whole codes table fits in
+    cluster memory. Encoding runs ONCE here, in one distributed Arrow
+    pass — the former shape re-encoded the raw corpus on every probe.
+    Rebuild (force=True) after the corpus changes.
     """
     import numpy as np
 
-    if not force and sf_dir in _PQ_CODEBOOKS:
-        return _PQ_CODEBOOKS[sf_dir]
+    books_path = _index_dir(sf_dir, "pq/codebooks")
+    codes_path = _index_dir(sf_dir, "pq/codes")
+    built = _table_complete(books_path) and _table_complete(codes_path)
+    if not force and built:
+        if sf_dir not in _PQ_CODEBOOKS:
+            rows = spark.read.parquet(books_path).orderBy("m", "k").collect()
+            d_sub = len(rows[0]["centroid"])
+            books = np.empty((_PQ_M, _PQ_K, d_sub))
+            for r in rows:
+                books[r["m"], r["k"]] = np.array(
+                    r["centroid"], dtype=np.float64
+                )
+            _PQ_CODEBOOKS[sf_dir] = books
+        return _PQ_CODEBOOKS[sf_dir], codes_path
+
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sample = np.stack(
         [
@@ -612,28 +728,64 @@ def pq_build(spark: SparkSession, sf_dir: str, force: bool = False):
                 if mask.any():
                     cent[k] = xs[mask].mean(axis=0)
         books[m] = cent
+
+    b = books
+    n_sub = _PQ_M
+
+    def encode(batches):
+        import numpy as np_
+        import pandas as pd_
+
+        for pdf in batches:
+            x = np_.stack(pdf["embedding"].to_numpy()).astype(np_.float64)
+            d_s = x.shape[1] // n_sub
+            codes = np_.empty((len(x), n_sub), dtype=np_.int16)
+            for m in range(n_sub):
+                xs = x[:, m * d_s : (m + 1) * d_s]
+                codes[:, m] = (
+                    ((xs[:, None, :] - b[m][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                )
+            yield pd_.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    (
+        emb.mapInPandas(encode, "vec_id long, codes array<smallint>")
+        .write.mode("overwrite")
+        .parquet(codes_path)
+    )
+    spark.createDataFrame(
+        [
+            (m, k, [float(v) for v in books[m, k]])
+            for m in range(_PQ_M)
+            for k in range(_PQ_K)
+        ],
+        "m int, k int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(books_path)
     _PQ_CODEBOOKS[sf_dir] = books
-    return books
+    return books, codes_path
 
 
 @query("sim_pq_topk")
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for vec_id=0 via product quantization + exact re-rank.
 
-    Probe path: (1) encode every vector to _PQ_M 5-bit codes in one
-    distributed Arrow pass (at 100 TB the codes are a persisted 8-byte
-    column, written once at build time); (2) asymmetric distance
-    computation — the query precomputes an (_PQ_M × _PQ_K) lookup table
-    and each vector's approximate distance is M table lookups, no float
-    math; (3) the ADC top-_PQ_RERANK (200) candidates re-rank by exact
-    cosine (FAISS's standard refine step), returning top-10. Rows-only: PQ
-    recall is approximate by design; the pytest recall bound vs the
-    brute-force twin is the check.
+    Probe path: (1) scan the PERSISTED codes table — vec_id + _PQ_M
+    5-bit codes per row, written once by pq_build, no raw vectors read;
+    (2) asymmetric distance computation — the query precomputes an
+    (_PQ_M × _PQ_K) lookup table and each vector's approximate distance
+    is M table lookups, no float math; (3) only the ADC top-_PQ_RERANK
+    (200) candidates join back to the raw corpus (broadcast of 200 ids)
+    for the exact-cosine re-rank (FAISS's standard refine step),
+    returning top-10. Rows-only: PQ recall is approximate by design;
+    the pytest recall bound vs the brute-force twin is the check.
     """
     import numpy as np
     import pandas as pd
 
-    books = pq_build(spark, sf_dir)
+    books, codes_path = pq_build(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = np.array(
         emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"],
@@ -649,36 +801,24 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(m_sub)
         ]
     )
-    b = books
 
     def adc(batches):
         for pdf in batches:
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            # encode: per-subspace nearest centroid (build-time step,
-            # recomputed here because the fixture corpus has no
-            # persisted code column)
-            dist = np.zeros(len(x))
-            for m in range(m_sub):
-                xs = x[:, m * d_sub : (m + 1) * d_sub]
-                codes = (
-                    ((xs[:, None, :] - b[m][None, :, :]) ** 2)
-                    .sum(axis=2)
-                    .argmin(axis=1)
-                )
-                dist += lut[m][codes]
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            dist = lut[np.arange(m_sub)[None, :], codes].sum(axis=1)
             keep = pdf["vec_id"].to_numpy() != 0
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy()[keep],
                     "adc_dist": dist[keep],
-                    "embedding": pdf["embedding"].to_numpy()[keep],
                 }
             )
 
     candidates = (
-        emb.mapInPandas(
-            adc, "vec_id long, adc_dist double, embedding array<float>"
-        )
+        spark.read.parquet(codes_path)
+        .mapInPandas(adc, "vec_id long, adc_dist double")
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
         .limit(_PQ_RERANK)
     )
@@ -686,7 +826,8 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm("embedding") * float(np.sqrt((q * q).sum()))
     )
     return (
-        candidates.select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        emb.join(F.broadcast(candidates.select("vec_id")), "vec_id")
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )

@@ -51,11 +51,20 @@ def test_small_blocks_make_bounded_multi_chunk_tasks(spark, sf_dir):
 
 
 def test_pq_build_trains_once_per_corpus(spark, sf_dir):
+    import numpy as np
+    import os
+
     sim._PQ_CODEBOOKS.clear()
-    b1 = sim.pq_build(spark, sf_dir)
-    b2 = sim.pq_build(spark, sf_dir)
-    assert b1 is b2  # cached object, no retrain
+    b1, p1 = sim.pq_build(spark, sf_dir, force=True)
+    b2, p2 = sim.pq_build(spark, sf_dir)
+    assert b1 is b2 and p1 == p2  # in-session: cached object, no retrain
     assert b1.shape == (sim._PQ_M, sim._PQ_K, 64 // sim._PQ_M)
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))
+    # cross-session path: cleared cache reloads codebooks from the
+    # persisted parquet bit-for-bit — no retrain, no re-encode
+    sim._PQ_CODEBOOKS.clear()
+    b3, _ = sim.pq_build(spark, sf_dir)
+    assert np.array_equal(b1, b3)
 
 
 def test_ivf_build_trains_once_per_corpus(spark, sf_dir, monkeypatch):
@@ -68,8 +77,11 @@ def test_ivf_build_trains_once_per_corpus(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(sim, "_kmeans_centroids", counting)
     sim._IVF_CENTROIDS.clear()
-    sim.ivf_build(spark, sf_dir)
+    sim.ivf_build(spark, sf_dir, force=True)  # the ONE training pass
     sim.sim_ivf_topk(spark, sf_dir).collect()
+    # simulate a new session: in-process cache gone, index on disk —
+    # the probe must load centroids from parquet, never retrain
+    sim._IVF_CENTROIDS.clear()
     sim.sim_ivf_topk(spark, sf_dir).collect()
     assert calls["n"] == 1
 

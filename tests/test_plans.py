@@ -111,3 +111,40 @@ def test_two_phase_ntile_has_no_status_only_window_sort(spark):
     assert not re.search(
         r"windowspecdefinition\(o_orderstatus[^)]*row_number", plan
     )
+
+
+def test_ivf_probe_scan_reads_only_probed_partitions(spark):
+    # the persisted-IVF contract: a probe must touch only the nprobe
+    # cluster partition directories of the assignment table — partition
+    # pruning is the entire point of the inverted file
+    from pyspark.sql import functions as F
+
+    from sparkify_datalake_spark.operators import similarity as sim
+
+    sim.ivf_build(spark, SF_DIR, force=True)
+    probed = [1, 3, 5]
+    scan = sim.ivf_probe_scan(spark, SF_DIR, probed)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    # execution truth, not just plan text: every file actually read
+    # comes from a probed cluster=<c> directory
+    files = [
+        r[0]
+        for r in scan.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files, "probe scan read no files"
+    assert all(
+        any(f"cluster={c}/" in f for c in probed) for f in files
+    ), files
+
+
+def test_pq_probe_scans_codes_and_broadcasts_rerank(spark):
+    # the persisted-PQ contract: the ADC pass scans the codes table
+    # (vec_id + small-int codes, no raw vectors), and raw embeddings
+    # enter only through the broadcast top-k re-rank join
+    from sparkify_datalake_spark.operators import similarity as sim
+
+    sim.pq_build(spark, SF_DIR, force=True)
+    plan = _plan(spark, "sim_pq_topk")
+    assert re.search(r"ReadSchema: struct<vec_id:bigint,codes:array", plan)
+    assert "BroadcastHashJoin" in plan
