@@ -469,3 +469,72 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("bin_min"),
         F.round(F.max("o_totalprice"), 2).alias("bin_max"),
     )
+
+
+# Approximate-percentile sketches differ across engines by design (Spark
+# uses a Greenwald-Khanna/KLL-style summary, DuckDB t-digest) → rows-only;
+# tests/test_sketches.py bounds the error against the exact twin
+# (agg_percentile above).
+@query("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per group — the 100 TB quantile path.
+
+    Exact percentile (agg_percentile) buffers every value per group; the
+    sketch holds O(1/ε) items regardless of group size and merges across
+    partitions like any partial aggregate, so quantiles over a 100 TB
+    column cost one pass + a constant-size shuffle. accuracy=10000 ⇒
+    rank error ≤ 1/10000 of the group — tighter than the test bound.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pa = F.percentile_approx(
+        "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.element_at(pa, 1).alias("qty_p25"),
+        F.element_at(pa, 2).alias("qty_p50"),
+        F.element_at(pa, 3).alias("qty_p75"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), 10000).alias(
+            "price_p90"
+        ),
+    )
+
+
+# Datasketches HLL output has no DuckDB twin → rows-only;
+# tests/test_sketches.py bounds the estimate against exact countDistinct.
+@query("agg_hll_distinct")
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit HLL sketch build → estimate per group (Spark 4
+    datasketches surface; the approx_count_distinct twin exposes the
+    sketch itself, which is what makes warehouse rollups incremental:
+    store the binary sketch per (day, dimension), never re-scan facts).
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("o_custkey"), F.lit(12))
+        ).alias("approx_customers")
+    )
+
+
+@query("agg_hll_union")
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct counts: fine-grained HLL sketches union-merged
+    to a coarser rollup WITHOUT re-scanning the fact table.
+
+    Phase 1 sketches distinct customers per (status, priority); phase 2
+    merges each status's 5 sketches via hll_union_agg and estimates.
+    This is the incremental-rollup contract at 100 TB: daily sketches
+    merge into monthly/yearly counts in milliseconds, which no exact
+    count-distinct can do (distinct does not sum). tests/test_sketches.py
+    asserts the merged estimate equals building the status-level sketch
+    directly (lossless union at equal lgK) and bounds it vs exact.
+    """
+    orders = load(spark, sf_dir, "orders")
+    fine = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.hll_sketch_agg(F.col("o_custkey"), F.lit(12)).alias("sketch")
+    )
+    return fine.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("sketch"), F.lit(False))
+        ).alias("approx_customers")
+    )

@@ -1,0 +1,100 @@
+"""Sketch-aggregate error bounds (SURVEY §2-D addenda, round 3).
+
+Sketches are rows-only in the driver check (no DuckDB twin by design);
+these tests supply the missing rigor: the approximate answer must sit
+within the sketch's documented error of the exact twin computed by the
+same engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.registry import queries
+from sparkify_datalake_spark.sources.load import load
+
+
+def test_approx_percentile_within_bound_of_exact(spark, sf_dir):
+    approx = {
+        r["l_returnflag"]: r
+        for r in queries()["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in queries()["agg_percentile"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        # accuracy=10000 ⇒ rank error ≤ 0.01% of the group; on the
+        # integer-grained quantity column that is at most one grid step,
+        # and the sketch returns a real element vs the exact form's
+        # interpolated value — allow one unit of quantity, 2% of price
+        for c in ("qty_p25", "qty_p50", "qty_p75"):
+            assert abs(a[c] - e[c]) <= 1.0, (flag, c, a[c], e[c])
+        assert abs(a["price_p90"] - e["price_p90"]) <= 0.02 * e["price_p90"]
+
+
+def test_hll_estimate_within_bound_of_exact(spark, sf_dir):
+    est = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in queries()["agg_hll_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n_customers"]
+        for r in queries()["agg_count_distinct"](spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for status, e in est.items():
+        # lgK=12 ⇒ relative standard error ≈ 1.6%; 5% is > 3σ
+        assert abs(e - exact[status]) <= max(0.05 * exact[status], 2), (
+            status,
+            e,
+            exact[status],
+        )
+
+
+def test_hll_union_merge_matches_direct_build(spark, sf_dir):
+    """Merging fine-grained sketches must estimate like building the
+    coarse sketch directly — the property that makes
+    sketch-per-partition warehouse rollups sound. Equality is exact in
+    sparse mode (small cardinalities); once sketches go dense the union
+    path (HLL_8 accumulator → target-type coercion) can differ by a few
+    registers, so the bound is 2% relative — far inside lgK=12's 3σ."""
+    merged = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in queries()["agg_hll_union"](spark, sf_dir).collect()
+    }
+    direct = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in queries()["agg_hll_distinct"](spark, sf_dir).collect()
+    }
+    assert set(merged) == set(direct)
+    for status, m in merged.items():
+        assert abs(m - direct[status]) <= max(0.02 * direct[status], 2), (
+            status,
+            m,
+            direct[status],
+        )
+
+
+def test_hll_sketch_column_is_mergeable_binary(spark, sf_dir):
+    """The sketch itself is a binary column a warehouse can persist and
+    re-merge later — union of two disjoint halves covers the whole."""
+    orders = load(spark, sf_dir, "orders")
+    halves = orders.withColumn(
+        "half", (F.col("o_orderkey") % 2).cast("int")
+    ).groupBy("half").agg(
+        F.hll_sketch_agg(F.col("o_custkey"), F.lit(12)).alias("sketch")
+    )
+    total = halves.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("sketch"), F.lit(False))
+        ).alias("n")
+    ).collect()[0]["n"]
+    whole = orders.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("o_custkey"), F.lit(12))
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert abs(total - whole) <= max(0.02 * whole, 2), (total, whole)
