@@ -1,0 +1,164 @@
+"""Text ranking / retrieval scoring: TF-IDF and BM25 (SURVEY §2-I-bis
+round-3 addendum — the scoring layer over the tokenize/stopword/
+frequency machinery in operators/text.py).
+
+Both operators are deterministic integer-count + double arithmetic
+(ln/division, rounded 6dp), so unlike most retrieval stacks they are
+HASH-CHECKED against the DuckDB oracle — same tokenizer
+(split(lower(text), ' ')), same smoothing, same tiebreak.
+
+Scale notes (100 TB):
+- Everything is built-in-function SQL: one explode+groupBy for term
+  frequencies (map-side partial agg), a broadcast of the per-term
+  document frequencies (|query terms| rows), a broadcast of the 1-row
+  corpus stats, and a bounded-heap top-k (TakeOrderedAndProject,
+  plan-asserted) — the corpus never sorts globally and never shuffles
+  by anything but (doc_id, token).
+- The query-term filter lands BEFORE the tf groupBy, so the shuffled
+  tf table is O(matching postings), not O(all tokens) — the inverted-
+  index access path expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+# Fixed retrieval query (mid-frequency corpus terms with distinct
+# document frequencies, so idf actually differentiates).
+_TERMS = ["spark", "window", "hash", "vector"]
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _TERMS)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, tf) for query terms only — the posting lists."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    return (
+        tok.filter(F.col("token").isin(_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token IN ({_TERMS_SQL})
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+stats AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id,
+  round(sum(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)), 6) AS tfidf_score
+FROM tf JOIN dfreq USING (token), stats
+GROUP BY doc_id
+ORDER BY tfidf_score DESC, doc_id
+LIMIT 20
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for the fixed term query by smoothed TF-IDF.
+
+    score(d) = Σ_t tf(t,d) · (ln((N+1)/(df(t)+1)) + 1) — the sklearn
+    smoothing, so unseen-term idf stays finite. df and the corpus size
+    broadcast (tiny); the ranking is a bounded heap, not a sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tf = _tf(docs)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n"))
+    idf = F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(
+        1.0
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("tf") * idf), 6).alias("tfidf_score"))
+        .orderBy(F.col("tfidf_score").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token IN ({_TERMS_SQL})
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+stats AS (
+  SELECT count(*) AS n, avg(len(string_split(lower(text), ' '))) AS avgdl
+  FROM documents
+)
+SELECT doc_id,
+  round(sum(
+    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+    tf * ({_BM25_K1} + 1.0) /
+    (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+  ), 6) AS bm25_score
+FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY bm25_score DESC, doc_id
+LIMIT 20
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for the fixed term query by Okapi BM25
+    (k1=1.2, b=0.75, the Robertson-Sparck Jones idf with +1 smoothing).
+
+    Same relational shape as TF-IDF plus per-document length
+    normalization: dl comes map-side from size(split(...)) — no extra
+    shuffle — and avgdl rides in the broadcast 1-row stats frame.
+    """
+    docs = load(spark, sf_dir, "documents")
+    doclen = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("dl"),
+    )
+    tf = _tf(docs)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(F.split(F.lower(F.col("text")), " "))).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(_BM25_K1 + 1.0) / norm
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25_score"))
+        .orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
+        .limit(20)
+    )

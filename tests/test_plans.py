@@ -148,3 +148,13 @@ def test_pq_probe_scans_codes_and_broadcasts_rerank(spark):
     plan = _plan(spark, "sim_pq_topk")
     assert re.search(r"ReadSchema: struct<vec_id:bigint,codes:array", plan)
     assert "BroadcastHashJoin" in plan
+
+
+def test_ranking_topk_uses_bounded_heap_and_broadcasts(spark):
+    # retrieval must rank via TakeOrderedAndProject (bounded heap, no
+    # global sort) with df/corpus-stats arriving broadcast
+    for name in ("text_tfidf_topk", "text_bm25_topk"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
