@@ -1,0 +1,159 @@
+"""Incremental near-dedup against a persisted MinHash signature store
+(SURVEY §2-I round-3 addendum — the most common production dedup shape:
+"dedup today's crawl against everything already ingested" without
+re-signing the corpus).
+
+Store layout (two Parquet tables under a store path):
+  bucket_reps/  (bucket long, rep long) — the semantic value of the
+                table is bucket → min(rep); one aggregated row per
+                bucket per ingested batch, compacted by min-merge on
+                read. Crucially this stores NO memberships: a
+                pathological hot bucket (the mega-bucket hazard that
+                forces a candidate cap in dedup_near_verified) costs
+                one row here, and an ingest join against it emits at
+                most bands × (1 + #batches) rows per new doc — bounded
+                by construction, not by a tuning constant.
+  reps/         (doc_id long, rep long) — every ingested document's
+                cluster representative; append-only.
+
+Semantics: same single-linkage-over-shared-band-buckets as dedup_near
+(operators/text.py), restricted to new→seen and new→new edges. An
+incremental ingest assigns each new document to the minimum existing
+representative reachable through its batch-internal cluster; it never
+merges two pre-existing clusters through a new bridge document — that
+(rare) repair is what periodic full rebuilds (dedup_store_build) are
+for, the standard freshness/cost trade of production dedup services.
+
+Scale notes (100 TB): signing is map-side over the NEW batch only
+(O(batch), the whole point); the candidate lookup is one join of the
+batch's ~8 buckets/doc against the bucket→min-rep table — at scale that
+table is bucketed/partitioned by bucket hash so the join co-locates,
+and batches compact it (groupBy bucket min) on a maintenance cadence
+exactly like compact_parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.operators.graph import _propagate_min_labels
+from sparkify_datalake_spark.operators.text import minhash_band_buckets
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+_STORE_ROOT = (
+    Path(__file__).resolve().parents[2] / "spark-warehouse" / "dedup_store"
+)
+
+
+def _demo_store_dir(sf_dir: str) -> str:
+    resolved = str(Path(sf_dir).resolve())
+    key = (
+        f"{Path(resolved).name}-"
+        f"{hashlib.md5(resolved.encode()).hexdigest()[:10]}"
+    )
+    return str(_STORE_ROOT / key)
+
+
+def dedup_store_build(
+    spark: SparkSession, docs: DataFrame, store_path: str
+) -> DataFrame:
+    """Full build: sign + cluster `docs`, persist the signature store.
+
+    Returns the (doc_id, rep) assignment that was written. Overwrites
+    any existing store at the path (this IS the periodic full rebuild).
+    """
+    buckets = minhash_band_buckets(docs).localCheckpoint()
+    reps = _propagate_min_labels(buckets)
+    bucket_reps = (
+        buckets.join(reps, "doc_id")
+        .groupBy("bucket")
+        .agg(F.min("rep").alias("rep"))
+    )
+    bucket_reps.write.mode("overwrite").parquet(
+        f"{store_path}/bucket_reps"
+    )
+    reps.write.mode("overwrite").parquet(f"{store_path}/reps")
+    return reps
+
+
+def dedup_store_ingest(
+    spark: SparkSession, new_docs: DataFrame, store_path: str
+) -> DataFrame:
+    """Dedup a new batch against the store; returns (doc_id, rep_id).
+
+    rep_id < any batch doc_id ⇒ the document near-duplicates something
+    already ingested; rep_id inside the batch ⇒ it is novel (possibly
+    representing a batch-internal duplicate cluster). The store is
+    updated in place: new band buckets (aggregated to bucket→min-rep
+    rows) and the new assignments are appended — old rows are never
+    rewritten, so prior survivors are stable by construction.
+    """
+    new_buckets = minhash_band_buckets(new_docs).localCheckpoint()
+    # batch-internal clustering first (small: the batch, not the corpus)
+    batch = _propagate_min_labels(new_buckets)
+    # candidate lookup: ≤ bands × (1 + #batches) store rows per new doc
+    store = spark.read.parquet(f"{store_path}/bucket_reps")
+    hits = (
+        new_buckets.join(
+            store.withColumnRenamed("rep", "seen_rep"), "bucket"
+        )
+        .groupBy("doc_id")
+        .agg(F.min("seen_rep").alias("hit_rep"))
+    )
+    # single-linkage within the batch: the whole batch cluster adopts
+    # the minimum existing rep any member hit
+    cluster_hit = (
+        batch.join(hits, "doc_id", "left")
+        .groupBy("rep")
+        .agg(F.min("hit_rep").alias("cluster_hit"))
+    )
+    assigned = (
+        batch.join(cluster_hit, "rep")
+        .select(
+            "doc_id", F.coalesce("cluster_hit", "rep").alias("rep_id")
+        )
+        .localCheckpoint()  # materialize BEFORE appending to the store
+    )
+    new_bucket_reps = (
+        new_buckets.join(
+            assigned.withColumnRenamed("doc_id", "d"),
+            new_buckets["doc_id"] == F.col("d"),
+        )
+        .groupBy("bucket")
+        .agg(F.min("rep_id").alias("rep"))
+    )
+    new_bucket_reps.write.mode("append").parquet(
+        f"{store_path}/bucket_reps"
+    )
+    assigned.select(
+        "doc_id", F.col("rep_id").alias("rep")
+    ).write.mode("append").parquet(f"{store_path}/reps")
+    return assigned
+
+
+@query("dedup_incremental")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demo of the incremental path on the fixture corpus: build the
+    store from the first ~70% of documents, then ingest the rest as a
+    delta batch — only the delta is signed. Returns the delta batch's
+    (doc_id, rep_id) assignments. Rows-only (iterative propagation has
+    no single-statement SQL twin); tests/test_dedup_incremental.py
+    checks survivor stability, store growth, and agreement with batch
+    dedup_near on new→seen containment.
+    """
+    store = _demo_store_dir(sf_dir)
+    shutil.rmtree(store, ignore_errors=True)  # deterministic rebuild
+    docs = load(spark, sf_dir, "documents")
+    cut = int(
+        docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] * 0.7
+    )
+    dedup_store_build(spark, docs.filter(F.col("doc_id") <= cut), store)
+    return dedup_store_ingest(
+        spark, docs.filter(F.col("doc_id") > cut), store
+    )

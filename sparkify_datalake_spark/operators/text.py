@@ -175,6 +175,35 @@ from sparkify_datalake_spark.operators.graph import (  # noqa: E402
 )
 
 
+def minhash_band_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket): 8 banded-MinHash LSH buckets per document.
+
+    The signature stage shared by batch dedup (dedup_near) and the
+    incremental signature store (operators/dedup_incremental.py): 32
+    per-row min-hashes via nested higher-order functions (JVM-side, no
+    explode/groupBy shuffle), 8 bands × 4 rows hashed to one bucket id
+    per band. Docs sharing any band bucket are near-dup candidates.
+    """
+    sig = F.expr(
+        f"transform(sequence(0, {_N_HASHES - 1}), i -> "
+        "array_min(transform(toks, t -> xxhash64(t, i))))"
+    )
+    bands = F.expr(
+        f"transform(sequence(0, {_BANDS - 1}), b -> "
+        f"xxhash64(b, slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND})))"
+    )
+    return (
+        # single-file parquet → one input partition; the minhash
+        # transform is compute-bound, so spread it across cores first
+        # (at scale the scan has many partitions and this is a no-op to
+        # remove).
+        docs.repartition(32)
+        .select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+        .select("doc_id", sig.alias("sig"))
+        .select("doc_id", F.explode(bands).alias("bucket"))
+    )
+
+
 @query("dedup_near")
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering via MinHash + banded LSH: doc_id → rep_id.
@@ -201,23 +230,8 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the underlying jaccard semantics.
     """
     docs = load(spark, sf_dir, "documents")
-    sig = F.expr(
-        f"transform(sequence(0, {_N_HASHES - 1}), i -> "
-        "array_min(transform(toks, t -> xxhash64(t, i))))"
-    )
-    bands = F.expr(
-        f"transform(sequence(0, {_BANDS - 1}), b -> "
-        f"xxhash64(b, slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND})))"
-    )
     buckets = (
-        # documents is one parquet file → one input partition; the minhash
-        # transform is compute-bound, so spread it across cores first
-        # (at scale the scan has many partitions and this is a no-op to
-        # remove).
-        docs.repartition(32)
-        .select("doc_id", F.array_distinct(_tokens()).alias("toks"))
-        .select("doc_id", sig.alias("sig"))
-        .select("doc_id", F.explode(bands).alias("bucket"))
+        minhash_band_buckets(docs)
         # Materialize once: every propagation iteration references the
         # bucket table twice, and without truncating the lineage the
         # minhash stage would be recomputed 2×/iteration (measured: the

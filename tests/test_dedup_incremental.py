@@ -1,0 +1,124 @@
+"""Incremental-dedup store: survivor stability, bounded ingest, and
+agreement with the batch LSH path."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.operators import dedup_incremental as inc
+from sparkify_datalake_spark.operators.text import minhash_band_buckets
+from sparkify_datalake_spark.registry import queries
+from sparkify_datalake_spark.sources.load import load
+
+
+@pytest.fixture()
+def store(tmp_path):
+    path = str(tmp_path / "store")
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+def test_ingest_keeps_prior_survivors_stable(spark, sf_dir, store):
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") < 300)
+    delta = docs.filter(F.col("doc_id") >= 300)
+    built = {
+        r["doc_id"]: r["rep"]
+        for r in inc.dedup_store_build(spark, base, store).collect()
+    }
+    inc.dedup_store_ingest(spark, delta, store)
+    after = {
+        r["doc_id"]: r["rep"]
+        for r in spark.read.parquet(f"{store}/reps")
+        .filter(F.col("doc_id") < 300)
+        .collect()
+    }
+    # old rows are append-only — prior survivors byte-identical
+    assert after == built
+
+
+def test_ingest_signs_only_the_delta_and_appends_bounded_rows(
+    spark, sf_dir, store
+):
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") < 300)
+    delta = docs.filter(F.col("doc_id") >= 300)
+    inc.dedup_store_build(spark, base, store)
+    n_bucket_rows_before = spark.read.parquet(
+        f"{store}/bucket_reps"
+    ).count()
+    n_reps_before = spark.read.parquet(f"{store}/reps").count()
+    assigned = inc.dedup_store_ingest(spark, delta, store)
+    n_delta = delta.count()
+    assert assigned.count() == n_delta
+    # reps grew by exactly the batch — nothing re-ingested
+    assert (
+        spark.read.parquet(f"{store}/reps").count()
+        == n_reps_before + n_delta
+    )
+    # bucket_reps grew by ≤ the delta's distinct buckets (aggregated):
+    # the base corpus was NOT re-signed
+    n_delta_buckets = (
+        minhash_band_buckets(delta).select("bucket").distinct().count()
+    )
+    grown = (
+        spark.read.parquet(f"{store}/bucket_reps").count()
+        - n_bucket_rows_before
+    )
+    assert 0 < grown <= n_delta_buckets
+
+
+def test_ingest_agrees_with_batch_dedup_on_new_to_seen_links(
+    spark, sf_dir, store
+):
+    """Any delta doc sharing a band bucket with a base doc must adopt a
+    base rep (id < cut); a delta doc sharing buckets with nobody —
+    base or batch — must survive as itself."""
+    docs = _docs(spark, sf_dir)
+    cut = 300
+    base = docs.filter(F.col("doc_id") < cut)
+    delta = docs.filter(F.col("doc_id") >= cut)
+    inc.dedup_store_build(spark, base, store)
+    assigned = {
+        r["doc_id"]: r["rep_id"]
+        for r in inc.dedup_store_ingest(spark, delta, store).collect()
+    }
+    base_buckets = minhash_band_buckets(base).select("bucket").distinct()
+    delta_buckets = minhash_band_buckets(delta)
+    linked = {
+        r["doc_id"]
+        for r in delta_buckets.join(base_buckets, "bucket")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    batch_linked = {
+        r["doc_id"]
+        for r in delta_buckets.alias("a")
+        .join(
+            delta_buckets.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+        .collect()
+    }
+    for doc_id, rep in assigned.items():
+        if doc_id in linked:
+            assert rep < cut, (doc_id, rep)
+        elif doc_id not in batch_linked:
+            assert rep == doc_id, (doc_id, rep)
+
+
+def test_registered_demo_query_runs(spark, sf_dir):
+    rows = queries()["dedup_incremental"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["rep_id"] <= r["doc_id"] for r in rows)
