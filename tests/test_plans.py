@@ -158,3 +158,48 @@ def test_ranking_topk_uses_bounded_heap_and_broadcasts(spark):
         assert "TakeOrderedAndProject" in plan, name
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_sink(
+    spark, tmp_path
+):
+    # the last big-cluster plan feature without an explicit test: a
+    # fact table partitioned on the join key, joined to a filtered dim,
+    # must plan a dynamicpruning subquery on the partition column so
+    # only the dim-selected partition directories are scanned at runtime
+    from pyspark.sql import functions as F
+
+    from sparkify_datalake_spark.sources.load import load
+    from sparkify_datalake_spark.sources.sinks import (
+        write_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "orders_by_status")
+    orders = load(spark, SF_DIR, "orders")
+    write_partitioned_parquet(orders, path, ["o_orderstatus"])
+    # NOTE: no input_file_name() inside the fact projection — it is
+    # nondeterministic, which blocks the DPP filter from being pushed
+    # through the Project down to the scan
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    ).filter(F.col("label") == "open")
+    # broadcast-hint the dim so the partitioned fact is the probe side
+    # regardless of fixture-scale size stats (at real scale the
+    # optimizer picks this shape on its own)
+    joined = fact.join(
+        F.broadcast(dim), fact["o_orderstatus"] == dim["status"]
+    ).select("o_orderkey", "label")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    # execution truth: the probe side streams straight from the scan
+    # stage, so input_file_name() on the join output names the files
+    # actually read — only the dim-selected partition dir may appear
+    files = [
+        r[0]
+        for r in joined.select(F.input_file_name().alias("src"))
+        .distinct()
+        .collect()
+    ]
+    assert files and all("o_orderstatus=O/" in f for f in files), files
