@@ -307,3 +307,42 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_ts",
         )
     )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    """
+SELECT c.c_custkey, p.probe,
+  levenshtein(c.c_name, p.probe) AS dist
+FROM customer c,
+  (VALUES ('Customer#000000012'), ('Customer#000000145'),
+          ('Custoner#000000999')) p(probe)
+WHERE levenshtein(c.c_name, p.probe) <= 2
+""",
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity match: customers whose name is within edit distance
+    2 of a (typo-bearing) probe list — the record-linkage shape.
+
+    The probe side broadcasts (3 rows); the corpus side never shuffles
+    and the distance evaluates inside whole-stage codegen
+    (F.levenshtein is a JVM built-in — no Python boundary). At 100 TB
+    you never run edit distance against the full cross product:
+    block first (length band, shared prefix, or an LSH bucket — the
+    same machinery as dedup_near) and run the exact distance only
+    within blocks; the broadcast-probe shape here is the inner loop of
+    that design. Both engines implement classic Levenshtein, so the
+    query is hash-checked.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    probes = spark.createDataFrame(
+        [("Customer#000000012",), ("Customer#000000145",),
+         ("Custoner#000000999",)],
+        "probe string",
+    )
+    dist = F.levenshtein(F.col("c_name"), F.col("probe"))
+    return (
+        cust.crossJoin(F.broadcast(probes))
+        .select("c_custkey", "probe", dist.alias("dist"))
+        .filter(F.col("dist") <= 2)
+    )

@@ -630,30 +630,19 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_BUCKET = 50
 
 
-@query("dedup_near_verified")
-def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering with exact verification: MinHash-LSH
-    candidates → exact-Jaccard filter (≥ 0.6) → connected components.
-
-    The full production dedup pipeline. dedup_near clusters on bucket
-    collision alone (recall-oriented: banding makes false positives
-    cheap to tolerate); this variant adds the verify stage every
-    web-scale dedup runs — candidate pairs from the bands are checked
-    against exact token-set Jaccard before any merge, so false-positive
-    bucket collisions can no longer glue unrelated docs into one
-    cluster. Cost stays O(n · tokens) + O(candidate pairs): the
-    all-pairs O(n²) never happens; only banded collisions pay the exact
-    check, and mega-buckets (> _MAX_BUCKET docs — a band signature
-    shared by half the corpus carries no discriminative signal, the
-    shingle analog of a stopword) are dropped before pair generation:
-    measured at sf0.1, the cap turns 22.5M candidate pairs into 52k
-    while 90% of buckets (p90 size 12) are untouched. This is the
-    standard guard in web-scale MinHash dedup — without it one
-    degenerate template makes the verify stage quadratic. Singletons
-    survive via self-edges. Rows-only (iterative); pytest asserts
-    consistency with the exact-Jaccard anchor.
+def dedup_verified_frame(
+    docs: DataFrame,
+    *,
+    jaccard_tau: float = 0.6,
+    max_bucket: int = _MAX_BUCKET,
+) -> DataFrame:
+    """Parameterized verified-dedup pipeline over any (doc_id, text)
+    frame: MinHash-LSH candidates → exact-Jaccard ≥ `jaccard_tau` →
+    connected components. `max_bucket` is the mega-bucket cap —
+    corpus-dependent (it is the shingle analog of a stopword list), so
+    it is a tunable here, with the registered query pinning the
+    measured fixture default. Returns (doc_id, rep_id).
     """
-    docs = load(spark, sf_dir, "documents")
     sig = F.expr(
         f"transform(sequence(0, {_N_HASHES - 1}), i -> "
         "array_min(transform(toks, t -> xxhash64(t, i))))"
@@ -673,7 +662,7 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     small_buckets = (
         buckets.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("bn"))
-        .filter(F.col("bn") <= _MAX_BUCKET)
+        .filter(F.col("bn") <= max_bucket)
         .select("bucket")
     )
     buckets = buckets.join(F.broadcast(small_buckets), "bucket")
@@ -702,7 +691,7 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .filter(F.round(jac, 6) >= 0.6)
+        .filter(F.round(jac, 6) >= jaccard_tau)
         .select("doc_a", "doc_b")
     )
     # verified edges + self-edges (singletons) feed the same hash-to-min
@@ -727,3 +716,30 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = _propagate_min_labels(edges)
     return rep.select("doc_id", F.col("rep").alias("rep_id"))
+
+
+@query("dedup_near_verified")
+def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with exact verification: MinHash-LSH
+    candidates → exact-Jaccard filter (≥ 0.6) → connected components.
+
+    The full production dedup pipeline. dedup_near clusters on bucket
+    collision alone (recall-oriented: banding makes false positives
+    cheap to tolerate); this variant adds the verify stage every
+    web-scale dedup runs — candidate pairs from the bands are checked
+    against exact token-set Jaccard before any merge, so false-positive
+    bucket collisions can no longer glue unrelated docs into one
+    cluster. Cost stays O(n · tokens) + O(candidate pairs): the
+    all-pairs O(n²) never happens; only banded collisions pay the exact
+    check, and mega-buckets (> the max_bucket cap — a band signature
+    shared by half the corpus carries no discriminative signal, the
+    shingle analog of a stopword) are dropped before pair generation:
+    measured at sf0.1, the default cap (50) turns 22.5M candidate pairs
+    into 52k while 90% of buckets (p90 size 12) are untouched. This is
+    the standard guard in web-scale MinHash dedup — without it one
+    degenerate template makes the verify stage quadratic. Singletons
+    survive via self-edges. Rows-only (iterative); pytest asserts
+    consistency with the exact-Jaccard anchor; the cap and τ are
+    tunables of the public dedup_verified_frame API.
+    """
+    return dedup_verified_frame(load(spark, sf_dir, "documents"))

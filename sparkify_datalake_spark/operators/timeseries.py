@@ -92,3 +92,71 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("last_value", ignorenulls=True).over(w).alias("ffill_value"),
     )
+
+
+@query(
+    "ts_sessionize",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+  min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events,
+  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3)
+    AS duration_sec
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: consecutive events of a user ≤30 min
+    apart form one session (the batch twin of stream_session, which
+    uses session_window on the same 30-min gap).
+
+    The lag-flag-cumsum pattern: flag a session start when the gap to
+    the previous event exceeds the timeout (or there is none), then a
+    running sum of flags numbers each user's sessions 1..k, and one
+    groupBy folds per-session bounds/counts. Both windows partition by
+    user_id — entity-keyed, horizontally scalable, no global sort. Gap
+    arithmetic is integer microseconds (unix_micros ↔ epoch_us; the
+    fixture timestamps are exactly µs-grained, so both engines see
+    identical values) — no double drift, hash-checkable.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((us - F.lag(us).over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_s).over(run).cast("int").alias("session_seq"),
+    )
+    start_us = F.unix_micros(F.min("ts").cast("timestamp"))
+    end_us = F.unix_micros(F.max("ts").cast("timestamp"))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round((end_us - start_us) / 1_000_000.0, 3).alias(
+            "duration_sec"
+        ),
+    )

@@ -122,3 +122,58 @@ def test_registered_demo_query_runs(spark, sf_dir):
     rows = queries()["dedup_incremental"](spark, sf_dir).collect()
     assert rows
     assert all(r["rep_id"] <= r["doc_id"] for r in rows)
+
+
+def test_streaming_foreachbatch_incremental_dedup(spark, sf_dir, store, tmp_path):
+    """The streaming shape of the signature store: a file-source stream
+    of new documents drives foreachBatch(dedup_store_ingest) — each
+    micro-batch is signed and deduped against everything ingested
+    before it (at scale: Kafka source, same sink logic)."""
+    import os
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 300)
+    inc.dedup_store_build(spark, base, store)
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src, exist_ok=True)
+    # two delta files → two micro-batches (maxFilesPerTrigger=1)
+    docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)) \
+        .coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= 400) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def apply_batch(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        inc.dedup_store_ingest(batch_df.sparkSession, batch_df, store)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    reps = {
+        r["doc_id"]: r["rep"]
+        for r in spark.read.parquet(f"{store}/reps").collect()
+    }
+    # every document ingested exactly once, reps well-formed
+    assert set(reps) == {r["doc_id"] for r in docs.collect()}
+    assert all(rep <= doc_id for doc_id, rep in reps.items())
+    # base survivors untouched by the stream
+    base_reps = {
+        r["doc_id"]: r["rep"]
+        for r in inc.dedup_store_build(
+            spark, base, str(tmp_path / "ref_store")
+        ).collect()
+    }
+    assert all(reps[d] == base_reps[d] for d in base_reps)
