@@ -51,11 +51,17 @@ _STORE_ROOT = (
 )
 
 
+# bump when the signature/banding/propagation semantics change — stale
+# demo stores built by older code must never satisfy the reuse marker
+_DEMO_STORE_VERSION = 2
+
+
 def _demo_store_dir(sf_dir: str) -> str:
     resolved = str(Path(sf_dir).resolve())
     key = (
         f"{Path(resolved).name}-"
         f"{hashlib.md5(resolved.encode()).hexdigest()[:10]}"
+        f"-v{_DEMO_STORE_VERSION}"
     )
     return str(_STORE_ROOT / key)
 
@@ -83,7 +89,10 @@ def dedup_store_build(
 
 
 def dedup_store_ingest(
-    spark: SparkSession, new_docs: DataFrame, store_path: str
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_path: str,
+    update_store: bool = True,
 ) -> DataFrame:
     """Dedup a new batch against the store; returns (doc_id, rep_id).
 
@@ -93,6 +102,8 @@ def dedup_store_ingest(
     updated in place: new band buckets (aggregated to bucket→min-rep
     rows) and the new assignments are appended — old rows are never
     rewritten, so prior survivors are stable by construction.
+    update_store=False is the dry-run/probe mode: classify the batch
+    against the store without committing it (dedup-preview, retries).
     """
     new_buckets = minhash_band_buckets(new_docs).localCheckpoint()
     # batch-internal clustering first (small: the batch, not the corpus)
@@ -120,20 +131,21 @@ def dedup_store_ingest(
         )
         .localCheckpoint()  # materialize BEFORE appending to the store
     )
-    new_bucket_reps = (
-        new_buckets.join(
-            assigned.withColumnRenamed("doc_id", "d"),
-            new_buckets["doc_id"] == F.col("d"),
+    if update_store:
+        new_bucket_reps = (
+            new_buckets.join(
+                assigned.withColumnRenamed("doc_id", "d"),
+                new_buckets["doc_id"] == F.col("d"),
+            )
+            .groupBy("bucket")
+            .agg(F.min("rep_id").alias("rep"))
         )
-        .groupBy("bucket")
-        .agg(F.min("rep_id").alias("rep"))
-    )
-    new_bucket_reps.write.mode("append").parquet(
-        f"{store_path}/bucket_reps"
-    )
-    assigned.select(
-        "doc_id", F.col("rep_id").alias("rep")
-    ).write.mode("append").parquet(f"{store_path}/reps")
+        new_bucket_reps.write.mode("append").parquet(
+            f"{store_path}/bucket_reps"
+        )
+        assigned.select(
+            "doc_id", F.col("rep_id").alias("rep")
+        ).write.mode("append").parquet(f"{store_path}/reps")
     return assigned
 
 
@@ -147,13 +159,28 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks survivor stability, store growth, and agreement with batch
     dedup_near on new→seen containment.
     """
+    import os
+
     store = _demo_store_dir(sf_dir)
-    shutil.rmtree(store, ignore_errors=True)  # deterministic rebuild
+    marker = os.path.join(store, "_DEMO_BUILT")
     docs = load(spark, sf_dir, "documents")
     cut = int(
         docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] * 0.7
     )
-    dedup_store_build(spark, docs.filter(F.col("doc_id") <= cut), store)
+    # Build-once / probe-many, like the ANN indexes: the base store is
+    # reused across calls (the marker guards against half-built or
+    # externally-mutated dirs — anything unmarked is rebuilt), and the
+    # delta runs in dry-run mode so repeated demo calls never append —
+    # deterministic output, steady-state cost = one delta ingest.
+    if not os.path.exists(marker):
+        shutil.rmtree(store, ignore_errors=True)
+        dedup_store_build(
+            spark, docs.filter(F.col("doc_id") <= cut), store
+        )
+        open(marker, "w").close()
     return dedup_store_ingest(
-        spark, docs.filter(F.col("doc_id") > cut), store
+        spark,
+        docs.filter(F.col("doc_id") > cut),
+        store,
+        update_store=False,
     )
