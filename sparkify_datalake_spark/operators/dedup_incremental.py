@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from sparkify_datalake_spark.operators.graph import _propagate_min_labels
 from sparkify_datalake_spark.operators.text import minhash_band_buckets
 from sparkify_datalake_spark.registry import query
-from sparkify_datalake_spark.sources.load import load
+from sparkify_datalake_spark.sources.load import corpus_fingerprint, load
 
 _STORE_ROOT = (
     Path(__file__).resolve().parents[2] / "spark-warehouse" / "dedup_store"
@@ -61,6 +61,7 @@ def _demo_store_dir(sf_dir: str) -> str:
     key = (
         f"{Path(resolved).name}-"
         f"{hashlib.md5(resolved.encode()).hexdigest()[:10]}"
+        f"-{corpus_fingerprint(sf_dir, 'documents')}"
         f"-v{_DEMO_STORE_VERSION}"
     )
     return str(_STORE_ROOT / key)
@@ -127,7 +128,12 @@ def dedup_store_ingest(
     assigned = (
         batch.join(cluster_hit, "rep")
         .select(
-            "doc_id", F.coalesce("cluster_hit", "rep").alias("rep_id")
+            "doc_id",
+            # least, not coalesce: doc ids need not be globally
+            # monotonic (backfill batches), so a store hit can carry a
+            # LARGER id than the batch-internal rep — min-linkage takes
+            # the smaller; least skips the null of a hitless cluster
+            F.least("cluster_hit", "rep").alias("rep_id"),
         )
         .localCheckpoint()  # materialize BEFORE appending to the store
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkify_datalake_spark.operators.text import _sql_tokens, _tokens
 from sparkify_datalake_spark.registry import query
 from sparkify_datalake_spark.sources.load import load
 
@@ -37,10 +38,7 @@ _BM25_B = 0.75
 
 def _tf(docs: DataFrame) -> DataFrame:
     """(doc_id, token, tf) for query terms only — the posting lists."""
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
-    )
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     return (
         tok.filter(F.col("token").isin(_TERMS))
         .groupBy("doc_id", "token")
@@ -52,7 +50,7 @@ def _tf(docs: DataFrame) -> DataFrame:
     "text_tfidf_topk",
     f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  SELECT doc_id, unnest({_sql_tokens()}) AS token
   FROM documents
 ),
 tf AS (
@@ -98,11 +96,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bm25_topk",
     f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  SELECT doc_id, unnest({_sql_tokens()}) AS token
   FROM documents
 ),
 dl AS (
-  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+  SELECT doc_id, len({_sql_tokens()}) AS dl FROM documents
 ),
 tf AS (
   SELECT doc_id, token, count(*) AS tf
@@ -111,7 +109,7 @@ tf AS (
 ),
 dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
 stats AS (
-  SELECT count(*) AS n, avg(len(string_split(lower(text), ' '))) AS avgdl
+  SELECT count(*) AS n, avg(len({_sql_tokens()})) AS avgdl
   FROM documents
 )
 SELECT doc_id,
@@ -135,15 +133,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — and avgdl rides in the broadcast 1-row stats frame.
     """
     docs = load(spark, sf_dir, "documents")
-    doclen = docs.select(
-        "doc_id",
-        F.size(F.split(F.lower(F.col("text")), " ")).alias("dl"),
-    )
+    doclen = docs.select("doc_id", F.size(_tokens()).alias("dl"))
     tf = _tf(docs)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(F.split(F.lower(F.col("text")), " "))).alias("avgdl"),
+        F.avg(F.size(_tokens())).alias("avgdl"),
     )
     idf = F.log(
         F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5))

@@ -29,15 +29,17 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkify_datalake_spark.registry import query
-from sparkify_datalake_spark.sources.load import load
+from sparkify_datalake_spark.sources.load import corpus_fingerprint, load
 
 _DIM = 64
 
 # Persisted ANN index root. Lives under the engine's (gitignored)
 # warehouse dir, resolved from __file__ so the path is stable no matter
-# what cwd the driver launches Spark from; keyed by corpus path so each
-# corpus gets its own index. On a cluster this is an object-store prefix
-# next to the corpus table.
+# what cwd the driver launches Spark from; keyed by corpus path AND a
+# data fingerprint (size+mtime) so regenerating the corpus at the same
+# path invalidates the index instead of silently serving stale answers.
+# On a cluster this is an object-store prefix keyed by the corpus
+# table's snapshot/commit id.
 _INDEX_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse" / "ann_index"
 
 
@@ -45,7 +47,8 @@ def _index_dir(sf_dir: str, kind: str) -> str:
     resolved = str(Path(sf_dir).resolve())
     key = (
         f"{Path(resolved).name}-"
-        f"{hashlib.md5(resolved.encode()).hexdigest()[:10]}"
+        f"{hashlib.md5(resolved.encode()).hexdigest()[:10]}-"
+        f"{corpus_fingerprint(sf_dir, 'embeddings')}"
     )
     return str(_INDEX_ROOT / key / kind)
 
@@ -54,6 +57,25 @@ def _table_complete(path: str) -> bool:
     """A table dir counts as built only if its write committed
     (_SUCCESS marker) — a half-written dir from a crash is rebuilt."""
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _index_ok(kind_dir: str) -> bool:
+    """The whole-index marker, written LAST by a build: both tables of
+    an index are products of ONE training run, so per-table _SUCCESS is
+    not enough — a crash between the two writes would leave one stale
+    table with an intact marker, and the mismatched pair would serve
+    silently-wrong answers."""
+    return os.path.exists(os.path.join(kind_dir, "_INDEX_OK"))
+
+
+def _mark_index_ok(kind_dir: str, building: bool = False) -> None:
+    marker = os.path.join(kind_dir, "_INDEX_OK")
+    if building:  # clear at build start
+        if os.path.exists(marker):
+            os.remove(marker)
+        return
+    os.makedirs(kind_dir, exist_ok=True)
+    open(marker, "w").close()
 
 
 def _dot(a: Column | str, b: Column | str) -> Column:
@@ -533,9 +555,14 @@ def ivf_build(spark: SparkSession, sf_dir: str, force: bool = False):
     """
     import numpy as np
 
-    cent_path = _index_dir(sf_dir, "ivf/centroids")
-    assign_path = _index_dir(sf_dir, "ivf/assignment")
-    built = _table_complete(cent_path) and _table_complete(assign_path)
+    kind_dir = _index_dir(sf_dir, "ivf")
+    cent_path = os.path.join(kind_dir, "centroids")
+    assign_path = os.path.join(kind_dir, "assignment")
+    built = (
+        _index_ok(kind_dir)
+        and _table_complete(cent_path)
+        and _table_complete(assign_path)
+    )
     if not force and built:
         if sf_dir not in _IVF_CENTROIDS:
             rows = spark.read.parquet(cent_path).orderBy("cluster").collect()
@@ -544,6 +571,7 @@ def ivf_build(spark: SparkSession, sf_dir: str, force: bool = False):
             )
         return _IVF_CENTROIDS[sf_dir], assign_path
 
+    _mark_index_ok(kind_dir, building=True)
     cent = _kmeans_centroids(spark, sf_dir)
     c = cent
 
@@ -579,6 +607,7 @@ def ivf_build(spark: SparkSession, sf_dir: str, force: bool = False):
         [(i, [float(v) for v in cent[i]]) for i in range(len(cent))],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+    _mark_index_ok(kind_dir)  # both tables committed — flip the marker
     _IVF_CENTROIDS[sf_dir] = cent
     return cent, assign_path
 
@@ -691,9 +720,14 @@ def pq_build(spark: SparkSession, sf_dir: str, force: bool = False):
     """
     import numpy as np
 
-    books_path = _index_dir(sf_dir, "pq/codebooks")
-    codes_path = _index_dir(sf_dir, "pq/codes")
-    built = _table_complete(books_path) and _table_complete(codes_path)
+    kind_dir = _index_dir(sf_dir, "pq")
+    books_path = os.path.join(kind_dir, "codebooks")
+    codes_path = os.path.join(kind_dir, "codes")
+    built = (
+        _index_ok(kind_dir)
+        and _table_complete(books_path)
+        and _table_complete(codes_path)
+    )
     if not force and built:
         if sf_dir not in _PQ_CODEBOOKS:
             rows = spark.read.parquet(books_path).orderBy("m", "k").collect()
@@ -706,6 +740,7 @@ def pq_build(spark: SparkSession, sf_dir: str, force: bool = False):
             _PQ_CODEBOOKS[sf_dir] = books
         return _PQ_CODEBOOKS[sf_dir], codes_path
 
+    _mark_index_ok(kind_dir, building=True)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sample = np.stack(
         [
@@ -764,6 +799,7 @@ def pq_build(spark: SparkSession, sf_dir: str, force: bool = False):
         ],
         "m int, k int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(books_path)
+    _mark_index_ok(kind_dir)  # both tables committed — flip the marker
     _PQ_CODEBOOKS[sf_dir] = books
     return books, codes_path
 

@@ -175,14 +175,13 @@ from sparkify_datalake_spark.operators.graph import (  # noqa: E402
 )
 
 
-def minhash_band_buckets(docs: DataFrame) -> DataFrame:
-    """(doc_id, bucket): 8 banded-MinHash LSH buckets per document.
-
-    The signature stage shared by batch dedup (dedup_near) and the
-    incremental signature store (operators/dedup_incremental.py): 32
-    per-row min-hashes via nested higher-order functions (JVM-side, no
-    explode/groupBy shuffle), 8 bands × 4 rows hashed to one bucket id
-    per band. Docs sharing any band bucket are near-dup candidates.
+def _minhash_sig_bands():
+    """THE signature contract — the one definition of how a document
+    becomes LSH buckets, consumed by dedup_near, dedup_near_verified
+    and the incremental store. Returns (sig, bands) Column exprs over a
+    `toks`/`sig` column respectively; changing anything here changes
+    bucket identity everywhere at once (bump
+    dedup_incremental._DEMO_STORE_VERSION when it does).
     """
     sig = F.expr(
         f"transform(sequence(0, {_N_HASHES - 1}), i -> "
@@ -192,6 +191,19 @@ def minhash_band_buckets(docs: DataFrame) -> DataFrame:
         f"transform(sequence(0, {_BANDS - 1}), b -> "
         f"xxhash64(b, slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND})))"
     )
+    return sig, bands
+
+
+def minhash_band_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket): 8 banded-MinHash LSH buckets per document.
+
+    The signature stage shared by batch dedup (dedup_near) and the
+    incremental signature store (operators/dedup_incremental.py): 32
+    per-row min-hashes via nested higher-order functions (JVM-side, no
+    explode/groupBy shuffle), 8 bands × 4 rows hashed to one bucket id
+    per band. Docs sharing any band bucket are near-dup candidates.
+    """
+    sig, bands = _minhash_sig_bands()
     return (
         # single-file parquet → one input partition; the minhash
         # transform is compute-bound, so spread it across cores first
@@ -643,14 +655,7 @@ def dedup_verified_frame(
     it is a tunable here, with the registered query pinning the
     measured fixture default. Returns (doc_id, rep_id).
     """
-    sig = F.expr(
-        f"transform(sequence(0, {_N_HASHES - 1}), i -> "
-        "array_min(transform(toks, t -> xxhash64(t, i))))"
-    )
-    bands = F.expr(
-        f"transform(sequence(0, {_BANDS - 1}), b -> "
-        f"xxhash64(b, slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND})))"
-    )
+    sig, bands = _minhash_sig_bands()
     toksets = docs.repartition(32).select(
         "doc_id", F.array_distinct(_tokens()).alias("toks")
     )

@@ -48,6 +48,25 @@ def _events_from_nanos(df: DataFrame) -> DataFrame:
     )
 
 
+def corpus_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap identity of one fixture table: resolved path + file size +
+    mtime, hashed. Derived artifacts (ANN indexes, dedup signature
+    stores) fold this into their on-disk keys so regenerating the data
+    at the same path invalidates them instead of silently serving stale
+    answers. At cluster scale the analog is the table snapshot/commit id.
+    """
+    import hashlib
+    from pathlib import Path
+
+    p = Path(sf_dir.rstrip("/")).resolve() / f"{name}.parquet"
+    try:
+        st = p.stat()
+        raw = f"{p}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        raw = str(p)
+    return hashlib.md5(raw.encode()).hexdigest()[:10]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame with normalized types.
 

@@ -137,10 +137,10 @@ def upsert_by_key(
     cluster this is a staging-directory write + metastore location swap.
     """
     # distinct partition values stay a (tiny, materialized) DataFrame:
-    # the base read is pruned by a broadcast semi-join on it, so a wide
-    # CDC batch touching thousands of partitions costs one broadcast —
-    # never a thousands-of-clauses OR-of-ANDs literal predicate tree
-    # (slow to analyze, and codegen chokes on very large expressions)
+    # exact touched-combination membership comes from a broadcast
+    # semi-join on it — never a thousands-of-clauses OR-of-ANDs literal
+    # predicate tree (slow to analyze, and codegen chokes on very large
+    # expressions)
     touched = updates.select(*partition_cols).distinct().localCheckpoint()
     if touched.isEmpty():
         return  # empty micro-batch (CDC replay/recovery) → no-op
@@ -172,8 +172,26 @@ def upsert_by_key(
                 "stale duplicates; rewrite those keys' old partitions "
                 "explicitly instead"
             )
-    base = spark.read.parquet(path).join(
-        F.broadcast(touched), partition_cols, "left_semi"
+    # STATIC pruning is a separate concern from exact membership: a join
+    # condition never reaches the FileIndex, and DPP won't fire against a
+    # bare materialized frame, so the directory-level skip comes from
+    # per-column IN-lists (one flat predicate per partition column — a
+    # conservative superset of the touched combinations, still
+    # O(distinct values), never an OR-of-ANDs tree). The semi-join then
+    # keeps exactly the touched combinations within that superset.
+    in_lists = functools.reduce(
+        lambda a, b: a & b,
+        [
+            F.col(c).isin(
+                [r[c] for r in touched.select(c).distinct().collect()]
+            )
+            for c in partition_cols
+        ],
+    )
+    base = (
+        spark.read.parquet(path)
+        .filter(in_lists)
+        .join(F.broadcast(touched), partition_cols, "left_semi")
     )
     merged = (
         base.join(updates.select(key).distinct(), key, "left_anti")
@@ -202,13 +220,25 @@ def compact_parquet(
     window sees a missing table; what the rename pair guarantees is
     that a complete copy of the data is always recoverable on disk
     (the .compact-old dir until the delete, the table itself after).
-    Stale .compact-* dirs from a previous crash are cleaned up at entry
-    so a rerun always succeeds. os.rename requires a local
-    same-filesystem path — on a cluster this whole dance is replaced by
-    the metastore/manifest pointer swap (Delta/Iceberg commit).
+    A rerun after a crash first RECOVERS: if the table path is missing,
+    the original data moves back from .compact-old (or, failing that, a
+    fully-committed .compact-staging promotes); only then are leftover
+    .compact-* dirs — now genuinely redundant copies — cleaned up.
+    os.rename requires a local same-filesystem path — on a cluster this
+    whole dance is replaced by the metastore/manifest pointer swap
+    (Delta/Iceberg commit).
     """
     tmp = path.rstrip("/") + ".compact-staging"
     old = path.rstrip("/") + ".compact-old"
+    if not os.path.exists(path):
+        # mid-swap crash: the leftover dirs hold the ONLY copies —
+        # restore before any cleanup (prefer the untouched original)
+        if os.path.exists(old):
+            os.rename(old, path)
+        elif os.path.exists(
+            os.path.join(tmp, "_SUCCESS")
+        ):
+            os.rename(tmp, path)
     for stale in (tmp, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)

