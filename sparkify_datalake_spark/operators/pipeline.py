@@ -287,3 +287,79 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks") - F.col("chunk_id") * _CHUNK_STRIDE,
         ).cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "feat_zscore",
+    """
+SELECT event_id, event_type,
+  round(
+    (value - avg(value) OVER (PARTITION BY event_type))
+    / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+FROM events
+""",
+)
+def feat_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization — the standard feature-prep
+    transform before training/embedding.
+
+    One entity-keyed window pass: mean and sample-stddev per event_type
+    computed and applied in the same stage. At 100 TB prefer the
+    two-job form (tiny groupBy stats → broadcast join back) so the wide
+    window sort disappears; semantics identical, and agg_stats already
+    demonstrates the stats half. Double summation order differs across
+    engines by ~1e-13 relative — far inside the 6dp rounding.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp(
+        "value"
+    ).over(w)
+    return ev.select(
+        "event_id", "event_type", F.round(z, 6).alias("z")
+    )
+
+
+_PROFILE_COLS = ["o_custkey", "o_totalprice", "o_orderstatus"]
+
+
+@query(
+    "profile_table",
+    " UNION ALL ".join(
+        f"""
+SELECT '{c}' AS col_name,
+  count(*) - count({c}) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_s,
+  CAST(max({c}) AS VARCHAR) AS max_s
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null count, distinct count, min/max) — the
+    describe/data-quality primitive behind every ingestion dashboard.
+
+    One aggregate pass per column, unioned into a tall (col_name, stat)
+    frame; every stat is partial→final aggregatable, so at 100 TB this
+    is k map-side passes (or one pass with grouping sets) regardless of
+    table width. Values stringify so heterogeneous column types share
+    one schema — both engines render these ints/doubles identically.
+    """
+    orders = load(spark, sf_dir, "orders")
+    parts = [
+        orders.agg(
+            F.lit(c).alias("col_name"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_s"),
+            F.max(c).cast("string").alias("max_s"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -184,3 +184,47 @@ def subquery_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AND o_orderstatus = 'O'
         """
     )
+
+
+@query(
+    "filter_not_in_null_trap",
+    """
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN
+     (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL))
+    AS not_in_clean,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 1) FROM orders))
+    AS not_in_with_null
+""",
+)
+def filter_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN three-valued-logic trap, pinned by both engines.
+
+    `x NOT IN (subquery)` is NOT the anti-join when the subquery can
+    yield NULL: under SQL 3VL, `x <> NULL` is unknown, so a single NULL
+    in the list makes every row's predicate non-true and the result
+    EMPTY. The query returns both counts side by side: the clean list
+    behaves like a null-aware anti join (customers with no orders),
+    the nullif-poisoned list collapses to 0. Spark plans the null-aware
+    case as ExistenceJoin/NullAwareAntiJoin — semantics identical to
+    DuckDB's, which is exactly what this hash row proves. Production
+    guidance stays: filter NULLs out of IN-lists (or use anti joins)
+    so the optimizer gets the cheap plan.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_nn")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ord_nn")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM cust_nn
+           WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM ord_nn WHERE o_custkey IS NOT NULL))
+            AS not_in_clean,
+          (SELECT count(*) FROM cust_nn
+           WHERE c_custkey NOT IN
+             (SELECT nullif(o_custkey, 1) FROM ord_nn))
+            AS not_in_with_null
+        """
+    )

@@ -129,3 +129,42 @@ def test_json_permissive_quarantines_corrupt_rows(spark, tmp_path):
     assert bad.count() == 2
     assert all(r["id"] is None for r in bad.collect())
     df.unpersist()
+
+
+def test_sorted_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
+    """write_sorted_parquet must produce near-disjoint per-file key
+    ranges (the parquet-footer property scan pruning feeds on), where
+    an unsorted write leaves every file spanning the whole domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sparkify_datalake_spark.sources.load import load
+    from sparkify_datalake_spark.sources.sinks import write_sorted_parquet
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    flat = str(tmp_path / "flat")
+    sorted_ = str(tmp_path / "sorted")
+    orders.repartition(4).write.parquet(flat)
+    write_sorted_parquet(orders, sorted_, ["o_custkey"], n_files=4)
+
+    def span_sum(path):
+        total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(1)  # o_custkey
+                st = col.statistics
+                total += st.max - st.min
+        return total
+
+    lo, hi = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey")
+    ).collect()[0]
+    domain = hi - lo
+    # unsorted: every file spans ~the whole domain (≥2 domains total);
+    # sorted: the 4 ranges partition the domain (≈1 domain total)
+    assert span_sum(flat) >= 2 * domain
+    assert span_sum(sorted_) <= 1.1 * domain
