@@ -867,3 +867,43 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "embed_centroid",
+    f"""
+SELECT label, dim,
+  round(avg(CAST(v AS DOUBLE)), 6) AS centroid_val, count(*) AS n
+FROM (
+  SELECT label, unnest(embedding) AS v,
+    unnest(range(1, {_DIM + 1})) AS dim
+  FROM embeddings
+)
+GROUP BY label, dim
+""",
+)
+def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid as a tall (label, dim, value) frame
+    — the distributed vector-mean primitive under k-means/IVF training.
+
+    posexplode turns each vector into 64 (dim, value) rows so the mean
+    is an ordinary partial→final hash aggregate per (label, dim): no
+    vector ever needs to fit a single reducer, and a 100 TB corpus's
+    centroid update is exactly this one shuffle of (label, dim)
+    partials (this is what _kmeans_centroids runs internally; the tall
+    shape also keeps the output scalar-typed for the driver hasher).
+    dim is 1-based to match DuckDB's unnest(range(1,65)) pairing.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("dim0", "v")
+        )
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias(
+                "centroid_val"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -167,3 +167,65 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q18_large_volume_customer",
+    """
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+  CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 flavor: aggregated IN-subquery (orders whose lineitems
+    total > 250 units) feeding a 3-way join, re-agg, top-20.
+
+    The composition this pins beyond q3/q5/q10: a HAVING-filtered
+    aggregate used as a semi-join filter — the aggregate runs ONCE over
+    lineitem, its tiny survivor set semi-joins orders before the wide
+    join, so the expensive join only sees qualifying orders. Quantity
+    sums are exact integers in doubles (≤ a few hundred) — no decimal
+    discipline needed; o_totalprice tiebreaks by orderkey.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            F.broadcast(big),
+            orders.o_orderkey == big.l_orderkey,
+            "left_semi",
+        )
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
