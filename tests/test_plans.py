@@ -203,3 +203,32 @@ def test_dynamic_partition_pruning_fires_on_partitioned_sink(
         .collect()
     ]
     assert files and all("o_orderstatus=O/" in f for f in files), files
+
+
+def test_q21_compiles_to_semi_and_anti_joins(spark):
+    """q21's EXISTS / NOT EXISTS must be semi/anti joins (no subquery
+    re-execution per row) with the equi orderkey key carried by the
+    join, the supplier inequality as a residual condition."""
+    plan = _plan(spark, "q21_sole_blame_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q14_broadcasts_part_single_agg_pass(spark):
+    """q14's part side broadcasts (dimension), and the ratio is one
+    partial->final aggregate pass — two HashAggregates, no extra
+    shuffle beyond the final single-row exchange."""
+    plan = _plan(spark, "q14_promo_effect")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") == 2
+
+
+def test_q13_priority_filter_pushed_to_orders_scan(spark):
+    """q13's ON-clause priority filter must reach the orders Parquet
+    scan as a pushed predicate, and the join must stay a LEFT OUTER
+    (pre-filtering the right side of a left join is the pushdown-
+    preserving rewrite of a right-side-only ON condition)."""
+    plan = _plan(spark, "q13_order_count_distribution")
+    m = re.search(r"PushedFilters: \[[^\]]*o_orderpriority[^\]]*\]", plan)
+    assert m, "priority filter not pushed to the orders scan"
+    assert "LeftOuter" in plan
