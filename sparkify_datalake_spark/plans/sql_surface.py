@@ -1,0 +1,88 @@
+"""Raw-SQL query surface — ``spark.sql`` over registered views.
+
+Every other query in the catalog is declared through the DataFrame API;
+these two run as literal ANSI SQL text through Spark's SQL parser, pinning
+the second half of the engine's public surface (SURVEY §3.2: DataFrame
+and ``spark.sql`` share one Catalyst pipeline, so both must produce the
+same optimized plans). The SQL text is intentionally near-identical to
+the DuckDB oracle — the point is that the *same query text* runs on both
+engines and hash-matches.
+
+Scale notes: identical to the DataFrame twins — the parser output feeds
+the same optimizer, so pushdown/broadcast/partial-agg behavior is shared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+
+def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    """Expose fixture tables as temp views for ``spark.sql`` queries.
+
+    Views are session-scoped and cheap to re-register (no data copied —
+    a view is just a named logical plan); going through ``load`` keeps
+    the nanosecond-timestamp workaround and session confs identical to
+    the DataFrame path.
+    """
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+_Q6_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+    * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01'
+  AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", _Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 flavor, executed as raw SQL text via ``spark.sql``.
+
+    The ONE query string runs verbatim on both engines (the oracle is
+    the same constant). Pins: the SQL parser entry point, BETWEEN on a
+    double column (exact — fixture discounts are 2dp values that both
+    engines compare as the same binary doubles), DATE-literal vs
+    timestamp_ntz comparison coercion, and the decimal-sum discipline
+    spelled in SQL. All three filters reach the Parquet scan.
+    """
+    _register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+_Q4_SQL = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1997-01-01'
+  AND o.o_orderdate < DATE '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("q4_order_priority", _Q4_SQL)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 flavor: priority counts of orders shipped after order
+    date, executed as raw SQL text via ``spark.sql``.
+
+    Pins the correlated-EXISTS path through the SQL parser: the
+    subquery correlates on orderkey AND compares two columns from
+    different tables (l_shipdate > o_orderdate), so Spark must rewrite
+    it to a left-semi join with the comparison as a residual — same
+    shape q21 builds by hand through the DataFrame API, here produced
+    by the parser+analyzer. Quarter filter pushes to the orders scan.
+    """
+    _register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4_SQL)
