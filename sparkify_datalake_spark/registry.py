@@ -58,6 +58,7 @@ def _load_all_modules() -> None:
     import sparkify_datalake_spark.functions.scalar  # noqa: F401
     import sparkify_datalake_spark.functions.udfs  # noqa: F401
     import sparkify_datalake_spark.plans.composite  # noqa: F401
+    import sparkify_datalake_spark.plans.composite_tail  # noqa: F401
     import sparkify_datalake_spark.plans.sql_surface  # noqa: F401
     import sparkify_datalake_spark.streaming.windows  # noqa: F401
 

@@ -232,3 +232,33 @@ def test_q13_priority_filter_pushed_to_orders_scan(spark):
     m = re.search(r"PushedFilters: \[[^\]]*o_orderpriority[^\]]*\]", plan)
     assert m, "priority filter not pushed to the orders scan"
     assert "LeftOuter" in plan
+
+
+def test_q2_single_lineitem_scan_with_window_min(spark):
+    # The correlated min subquery must decorrelate into ONE derived cost
+    # table + a window over the part key — not a second lineitem scan
+    # per the naive rewrite (the plan would show two parquet lineitem
+    # relations and a re-aggregation).
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) == 1
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    # top-100 by acctbal is a bounded heap, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q16_anti_join_and_distinct_partial(spark):
+    plan = _plan(spark, "q16_supplier_count")
+    # complaint suppliers (NOT IN on a non-null key) = broadcast anti join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # count(DISTINCT) runs partial distinct aggregation before the final
+    # group-key shuffle (two HashAggregate layers minimum)
+    assert plan.count("HashAggregate") >= 3
+
+
+def test_q15_materializes_revenue_view_once(spark):
+    # The revenue view feeds both the max-scalar and the probe; the lazy
+    # localCheckpoint must collapse it to one computed subtree so the
+    # plan holds a checkpointed scan, not two parquet lineitem scans.
+    plan = _plan(spark, "q15_top_supplier")
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) == 0
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
