@@ -1,0 +1,216 @@
+"""Batch event-analytics operators over the ``events`` table:
+sessionization, conversion funnel, cohort retention (SURVEY §2-I
+addenda — the product-analytics queries every event pipeline serves).
+
+All three are pure Catalyst compositions (windows + conditional
+aggregation + broadcast joins) — no UDFs — so they inherit whole-stage
+codegen and scale like any entity-keyed window: state per user chain,
+shuffles only on user_id / group keys.
+
+Scale notes (100 TB of events):
+- sessionize is ONE shuffle on user_id; both window passes (lag, running
+  sum) and the final per-session aggregate reuse that partitioning —
+  Catalyst collapses them into a single sort+window stage per user.
+- funnel's three stage frames are per-user aggregates of the SAME
+  shuffle; each later stage joins the (much smaller) earlier stage
+  frame, so data volume only shrinks down the funnel.
+- retention joins each event to its user's (tiny) cohort row; the
+  distinct on (user, cohort, week) is bounded by users × weeks, not
+  events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+# Gap threshold calibrated to the fixture's event density (~10 h median
+# per-user inter-event gap): 6 h merges ~40% of adjacent pairs, so
+# sessions are genuinely multi-event. Production web analytics uses
+# 30 min — the operator is the same, only the interval literal changes.
+_SESSION_GAP = "6 hours"
+_SESSION_GAP_SQL = "INTERVAL 6 HOUR"
+
+
+@query(
+    "events_sessionize",
+    f"""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > {_SESSION_GAP_SQL}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM d
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  min(ts) AS session_start,
+  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY user_id, session_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is
+    idle longer than the gap threshold.
+
+    The canonical lag → flag → running-sum composition: the session id
+    is the running count of gap-exceeded flags, computed in the same
+    user-partitioned sort as the lag itself. (event_id breaks ts ties
+    so the session numbering is total-order deterministic.)
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("timestamp")
+                > F.lag(F.col("ts").cast("timestamp")).over(w)
+                + F.expr(f"INTERVAL {_SESSION_GAP}")
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("duration_us"),
+        )
+    )
+
+
+@query(
+    "events_funnel",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase.
+
+    Stage k counts users whose first stage-k event happens strictly
+    AFTER their first stage-(k-1) event — the order constraint that
+    separates a funnel from three independent counts. Staged
+    aggregation: each stage is a per-user min over one event type,
+    joined (broadcast — stage frames are user-sized, not event-sized)
+    into the next stage's filter. One row out.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in [(v, "n_view"), (c, "n_click"), (p, "n_purchase")]
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "events_retention",
+    f"""
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+)
+SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+  CAST((epoch_us(date_trunc('week', e.ts)) - epoch_us(c.cohort_week))
+       / {_WEEK_US} AS INT) AS week_offset,
+  count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN cohort c ON e.user_id = c.user_id
+GROUP BY 1, 2
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-seen
+    week, counted in each subsequent activity week.
+
+    The cohort frame is user-sized and broadcasts back onto events; the
+    week offset is exact integer arithmetic on week-truncated
+    timestamps (both engines truncate to Monday 00:00, so the µs delta
+    is an exact multiple of a week — no date_diff boundary-counting
+    semantics to disagree about).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_wk_date"),
+            (
+                (
+                    F.unix_micros(
+                        F.date_trunc("week", F.col("ts")).cast("timestamp")
+                    )
+                    - F.unix_micros(F.col("cohort_week").cast("timestamp"))
+                )
+                / F.lit(_WEEK_US)
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy(
+            F.col("cohort_wk_date").alias("cohort_week"), "week_offset"
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

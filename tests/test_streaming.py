@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from sparkify_datalake_spark.streaming import runtime
 
 
@@ -225,3 +227,56 @@ def test_stream_static_broadcast_enrich(spark, tmp_path):
         )
     finally:
         query.stop()
+
+
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """transformWithStateInPandas (typed-state successor API) keeps
+    per-key ValueState across micro-batches — same semantics as the
+    applyInPandasWithState twin above. Skips where google.protobuf
+    (the state-server protocol dependency) is not installed."""
+    from sparkify_datalake_spark.streaming import transform_state
+
+    if not transform_state.transform_state_available():
+        pytest.skip("google.protobuf not available in this environment")
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    runtime.write_replay_batch(
+        spark,
+        src,
+        [
+            (1, _ts(0), 1, "click"),
+            (2, _ts(1), 1, "view"),
+            (3, _ts(2), 2, "click"),
+        ],
+        "b1",
+    )
+    query = runtime.run_to_memory(
+        transform_state.per_type_running_stats_stream(spark, src),
+        "tws_counts",
+        "update",
+        chk,
+    )
+    try:
+        query.processAllAvailable()
+        runtime.write_replay_batch(spark, src, [(9, _ts(3), 3, "click")], "b2")
+        query.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tws_counts").collect()
+        latest = {}
+        for r in rows:
+            latest[r["event_type"]] = (r["n_events"], r["max_event_id"])
+        assert latest["click"] == (3, 9), f"state not kept: {latest}"
+        assert latest["view"] == (1, 2)
+    finally:
+        query.stop()
+
+
+def test_transform_with_state_gate_reports_clearly():
+    """When protobuf is missing the operator must fail at call time with
+    an actionable message, not a deep py4j stack."""
+    from sparkify_datalake_spark.streaming import transform_state
+
+    if transform_state.transform_state_available():
+        pytest.skip("protobuf present — gate path not reachable")
+    with pytest.raises(ImportError, match="protobuf"):
+        transform_state.per_type_running_stats_stream(None, "/nonexistent")
