@@ -1,0 +1,194 @@
+"""Versioned table format: manifest-tracked Parquet with time travel
+(SURVEY §2-A lakehouse addendum; the design follows the public
+Delta/Iceberg model — a table IS its log of manifests, data files are
+immutable, commits are atomic manifest swaps).
+
+Layout under the table root::
+
+    data/v00000/part-*.parquet     immutable data files, one dir/commit
+    _manifests/v00000.json         ordered file list + commit metadata
+
+A reader resolves a *version* to its manifest and scans exactly the
+files it lists — uncommitted/orphaned data directories are invisible,
+which is what makes writes atomic: readers never see a half-written
+commit because the manifest only appears after its data files are fully
+on disk.
+
+Commit protocol (single filesystem): write data files → write manifest
+to a temp name → ``os.link`` to the final version path. The hard link
+FAILS if the version already exists, which makes the claim atomic —
+two concurrent writers racing to commit version N cannot both succeed
+(optimistic concurrency, the loser retries on the next version). On an
+object store the link step becomes a conditional put (if-none-match) —
+same protocol, different primitive.
+
+Rollback is roll-FORWARD: restoring version V writes a new manifest
+N+1 listing V's files (like Delta RESTORE) — history is never rewritten
+and data files are never deleted by restore. ``vacuum`` deletes data
+dirs unreferenced by any manifest ≥ the given horizon.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionConflict(Exception):
+    """Another writer committed this version first; retry at latest+1."""
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"v{version:05d}.json")
+
+
+def latest_version(path: str) -> int | None:
+    """Highest committed version, or None for an empty/new table."""
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return None
+    versions = [
+        int(f[1:6])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def _list_parquet_files(data_dir: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
+def _commit(path: str, version: int, manifest: dict) -> None:
+    """Atomically claim `version` with `manifest` (link-as-CAS)."""
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-v{version:05d}-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, _manifest_path(path, version))  # fails iff exists
+    except FileExistsError as exc:
+        raise VersionConflict(
+            f"version {version} already committed at {path}"
+        ) from exc
+    finally:
+        os.unlink(tmp)
+
+
+def commit(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit a DataFrame as the table's next version; returns it.
+
+    ``mode="append"`` carries the previous version's files forward plus
+    the new ones; ``mode="overwrite"`` lists only the new files (old
+    data files remain on disk — earlier versions still read them).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    prev = latest_version(path)
+    version = 0 if prev is None else prev + 1
+    data_rel = f"data/v{version:05d}"
+    data_dir = os.path.join(path, data_rel)
+    df.write.mode("overwrite").parquet(data_dir)
+    new_files = [f"{data_rel}/{f}" for f in _list_parquet_files(data_dir)]
+    files = (
+        _read_manifest(path, prev)["files"] + new_files
+        if mode == "append" and prev is not None
+        else new_files
+    )
+    _commit(
+        path,
+        version,
+        {"version": version, "op": mode, "files": files,
+         "n_new_files": len(new_files)},
+    )
+    return version
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at a version (default: latest) — time travel.
+
+    Scans exactly the manifest's file list; files from later commits
+    (or uncommitted data dirs) are invisible at this version.
+    """
+    v = latest_version(path) if version is None else version
+    if v is None or not os.path.exists(_manifest_path(path, v)):
+        raise FileNotFoundError(f"no committed version {version} at {path}")
+    files = _read_manifest(path, v)["files"]
+    if not files:
+        raise FileNotFoundError(f"version {v} at {path} lists no files")
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def restore(path: str, version: int) -> int:
+    """Roll the table back to `version` by committing a new manifest
+    with that version's file list (history preserved); returns the new
+    version number."""
+    target = _read_manifest(path, version)
+    new_version = latest_version(path) + 1
+    _commit(
+        path,
+        new_version,
+        {"version": new_version, "op": f"restore({version})",
+         "files": target["files"], "n_new_files": 0},
+    )
+    return new_version
+
+
+def history(path: str) -> list[dict]:
+    """Commit log, oldest first: version, op, file count."""
+    last = latest_version(path)
+    if last is None:
+        return []
+    return [
+        {
+            "version": m["version"],
+            "op": m["op"],
+            "n_files": len(m["files"]),
+        }
+        for m in (_read_manifest(path, v) for v in range(last + 1))
+    ]
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data dirs referenced by NO manifest in the kept horizon
+    (the newest `keep_versions` manifests plus nothing else — older
+    manifests become unreadable, as after Delta VACUUM). Returns the
+    deleted dirs. Never touches the manifest log itself."""
+    import shutil
+
+    last = latest_version(path)
+    if last is None:
+        return []
+    keep = range(max(0, last - keep_versions + 1), last + 1)
+    live = {
+        os.path.dirname(f)
+        for v in keep
+        for f in _read_manifest(path, v)["files"]
+    }
+    deleted = []
+    data_root = os.path.join(path, "data")
+    for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        rel = f"data/{d}"
+        if rel not in live:
+            shutil.rmtree(os.path.join(data_root, d))
+            deleted.append(rel)
+    return deleted

@@ -1,0 +1,92 @@
+"""Versioned table format (sources/versioned.py): time travel, atomic
+commit claim, restore-as-roll-forward, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sparkify_datalake_spark.sources import versioned as V
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def _ids(spark, path, version=None):
+    return sorted(
+        r["k"] for r in V.read_version(spark, path, version).collect()
+    )
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert V.commit(_df(spark, 0, 5), t) == 0
+    assert V.commit(_df(spark, 5, 8), t) == 1          # append
+    assert V.commit(_df(spark, 100, 103), t, mode="overwrite") == 2
+    # each version reads exactly its manifest's files
+    assert _ids(spark, t, 0) == list(range(5))
+    assert _ids(spark, t, 1) == list(range(8))
+    assert _ids(spark, t, 2) == [100, 101, 102]
+    assert _ids(spark, t) == [100, 101, 102]           # latest = v2
+    assert [h["op"] for h in V.history(t)] == [
+        "append", "append", "overwrite"
+    ]
+
+
+def test_uncommitted_data_dir_is_invisible(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 3), t)
+    # a crashed writer left data files but no manifest: readers of any
+    # committed version must not see them
+    _df(spark, 900, 903).write.parquet(os.path.join(t, "data/v00001"))
+    assert _ids(spark, t) == [0, 1, 2]
+    assert V.latest_version(t) == 0
+    # and the next commit claims version 1 anyway (overwrites the orphan)
+    V.commit(_df(spark, 3, 5), t)
+    assert _ids(spark, t) == [0, 1, 2, 3, 4]
+
+
+def test_version_claim_is_atomic(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 3), t)
+    # simulate a racing writer that claimed version 1 first
+    racer = {"version": 1, "op": "append", "files": [], "n_new_files": 0}
+    V._commit(t, 1, racer)
+    with pytest.raises(V.VersionConflict):
+        V._commit(t, 1, racer)
+
+
+def test_restore_rolls_forward(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 3), t)
+    V.commit(_df(spark, 0, 99).filter("k >= 90"), t, mode="overwrite")
+    new_v = V.restore(t, 0)
+    assert new_v == 2
+    assert _ids(spark, t) == [0, 1, 2]            # back to v0's content
+    assert _ids(spark, t, 1) == list(range(90, 99))  # history intact
+    assert V.history(t)[-1]["op"] == "restore(0)"
+
+
+def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 3), t)                      # v0 → data/v00000
+    V.commit(_df(spark, 3, 6), t)                      # v1 appends v00001
+    V.commit(_df(spark, 50, 53), t, mode="overwrite")  # v2 → only v00002
+    deleted = V.vacuum(t, keep_versions=1)
+    # v2 references only data/v00002; the first two dirs go
+    assert deleted == ["data/v00000", "data/v00001"]
+    assert _ids(spark, t) == [50, 51, 52]
+    # appends after vacuum keep working
+    V.commit(_df(spark, 53, 55), t)
+    assert _ids(spark, t) == [50, 51, 52, 53, 54]
+
+
+def test_read_missing_version_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        V.read_version(spark, t)
+    V.commit(_df(spark, 0, 2), t)
+    with pytest.raises(FileNotFoundError):
+        V.read_version(spark, t, 7)
