@@ -538,3 +538,80 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_union_agg(F.col("sketch"), F.lit(False))
         ).alias("approx_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the frequency twin of the HLL distinct sketches
+# above, built from plain DataFrame ops so the sketch is a TABLE
+# (mergeable by summing cells, inspectable, persistable) rather than an
+# opaque binary. CMS guarantee: est ≥ true, and est ≤ true + εN with
+# probability 1−δ where ε = e/width, δ = e^−depth.
+
+_CMS_DEPTH = 5
+_CMS_WIDTH = 2048
+
+
+def cms_build(
+    df: DataFrame, col: str, depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH
+) -> DataFrame:
+    """Build a count-min sketch table (d, w, cnt) over a column.
+
+    Each row fans out to `depth` (row-index, bucket) cells via seeded
+    xxhash64 (JVM-side, whole-stage codegen); ONE hash aggregation over
+    (d, bucket) produces the ≤ depth×width-cell sketch — a map-side
+    partial-aggregated shuffle whose output size is constant in n, the
+    same scale shape as any sketch. Sketches over different data slices
+    merge by unioning and summing cells (test-asserted), which is what
+    makes per-day sketches roll up without re-scanning facts.
+    """
+    d_seq = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    return (
+        df.select(F.col(col).alias("k"))
+        .select("k", d_seq)
+        .select("d", F.pmod(F.xxhash64("k", "d"), F.lit(width)).alias("w"))
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, keys: DataFrame, col: str, depth: int = _CMS_DEPTH,
+    width: int = _CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate counts for a key frame against a sketch table.
+
+    Keys fan out to their depth cells, left-join the sketch (broadcast —
+    it is ≤ depth×width rows), and take min(cnt) per key; a missing cell
+    means a zero count. The probe never touches the original data."""
+    d_seq = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    return (
+        keys.select(F.col(col).alias("k"))
+        .select("k", d_seq)
+        .select("k", "d", F.pmod(F.xxhash64("k", "d"), F.lit(width)).alias("w"))
+        .join(F.broadcast(cms), ["d", "w"], "left")
+        .groupBy("k")
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0))).alias("est_count")
+        )
+        .select(F.col("k").alias(col), "est_count")
+    )
+
+
+# xxhash64 has no DuckDB twin → rows-only; tests/test_sketches.py
+# asserts the CMS bounds (est ≥ true; est ≤ true + εN) and cell-sum
+# mergeability against exact groupBy counts.
+@query("agg_cms_counts")
+def agg_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the 20 smallest custkeys.
+
+    Heavy-hitter shape at 100 TB: the sketch build is one constant-size
+    shuffle over the fact table; any later frequency probe is a
+    broadcast join against the tiny sketch table — no fact re-scan per
+    question asked.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cms = cms_build(orders, "o_custkey")
+    probes = orders.select("o_custkey").filter(
+        F.col("o_custkey") < 20
+    ).distinct()
+    return cms_estimate(cms, probes, "o_custkey").orderBy("o_custkey")

@@ -98,3 +98,55 @@ def test_hll_sketch_column_is_mergeable_binary(spark, sf_dir):
         ).alias("n")
     ).collect()[0]["n"]
     assert abs(total - whole) <= max(0.02 * whole, 2), (total, whole)
+
+
+def test_cms_estimates_bounded_and_never_undercount(spark, sf_dir):
+    """CMS invariants: est ≥ true count for every probe (min of
+    overcounting cells can never undercount), and with width=2048 /
+    depth=5 over a fixture-sized corpus the overcount stays within
+    εN = (e/width)·N."""
+    import math
+
+    from sparkify_datalake_spark.operators import aggregates as A
+
+    orders = load(spark, sf_dir, "orders")
+    n = orders.count()
+    true = {
+        r["o_custkey"]: r["cnt"]
+        for r in orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("o_custkey") < 20)
+        .collect()
+    }
+    est = {
+        r["o_custkey"]: r["est_count"]
+        for r in queries()["agg_cms_counts"](spark, sf_dir).collect()
+    }
+    assert set(est) == set(true)
+    eps_n = math.e / A._CMS_WIDTH * n
+    for k, t in true.items():
+        assert est[k] >= t, f"CMS undercounted key {k}: {est[k]} < {t}"
+        assert est[k] <= t + eps_n, f"CMS overcount beyond εN for {k}"
+
+
+def test_cms_merges_by_summing_cells(spark, sf_dir):
+    """Sketches over disjoint slices merged by cell-sum must equal the
+    sketch built over the union — the mergeability contract that lets
+    per-day sketches roll up without fact re-scans."""
+    from sparkify_datalake_spark.operators import aggregates as A
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0)
+    hi = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = (
+        A.cms_build(lo, "o_custkey")
+        .unionAll(A.cms_build(hi, "o_custkey"))
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = A.cms_build(orders, "o_custkey")
+    diff = merged.join(whole, ["d", "w"], "full").filter(
+        F.coalesce(merged["cnt"], F.lit(0))
+        != F.coalesce(whole["cnt"], F.lit(0))
+    )
+    assert diff.count() == 0
