@@ -615,3 +615,41 @@ def agg_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey") < 20
     ).distinct()
     return cms_estimate(cms, probes, "o_custkey").orderBy("o_custkey")
+
+
+@query(
+    "agg_bitmap_distinct",
+    """
+SELECT o_orderstatus,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark 4 bitmap aggregates —
+    the deterministic sibling of the HLL pair above.
+
+    Phase 1 buckets each key into a 32k-bit bitmap per (status,
+    priority, bucket); phase 2 ORs the bitmaps up to status level and
+    sums bit counts. Unlike HLL this is exact (hash-checked against
+    plain count DISTINCT) while still incremental: per-slice bitmaps
+    roll up by OR without re-scanning facts. Cost is O(key-space/8)
+    bytes per group — the right tool when keys are dense integers
+    (custkey), where HLL's error buys nothing.
+    """
+    orders = load(spark, sf_dir, "orders")
+    fine = orders.groupBy(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("o_custkey"))
+        ).alias("bm")
+    )
+    return (
+        fine.groupBy("o_orderstatus", "bucket")
+        .agg(F.bitmap_count(F.bitmap_or_agg(F.col("bm"))).alias("partial"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("partial").alias("exact_customers"))
+    )
