@@ -274,3 +274,46 @@ def test_sessionize_single_sort_single_shuffle(spark):
     assert plan.count("Exchange") == 1, plan[:2000]
     assert plan.count("Sort ") == 1, plan[:2000]
     assert plan.count("Window") == 2
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    # The non-broadcast sibling of DPP: when the dim side of a SHUFFLE
+    # join carries a selective filter, the optimizer builds a bloom
+    # filter from the dim keys (bloom_filter_agg) and injects
+    # might_contain onto the fact scan — at 100 TB this drops most fact
+    # rows BEFORE the shuffle. Thresholds are sized for clusters, so
+    # pin them down to fixture scale for the shape assertion.
+    from sparkify_datalake_spark.sources.load import load
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        import pyspark.sql.functions as F
+
+        li = load(spark, SF_DIR, "lineitem")
+        orders = load(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:3000]
+        assert "might_contain" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
