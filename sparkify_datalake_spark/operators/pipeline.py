@@ -18,7 +18,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkify_datalake_spark.registry import query
@@ -363,3 +363,34 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def observed_write(
+    df: DataFrame, path: str, qc_cols: dict[str, Column] | None = None
+) -> dict:
+    """Write Parquet with QC counters collected ON the write job —
+    ``df.observe`` piggybacks the metrics on the action, so data-quality
+    numbers (rows written, null counts, domain bounds) cost ZERO extra
+    scans. At 100 TB the alternative — a separate count/agg pass after
+    the write — re-reads the table; this is free.
+
+    Returns the metrics dict. Default counters: row count and, for
+    every top-level numeric column, its null count. Callers pass
+    ``qc_cols`` to add their own aggregate expressions.
+    """
+    from pyspark.sql import Observation
+
+    exprs = {"n_rows": F.count(F.lit(1))}
+    for f in df.schema.fields:
+        if f.dataType.typeName() in (
+            "integer", "long", "double", "float", "decimal",
+        ):
+            exprs[f"n_null_{f.name}"] = F.count(F.lit(1)) - F.count(f.name)
+    if qc_cols:
+        exprs.update(qc_cols)
+    obs = Observation("qc")
+    observed = df.observe(
+        obs, *[e.alias(name) for name, e in exprs.items()]
+    )
+    observed.write.mode("overwrite").parquet(path)
+    return obs.get

@@ -121,3 +121,32 @@ def files_matching(
     """How many files a [lo, hi] filter on `col` must read (bounding-
     box intersection — the reader's skipping decision)."""
     return sum(1 for b in bounds if not (b[col][1] < lo or b[col][0] > hi))
+
+
+def pruned_read(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> DataFrame:
+    """Read only the files whose footer [min,max] for `col` intersects
+    [lo, hi], then re-apply the filter for exactness.
+
+    This is the engine-side half of the z-order story: the metadata
+    pass costs O(files) footer reads (no data pages, no Spark job) and
+    the scan touches only surviving files — on a z-ordered table a
+    range filter on EITHER clustered column reads a fraction of the
+    data. Equivalent to what Delta/Iceberg do with their stats
+    manifests; here the stats come straight from Parquet footers.
+    """
+    import os
+
+    bounds = file_column_bounds(path, [col])
+    keep = [
+        os.path.join(path, b["file"])
+        for b in bounds
+        if not (b[col][1] < lo or b[col][0] > hi)
+    ]
+    if not keep:
+        # preserve schema on an empty result
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*keep).filter(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )

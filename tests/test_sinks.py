@@ -168,3 +168,29 @@ def test_sorted_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
     # sorted: the 4 ranges partition the domain (≈1 domain total)
     assert span_sum(flat) >= 2 * domain
     assert span_sum(sorted_) <= 1.1 * domain
+
+
+def test_observed_write_collects_qc_on_the_write_job(spark, tmp_path):
+    """df.observe metrics ride the write action — no second scan; the
+    counters must match what a (deliberately re-scanning) check finds."""
+    from pyspark.sql import functions as F
+
+    from sparkify_datalake_spark.operators.pipeline import observed_write
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    out = str(tmp_path / "qc_out")
+    metrics = observed_write(
+        df, out, {"v_max": F.max("v")}
+    )
+    assert metrics["n_rows"] == 100
+    assert metrics["n_null_v"] == 10
+    assert metrics["n_null_id"] == 0
+    assert metrics["v_max"] == 99.0
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert back.filter("v IS NULL").count() == 10

@@ -93,3 +93,24 @@ def test_zordered_write_preserves_data(spark, tmp_path):
         range(64 * 64)
     )
     assert set(back.columns) == {"x", "y", "payload"}
+
+
+def test_pruned_read_matches_full_scan_and_reads_fewer_files(
+    spark, tmp_path
+):
+    df = _grid_df(spark)
+    zpath = str(tmp_path / "zord")
+    Z.write_zordered(df, zpath, "x", "y", n_files=N_FILES)
+    pruned = Z.pruned_read(spark, zpath, "y", 0, 7)
+    full = spark.read.parquet(zpath).filter("y >= 0 and y <= 7")
+    assert sorted(r["payload"] for r in pruned.collect()) == sorted(
+        r["payload"] for r in full.collect()
+    )
+    # the pruned plan must scan fewer files than the table holds
+    n_scanned = len(pruned.inputFiles())
+    assert 0 < n_scanned <= N_FILES // 2, n_scanned
+    # empty intersection returns an empty frame with the right schema
+    empty = Z.pruned_read(spark, zpath, "y", 1000, 2000)
+    assert empty.count() == 0 and set(empty.columns) == {
+        "x", "y", "payload",
+    }
