@@ -165,3 +165,62 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.token "
         "FROM udtf_docs d, LATERAL split_doc(d.doc_id, d.text) s"
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    """
+SELECT l_orderkey, l_linenumber,
+  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,4))), 2)
+    AS DOUBLE) AS net_price
+FROM lineitem WHERE l_quantity >= 30
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-level Python surface: raw
+    ``pyarrow.RecordBatch`` in/out, no pandas materialization at all.
+
+    One tier below mapInPandas: the Arrow buffers Spark ships are
+    compute()'d on directly (zero-copy columnar kernels), which matters
+    when pandas conversion itself is the overhead — wide batches,
+    binary columns, or chained arrow-native kernels. The computation
+    (net price at 2dp over decimal exact values) is chosen so the
+    oracle can hash-check a Python-boundary operator: arithmetic on
+    exactly-representable 2dp values rounds identically everywhere.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def net(batches):
+        # §7.2 discipline, arrow-native: a double multiply-then-round
+        # drifts by a cent vs DuckDB's decimal product, so lift the 2dp
+        # price and 4dp discount into exact integer space (cents /
+        # basis points), multiply as int64, and round half-up by
+        # integer arithmetic — bit-identical to the decimal oracle.
+        i64 = pa.int64()
+        for batch in batches:
+            price_c = pc.cast(
+                pc.round(pc.multiply(batch.column(2), 100.0), 0), i64
+            )
+            disc_bp = pc.cast(
+                pc.round(pc.multiply(batch.column(3), 10000.0), 0), i64
+            )
+            net6 = pc.multiply(
+                price_c, pc.subtract(pa.scalar(10000, i64), disc_bp)
+            )
+            cents = pc.divide(pc.add(net6, 5000), pa.scalar(10000, i64))
+            price = pc.divide(pc.cast(cents, pa.float64()), 100.0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), price],
+                ["l_orderkey", "l_linenumber", "net_price"],
+            )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+    return li.mapInArrow(
+        net, "l_orderkey long, l_linenumber int, net_price double"
+    )
