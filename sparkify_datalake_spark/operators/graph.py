@@ -147,3 +147,110 @@ def graph_user_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     ).distinct()
     return connected_components_from_buckets(memberships)
+
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 10
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = _PR_DAMPING,
+    iters: int = _PR_ITERS,
+) -> DataFrame:
+    """PageRank over a directed (src, dst) edge list → (node, rank).
+
+    Power iteration as pure DataFrame ops: each pass is one join of the
+    current rank vector to the edge list, one groupBy(dst) to sum
+    contributions, plus a one-row aggregate that redistributes dangling
+    mass (nodes with no out-edges) — the standard normalized
+    formulation, so ranks sum to n at every step (test-asserted). The
+    rank map is localCheckpointed per iteration: lineage would double
+    per pass otherwise (same discipline as _propagate_min_labels).
+
+    Scale: each iteration shuffles the edge list once on src (the join)
+    and once on dst (the sum) — on a cluster you pre-partition the edge
+    list by src and only the rank vector moves. Deterministic: fixed
+    iteration count and exact double sums are NOT guaranteed
+    order-stable, so ranks are rounded at comparison boundaries by the
+    caller (the registered query rounds to 6dp after a final
+    magnitude-ordered sum; pytest checks vs NumPy power iteration at
+    1e-6).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(out_deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # dangling nodes (no out-edges) spread their rank uniformly
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        ranks = (
+            nodes.join(
+                contribs, nodes.node == contribs.dst, "left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dmass") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+@query("graph_user_pagerank")
+def graph_user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by PageRank on the directed "next active user"
+    graph (user u → user v when v's event directly follows u's within
+    the same event_type stream).
+
+    Influence ranking over an interaction graph — the second classic
+    iterative-graph op after connected components, sharing its
+    per-iteration checkpoint discipline. Rows-only (iterative float
+    fixpoint); pytest cross-checks the full rank vector against NumPy
+    power iteration on the same edges.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select("event_type", "ts", "event_id", "user_id")
+        .withColumn("next_user", F.lead("user_id").over(w))
+        .filter(
+            F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+        .select(
+            F.col("user_id").alias("src"), F.col("next_user").alias("dst")
+        )
+        .distinct()
+    )
+    return (
+        pagerank(edges)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(20)
+    )

@@ -74,3 +74,55 @@ def test_user_components_match_union_find(spark, sf_dir):
         for r in graph_user_components(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """The DataFrame power iteration must agree with a dense NumPy
+    implementation of the same normalized formulation (damping 0.85,
+    dangling redistribution, 10 iterations) to float tolerance."""
+    import numpy as np
+
+    from sparkify_datalake_spark.operators.graph import (
+        _PR_DAMPING,
+        _PR_ITERS,
+        pagerank,
+    )
+
+    edge_list = [
+        (0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (5, 0), (1, 5),
+        (6, 2),  # 6 has out-edges but no in-edges
+        (3, 7),  # 7 is dangling (no out-edges)
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["node"]: r["rank"] for r in pagerank(edges).collect()
+    }
+
+    n = 8
+    deg = np.zeros(n)
+    for s, _ in edge_list:
+        deg[s] += 1
+    r = np.ones(n)
+    for _ in range(_PR_ITERS):
+        contrib = np.zeros(n)
+        for s, d in edge_list:
+            contrib[d] += r[s] / deg[s]
+        dmass = r[deg == 0].sum()
+        r = (1 - _PR_DAMPING) + _PR_DAMPING * (contrib + dmass / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    # normalized formulation: total rank mass stays n
+    assert abs(sum(got.values()) - n) < 1e-6
+
+
+def test_pagerank_ranks_hub_highest(spark):
+    """A star graph's center must outrank every leaf."""
+    from sparkify_datalake_spark.operators.graph import pagerank
+
+    # bidirectional star: the center receives whole-rank contributions
+    # from every leaf but returns only 1/5 of its own to each
+    star = [(i, 99) for i in range(1, 6)] + [(99, i) for i in range(1, 6)]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert got[99] == max(got.values())
+    assert got[99] > 3 * got[2]
