@@ -168,14 +168,17 @@ def pagerank(
     rank map is localCheckpointed per iteration: lineage would double
     per pass otherwise (same discipline as _propagate_min_labels).
 
-    Scale: each iteration shuffles the edge list once on src (the join)
-    and once on dst (the sum) — on a cluster you pre-partition the edge
-    list by src and only the rank vector moves. Deterministic: fixed
-    iteration count and exact double sums are NOT guaranteed
-    order-stable, so ranks are rounded at comparison boundaries by the
-    caller (the registered query rounds to 6dp after a final
-    magnitude-ordered sum; pytest checks vs NumPy power iteration at
-    1e-6).
+    Scale: the per-iteration work is exactly two shuffles — the
+    rank-to-edges join (on src) and the contribution sum (on dst).
+    Everything static is hoisted out of the loop and checkpointed once:
+    out-degree rides ON the edge list (no per-pass deg join) and the
+    dangling flag rides ON the rank frame (dangling mass is a column
+    scan, not a per-pass anti-join). On a cluster you additionally
+    pre-partition the edge list by src so only the rank vector moves.
+    Deterministic: fixed iteration count; exact double sums are NOT
+    guaranteed order-stable, so ranks are rounded at comparison
+    boundaries by the caller (the registered query rounds to 6dp;
+    pytest checks vs NumPy power iteration at 1e-9).
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -185,23 +188,33 @@ def pagerank(
     )
     n_nodes = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    # static loop invariants, materialized once:
+    edges_w = edges.join(out_deg, "src").localCheckpoint()  # (src,dst,deg)
+    node_flags = nodes.join(
+        out_deg.select(F.col("src").alias("node"), F.lit(False).alias("d0")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("d0", F.lit(True)).alias("dangling")
+    ).localCheckpoint()
+    ranks = node_flags.select("node", F.lit(1.0).alias("rank"), "dangling")
     for _ in range(iters):
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(out_deg, "src")
+            edges_w.join(ranks, edges_w.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling nodes (no out-edges) spread their rank uniformly
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        # dangling nodes (no out-edges) spread their rank uniformly —
+        # a filtered scan of the rank frame, no join
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
+            ).alias("dmass")
         )
         ranks = (
-            nodes.join(
-                contribs, nodes.node == contribs.dst, "left"
+            node_flags.join(
+                contribs, node_flags.node == contribs.dst, "left"
             )
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -214,10 +227,11 @@ def pagerank(
                         + F.col("dmass") / F.lit(float(n_nodes))
                     )
                 ).alias("rank"),
+                "dangling",
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 @query("graph_user_pagerank")
