@@ -98,11 +98,34 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
     ``mode="append"`` carries the previous version's files forward plus
     the new ones; ``mode="overwrite"`` lists only the new files (old
     data files remain on disk — earlier versions still read them).
+
+    Schema evolution: an append whose DataFrame carries NEW columns is
+    legal — the manifest records each version's schema (DDL string) and
+    readers merge file schemas, so old files surface the new columns as
+    NULL. Dropping or type-changing an existing column in append mode
+    raises (that is an overwrite/rewrite, as in Delta/Iceberg).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     prev = latest_version(path)
     version = 0 if prev is None else prev + 1
+    if mode == "append" and prev is not None:
+        prev_fields = dict(
+            f.split(" ", 1)
+            for f in _read_manifest(path, prev)["schema"].split(", ")
+        )
+        new_fields = {f.name: f.dataType.simpleString() for f in df.schema}
+        missing = set(prev_fields) - set(new_fields)
+        changed = {
+            k for k in set(prev_fields) & set(new_fields)
+            if prev_fields[k] != new_fields[k]
+        }
+        if missing or changed:
+            raise ValueError(
+                "append may only ADD columns; dropped="
+                f"{sorted(missing)} type-changed={sorted(changed)} — "
+                "use mode='overwrite' to rewrite the schema"
+            )
     data_rel = f"data/v{version:05d}"
     data_dir = os.path.join(path, data_rel)
     df.write.mode("overwrite").parquet(data_dir)
@@ -112,11 +135,14 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
         if mode == "append" and prev is not None
         else new_files
     )
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    )
     _commit(
         path,
         version,
         {"version": version, "op": mode, "files": files,
-         "n_new_files": len(new_files)},
+         "n_new_files": len(new_files), "schema": schema_ddl},
     )
     return version
 
@@ -135,7 +161,13 @@ def read_version(
     files = _read_manifest(path, v)["files"]
     if not files:
         raise FileNotFoundError(f"version {v} at {path} lists no files")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    # mergeSchema: files written before a column was added lack it;
+    # merging surfaces the union schema with NULLs for old files —
+    # reading an OLD version still yields the old schema because only
+    # that version's files are listed.
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
 
 
 def restore(path: str, version: int) -> int:
@@ -148,7 +180,8 @@ def restore(path: str, version: int) -> int:
         path,
         new_version,
         {"version": new_version, "op": f"restore({version})",
-         "files": target["files"], "n_new_files": 0},
+         "files": target["files"], "n_new_files": 0,
+         "schema": target["schema"]},
     )
     return new_version
 

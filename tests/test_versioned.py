@@ -90,3 +90,42 @@ def test_read_missing_version_raises(spark, tmp_path):
     V.commit(_df(spark, 0, 2), t)
     with pytest.raises(FileNotFoundError):
         V.read_version(spark, t, 7)
+
+
+def test_append_evolves_schema_additively(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 3), t)
+    V.commit(
+        _df(spark, 3, 5).withColumn("tag", F.lit("new")), t
+    )
+    latest = V.read_version(spark, t)
+    # union schema: old files surface the added column as NULL
+    assert set(latest.columns) == {"k", "tag"}
+    rows = {r["k"]: r["tag"] for r in latest.collect()}
+    assert rows[0] is None and rows[4] == "new"
+    # time travel to v0 yields the ORIGINAL schema, not the union
+    assert V.read_version(spark, t, 0).columns == ["k"]
+
+
+def test_append_rejects_drops_and_type_changes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 3), t)
+    with pytest.raises(ValueError, match="only ADD"):
+        V.commit(_df(spark, 0, 1).select(F.lit("x").alias("other")), t)
+    with pytest.raises(ValueError, match="type-changed"):
+        V.commit(
+            _df(spark, 0, 1).select(F.col("k").cast("string").alias("k")),
+            t,
+        )
+    # overwrite legitimately rewrites the schema
+    V.commit(
+        _df(spark, 0, 2).select(F.col("k").cast("string").alias("k")),
+        t,
+        mode="overwrite",
+    )
+    assert V.read_version(spark, t).schema["k"].dataType.simpleString() \
+        == "string"
