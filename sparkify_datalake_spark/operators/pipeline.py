@@ -394,3 +394,32 @@ def observed_write(
     )
     observed.write.mode("overwrite").parquet(path)
     return obs.get
+
+
+@query(
+    "sample_stratified",
+    f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_MD5_BUCKET_SQL} <=
+  CASE lang WHEN 'en' THEN '1f' ELSE '7f' END
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates via
+    per-stratum hash-bucket thresholds (downsample the majority
+    language to ~12.5%, keep ~50% of the tail languages — the
+    rebalancing move every multilingual corpus build makes).
+
+    Same membership-is-a-pure-function property as sample_hash_pct —
+    unlike ``df.sampleBy(seed)``, whose row selection depends on
+    partition layout, this survives repartitioning, AQE, and engine
+    swaps unchanged (which is why it can be hash-checked at all).
+    """
+    docs = load(spark, sf_dir, "documents")
+    bound = F.when(F.col("lang") == "en", F.lit("1f")).otherwise(
+        F.lit("7f")
+    )
+    return docs.filter(F.expr(_MD5_BUCKET_SPARK) <= bound).select(
+        "doc_id", "lang"
+    )
