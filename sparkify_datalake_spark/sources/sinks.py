@@ -300,3 +300,42 @@ def write_sorted_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def diff_tables(
+    base: DataFrame, other: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Row-level reconciliation of two snapshots keyed by ``key_cols``:
+    returns (keys…, change_type ∈ {added, removed, changed}) — rows
+    identical in both snapshots are not returned.
+
+    The CDC/repair primitive: diffing yesterday's and today's table
+    yields the minimal change set to replicate/repair. Shape: ONE full
+    outer join on the keys after each side collapses its non-key
+    columns to a single xxhash64 fingerprint (computed map-side, so the
+    shuffle carries keys + 8 bytes instead of whole rows — at 100 TB
+    the join cost is the key width, not the table width). NULL-safe:
+    the fingerprint hashes a struct, where NULL ≠ 'NULL-string' and
+    column order is pinned by the shared schema.
+    """
+    value_cols = sorted(set(base.columns) - set(key_cols))
+    if set(other.columns) != set(base.columns):
+        raise ValueError(
+            f"schemas differ: {sorted(base.columns)} vs "
+            f"{sorted(other.columns)}"
+        )
+    fp = F.xxhash64(F.struct(*[F.col(c) for c in value_cols]))
+    b = base.select(*key_cols, fp.alias("_fp_b"))
+    o = other.select(*key_cols, fp.alias("_fp_o"))
+    joined = b.join(o, key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_fp_b").isNull(), F.lit("added"))
+        .when(F.col("_fp_o").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+    ).filter(
+        F.col("_fp_b").isNull()
+        | F.col("_fp_o").isNull()
+        | (F.col("_fp_b") != F.col("_fp_o"))
+    )

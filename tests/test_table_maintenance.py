@@ -183,3 +183,43 @@ def test_compact_recovers_from_mid_swap_crash(spark, tmp_path):
     assert _collect(spark, path) == before
     assert not os.path.exists(path + ".compact-old")
     assert not os.path.exists(path + ".compact-staging")
+
+
+def test_diff_tables_classifies_changes(spark):
+    from pyspark.sql import functions as F
+
+    from sparkify_datalake_spark.sources.sinks import diff_tables
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    other = spark.createDataFrame(
+        [
+            (1, "a", 10.0),      # identical → absent from diff
+            (2, "b", 21.0),      # changed value
+            (3, "c", 30.0),      # NULL → value counts as changed
+            (5, "e", 50.0),      # added
+        ],                        # 4 removed
+        "k long, name string, v double",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in diff_tables(base, other, ["k"]).collect()
+    }
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_diff_tables_shuffles_fingerprints_not_rows(spark):
+    from sparkify_datalake_spark.sources.sinks import diff_tables
+
+    base = spark.range(100).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS payload"
+    )
+    other = base.filter("k < 90")
+    df = diff_tables(base, other, ["k"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # each side collapses to (key, xxhash64 fingerprint) BEFORE the
+    # join, so the shuffle carries 8-byte hashes, not payload columns
+    assert "xxhash64" in plan
+    assert sorted(r["k"] for r in df.collect()) == list(range(90, 100))
