@@ -225,3 +225,56 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             shutil.rmtree(os.path.join(data_root, d))
             deleted.append(rel)
     return deleted
+
+
+def commit_stream(
+    df: "DataFrame", path: str, checkpoint: str, mode: str = "append"
+):
+    """Sink a streaming DataFrame into a versioned table: every
+    micro-batch becomes one atomic table version via foreachBatch.
+
+    Exactly-once composition: Structured Streaming's checkpoint
+    guarantees each batch_id is DELIVERED at least once; the manifest
+    records which batch_id produced each version, and a replayed batch
+    (same batch_id as the table's last commit) is skipped — together
+    that upgrades at-least-once delivery to exactly-once table commits,
+    the same idempotent-sink contract Delta's streaming writer
+    implements. Readers meanwhile time-travel per micro-batch.
+    """
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        last = latest_version(path)
+        if last is not None and (
+            _read_manifest(path, last).get("batch_id") == batch_id
+        ):
+            return  # replayed batch after a crash — already committed
+        prev = latest_version(path)
+        version = 0 if prev is None else prev + 1
+        data_rel = f"data/v{version:05d}"
+        data_dir = os.path.join(path, data_rel)
+        batch_df.write.mode("overwrite").parquet(data_dir)
+        new_files = [
+            f"{data_rel}/{f}" for f in _list_parquet_files(data_dir)
+        ]
+        files = (
+            _read_manifest(path, prev)["files"] + new_files
+            if mode == "append" and prev is not None
+            else new_files
+        )
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in batch_df.schema
+        )
+        _commit(
+            path,
+            version,
+            {"version": version, "op": mode, "files": files,
+             "n_new_files": len(new_files), "schema": schema_ddl,
+             "batch_id": batch_id},
+        )
+
+    return (
+        df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -129,3 +129,77 @@ def test_append_rejects_drops_and_type_changes(spark, tmp_path):
     )
     assert V.read_version(spark, t).schema["k"].dataType.simpleString() \
         == "string"
+
+
+def test_streaming_commits_one_version_per_batch(spark, tmp_path):
+    """foreachBatch → versioned commit: each micro-batch is an atomic
+    table version; readers can time-travel per batch, and a replayed
+    batch_id is skipped (idempotent sink)."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src, exist_ok=True)
+    schema = "k long"
+    spark.createDataFrame([(0,), (1,)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = V.commit_stream(stream, t, chk)
+    try:
+        q.processAllAvailable()
+        assert _ids(spark, t) == [0, 1]
+        spark.createDataFrame([(2,)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        assert _ids(spark, t) == [0, 1, 2]
+        v = V.latest_version(t)
+        assert v == 1
+        # per-batch time travel
+        assert _ids(spark, t, 0) == [0, 1]
+        # manifests record which micro-batch produced each version —
+        # the idempotence key the sink's replay-skip consults
+        assert V._read_manifest(t, 0)["batch_id"] == 0
+        assert V._read_manifest(t, 1)["batch_id"] == 1
+    finally:
+        q.stop()
+
+
+def test_streaming_replayed_batch_is_skipped(spark, tmp_path):
+    """At-least-once delivery → exactly-once commits: re-delivering the
+    batch_id the latest manifest already records must be a no-op."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    schema = "k long"
+    spark.createDataFrame([(0,)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = V.commit_stream(stream, t, str(tmp_path / "chk1"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert V.latest_version(t) == 0
+    # a NEW query with a FRESH checkpoint re-delivers batch 0 (the
+    # crash-and-lose-the-checkpoint scenario); the sink must skip it
+    q2 = V.commit_stream(stream, t, str(tmp_path / "chk2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert V.latest_version(t) == 0
+    assert _ids(spark, t) == [0]
