@@ -748,3 +748,60 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     tunables of the public dedup_verified_frame API.
     """
     return dedup_verified_frame(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_unigram_surprisal",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+freq AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+),
+tot AS (SELECT sum(c) AS n FROM freq)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  round(avg(-log2(CAST(c AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot))), 4)
+    AS bits_per_token
+FROM tok JOIN freq USING (t)
+GROUP BY doc_id
+""",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram surprisal per document (bits/token) — the
+    statistical quality filter behind perplexity-based corpus pruning
+    (CCNet-style: score every doc against a language model and drop the
+    tails; here the LM is the corpus's own unigram distribution, so the
+    operator is closed over the fixture and exactly checkable).
+
+    Two aggregation passes over the token stream: (1) the unigram
+    frequency table — ONE groupBy whose output is vocabulary-sized, not
+    corpus-sized; (2) per-doc mean of -log2 p(token), with the
+    vocabulary table broadcast back onto the stream. At 100 TB the
+    vocabulary still fits comfortably in a broadcast (real corpora:
+    ~10M types) and both passes are partial-aggregated map-side.
+    Surprisal is averaged in DOUBLE: every addend is the same IEEE
+    double in both engines, and the 4dp round absorbs summation-order
+    noise at fixture scale (counts ≤ 6 digits ⇒ log2 exact to 2^-47).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"),
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    surprisal = -F.log2(
+        F.col("c").cast("double") / F.col("n").cast("double")
+    )
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(surprisal), 4).alias("bits_per_token"),
+        )
+    )
