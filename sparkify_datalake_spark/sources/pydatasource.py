@@ -33,15 +33,18 @@ package. Verified via the driver-sim recipe (foreign session from
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
     InputPartition,
     LessThan,
+    WriterCommitMessage,
 )
 
 CATEGORIES = ("news", "code", "wiki", "forum", "paper")
@@ -108,6 +111,9 @@ class SyntheticDocsSource(DataSource):
     def reader(self, schema) -> _DocsReader:  # noqa: ANN001 (API signature)
         return _DocsReader(dict(self.options))
 
+    def writer(self, schema, overwrite):  # noqa: ANN001 (API signature)
+        return _JsonlWriter(dict(self.options), overwrite)
+
 
 def register(spark) -> None:  # noqa: ANN001
     """Idempotently register the connector on a session.
@@ -125,3 +131,75 @@ def register(spark) -> None:  # noqa: ANN001
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer half of the connector surface: the same DataSource class can
+# also be a SINK. Spark calls writer(schema, overwrite); each task runs
+# write(rows) and returns a commit message; the driver then calls
+# commit(messages) exactly once iff every task succeeded (abort
+# otherwise) — the two-phase commit contract a JVM DSv2 writer gets.
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task-side JSONL writer with driver-side two-phase commit.
+
+    Tasks write to uniquely-named ``.staged-*`` files (task retries and
+    speculative duplicates never collide, losers are never committed);
+    ``commit`` renames the winning files into place and drops a
+    ``_SUCCESS`` marker listing them, so readers (and `abort`) can
+    distinguish committed data from orphaned staging debris.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("path option is required for writes")
+        self.overwrite = overwrite
+
+    def write(self, iterator):  # noqa: ANN001 — API signature
+        import json
+        import os
+        import uuid
+
+        def jsonable(v):  # Decimal / datetime / bytes land as strings
+            return float(v) if type(v).__name__ == "Decimal" else str(v)
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f".staged-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=jsonable) + "\n")
+                n += 1
+        return _FileCommit(filename=name, n_rows=n)
+
+    def commit(self, messages) -> None:  # noqa: ANN001
+        import json
+        import os
+
+        final = []
+        for m in messages:
+            committed = m.filename.removeprefix(".staged-")
+            os.rename(
+                os.path.join(self.path, m.filename),
+                os.path.join(self.path, committed),
+            )
+            final.append({"file": committed, "n_rows": m.n_rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump(final, fh)
+
+    def abort(self, messages) -> None:  # noqa: ANN001
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except FileNotFoundError:
+                pass

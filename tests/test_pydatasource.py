@@ -103,3 +103,36 @@ def test_category_domain(spark):
         .collect()
     }
     assert cats <= set(CATEGORIES)
+
+
+def test_writer_roundtrip_with_two_phase_commit(spark, tmp_path):
+    """df.write.format(...) drives write→commit: staged files promote
+    on commit, a _SUCCESS manifest lists them, and the JSONL content
+    round-trips."""
+    import json
+    import os
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(20).selectExpr(
+        "id AS doc_id",
+        "CAST(id % 3 AS STRING) AS category",
+        "CAST(id AS DOUBLE) / 10 AS score",
+        "concat('text-', id) AS text",
+    ).repartition(3)
+    df.write.format("synthetic_docs").option("path", out).mode(
+        "append"
+    ).save()
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    assert not [f for f in files if f.startswith(".staged-")]
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(m["n_rows"] for m in manifest) == 20
+    assert {m["file"] for m in manifest} <= set(files)
+    rows = []
+    for f in files:
+        if f.endswith(".jsonl"):
+            with open(os.path.join(out, f)) as fh:
+                rows += [json.loads(line) for line in fh]
+    assert sorted(r["doc_id"] for r in rows) == list(range(20))
+    assert all(r["text"] == f"text-{r['doc_id']}" for r in rows)
