@@ -122,3 +122,79 @@ def test_date_parts_agree(spark, ddb, days):
         "(SELECT DATE '1970-01-01' + n AS d FROM prop_d)"
     ).fetchall()]
     assert sorted(sp) == sorted(du)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python properties of engine kernels (no Spark session needed for
+# the reference model; one batch evaluation per example set).
+
+
+def _morton_py(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(deadline=None, max_examples=20,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_z_value_matches_reference_interleave(spark, pairs):
+    """The codegen Morton expression must equal the bit-twiddling
+    reference for arbitrary 16-bit coordinates (bijectivity follows)."""
+    from pyspark.sql import functions as F
+
+    from sparkify_datalake_spark.sources.zorder import z_value
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [
+        r["z"]
+        for r in df.select(
+            z_value(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    ]
+    want = [_morton_py(a, b, 16) for a, b in pairs]
+    assert got == want
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_cms_never_undercounts_any_key(spark, keys):
+    """CMS lower-bound invariant under arbitrary key multisets: the
+    estimate for EVERY distinct key is ≥ its true count."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sparkify_datalake_spark.operators.aggregates import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    cms = cms_build(df, "k")
+    probes = df.distinct()
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(cms, probes, "k").collect()
+    }
+    true = Counter(keys)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
