@@ -128,36 +128,45 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stage k counts users whose first stage-k event happens strictly
     AFTER their first stage-(k-1) event — the order constraint that
-    separates a funnel from three independent counts. Staged
-    aggregation: each stage is a per-user min over one event type,
-    joined (broadcast — stage frames are user-sized, not event-sized)
-    into the next stage's filter. One row out.
+    separates a funnel from three independent counts. Single-pass
+    formulation: the three stage timestamps are CHAINED WINDOW minima
+    over one user_id partitioning (t2 is the min click ts among rows
+    later than the t1 window expression, etc.), so the whole funnel
+    costs ONE shuffle of events + one tiny global aggregate —
+    tests/test_plans.py pins ≤3 exchanges (the staged
+    aggregate-join-aggregate version measured 14).
     """
+    from pyspark.sql import Window
+
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > t1),
+            F.col("ts"),
+        )
+    ).over(w)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > t2),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = ev.select(
+        "user_id", t1.alias("t1"), t2.alias("t2"), t3.alias("t3")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    return staged.agg(
+        F.count_distinct(
+            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+        ).alias("n_view"),
+        F.count_distinct(
+            F.when(F.col("t2").isNotNull(), F.col("user_id"))
+        ).alias("n_click"),
+        F.count_distinct(
+            F.when(F.col("t3").isNotNull(), F.col("user_id"))
+        ).alias("n_purchase"),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    counts = [
-        df.agg(F.count(F.lit(1)).alias(name))
-        for df, name in [(v, "n_view"), (c, "n_click"), (p, "n_purchase")]
-    ]
-    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
 
 
 _WEEK_US = 7 * 24 * 3600 * 1_000_000

@@ -317,3 +317,13 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_funnel_single_event_shuffle(spark):
+    # the three chained stage-minima must share ONE user_id exchange +
+    # ONE sort (the staged aggregate-join formulation measured 14
+    # exchanges); the remaining two exchanges are the tiny global
+    # aggregate's partial/final pair
+    plan = _plan(spark, "events_funnel")
+    assert plan.count("Exchange") <= 3, plan[:2500]
+    assert plan.count("Sort ") == 1
