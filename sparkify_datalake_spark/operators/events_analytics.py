@@ -1,19 +1,16 @@
 """Batch event-analytics operators over the ``events`` table:
-sessionization, conversion funnel, cohort retention (SURVEY §2-I
-addenda — the product-analytics queries every event pipeline serves).
+conversion funnel and cohort retention (SURVEY §2-I addenda — the
+product-analytics queries every event pipeline serves; gap-based
+sessionization lives in timeseries.ts_sessionize).
 
-All three are pure Catalyst compositions (windows + conditional
+Both are pure Catalyst compositions (windows + conditional
 aggregation + broadcast joins) — no UDFs — so they inherit whole-stage
 codegen and scale like any entity-keyed window: state per user chain,
 shuffles only on user_id / group keys.
 
 Scale notes (100 TB of events):
-- sessionize is ONE shuffle on user_id; both window passes (lag, running
-  sum) and the final per-session aggregate reuse that partitioning —
-  Catalyst collapses them into a single sort+window stage per user.
-- funnel's three stage frames are per-user aggregates of the SAME
-  shuffle; each later stage joins the (much smaller) earlier stage
-  frame, so data volume only shrinks down the funnel.
+- funnel's three chained stage minima ride ONE shuffle of events (a
+  shared user_id window partitioning) plus one tiny global aggregate.
 - retention joins each event to its user's (tiny) cohort row; the
   distinct on (user, cohort, week) is bounded by users × weeks, not
   events.
@@ -26,80 +23,6 @@ from pyspark.sql import functions as F
 
 from sparkify_datalake_spark.registry import query
 from sparkify_datalake_spark.sources.load import load
-
-# Gap threshold calibrated to the fixture's event density (~10 h median
-# per-user inter-event gap): 6 h merges ~40% of adjacent pairs, so
-# sessions are genuinely multi-event. Production web analytics uses
-# 30 min — the operator is the same, only the interval literal changes.
-_SESSION_GAP = "6 hours"
-_SESSION_GAP_SQL = "INTERVAL 6 HOUR"
-
-
-@query(
-    "events_sessionize",
-    f"""
-WITH d AS (
-  SELECT user_id, ts, event_id,
-    CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w > {_SESSION_GAP_SQL}
-         THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT user_id, ts,
-    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-  FROM d
-)
-SELECT user_id, session_id, count(*) AS n_events,
-  min(ts) AS session_start,
-  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
-FROM s GROUP BY user_id, session_id
-""",
-)
-def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization: a new session starts when a user is
-    idle longer than the gap threshold.
-
-    The canonical lag → flag → running-sum composition: the session id
-    is the running count of gap-exceeded flags, computed in the same
-    user-partitioned sort as the lag itself. (event_id breaks ts ties
-    so the session numbering is total-order deterministic.)
-    """
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    is_new = (
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.col("ts").cast("timestamp")
-                > F.lag(F.col("ts").cast("timestamp")).over(w)
-                + F.expr(f"INTERVAL {_SESSION_GAP}")
-            ),
-            1,
-        )
-        .otherwise(0)
-    )
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        ev.withColumn("is_new", is_new)
-        .withColumn("session_id", F.sum("is_new").over(w_run))
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            (
-                F.unix_micros(F.max("ts").cast("timestamp"))
-                - F.unix_micros(F.min("ts").cast("timestamp"))
-            ).alias("duration_us"),
-        )
-    )
-
 
 @query(
     "events_funnel",
@@ -139,8 +62,6 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     global aggregate — tests/test_plans.py pins ≤3 exchanges (the
     staged aggregate-join-aggregate version measured 14).
     """
-    from pyspark.sql import Window
-
     day = F.expr("INTERVAL 24 HOURS")
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     w = Window.partitionBy("user_id")

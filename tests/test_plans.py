@@ -267,10 +267,10 @@ def test_q15_materializes_revenue_view_once(spark):
 def test_sessionize_single_sort_single_shuffle(spark):
     # lag-flag, running-sum AND the per-session aggregate must all ride
     # ONE user_id exchange + ONE sort: the two window specs share the
-    # (user_id | ts, event_id) order, and grouping on (user_id,
-    # session_id) is satisfied by the user_id hash partitioning. A
-    # second Exchange or Sort means the composition broke.
-    plan = _plan(spark, "events_sessionize")
+    # (user_id | ts) order, and grouping on (user_id, session_seq) is
+    # satisfied by the user_id hash partitioning. A second Exchange or
+    # Sort means the composition broke.
+    plan = _plan(spark, "ts_sessionize")
     assert plan.count("Exchange") == 1, plan[:2000]
     assert plan.count("Sort ") == 1, plan[:2000]
     assert plan.count("Window") == 2
