@@ -136,3 +136,37 @@ def test_writer_roundtrip_with_two_phase_commit(spark, tmp_path):
                 rows += [json.loads(line) for line in fh]
     assert sorted(r["doc_id"] for r in rows) == list(range(20))
     assert all(r["text"] == f"text-{r['doc_id']}" for r in rows)
+
+
+def test_writer_abort_cleans_staged_files(spark, tmp_path):
+    """A failing task must leave NO committed artifacts: abort removes
+    staged files and _SUCCESS is never written."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    out = str(tmp_path / "sink")
+
+    @F.udf("long")
+    def boom(v):
+        if v == 13:
+            raise ValueError("injected task failure")
+        return v
+
+    df = spark.range(20).select(
+        boom(F.col("id")).alias("doc_id"),
+        F.lit("x").alias("category"),
+        F.lit(0.5).cast("double").alias("score"),
+        F.lit("t").alias("text"),
+    ).repartition(4)
+    try:
+        df.write.format("synthetic_docs").option("path", out).mode(
+            "append"
+        ).save()
+        raise AssertionError("write should have failed")
+    except Exception as e:  # noqa: BLE001 — py4j wraps the task error
+        assert "injected task failure" in str(e)
+    leftovers = os.listdir(out) if os.path.isdir(out) else []
+    assert "_SUCCESS" not in leftovers
+    assert not [f for f in leftovers if f.startswith(".staged-")], leftovers
