@@ -86,3 +86,23 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _register_views(spark, sf_dir, "orders", "lineitem")
     return spark.sql(_Q4_SQL)
+
+
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def sql(spark: SparkSession, sf_dir: str, query_text: str) -> DataFrame:
+    """The engine's SQL front door: run arbitrary ANSI SQL text against
+    the full fixture catalog.
+
+    Registers every table as a temp view (named logical plans — no data
+    movement; the loader keeps the nanosecond-timestamp workaround and
+    session confs identical to the DataFrame path) and hands the text
+    to Spark's parser. A reference user's ad-hoc SQL runs unchanged:
+    same Catalyst pipeline, same optimizations as the DataFrame API.
+    """
+    _register_views(spark, sf_dir, *ALL_TABLES)
+    return spark.sql(query_text)

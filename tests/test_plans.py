@@ -327,3 +327,24 @@ def test_funnel_single_event_shuffle(spark):
     plan = _plan(spark, "events_funnel")
     assert plan.count("Exchange") <= 3, plan[:2500]
     assert plan.count("Sort ") == 1
+
+
+def test_sql_front_door_runs_adhoc_text(spark):
+    # arbitrary multi-table SQL text over the full catalog must plan
+    # through the same Catalyst pipeline (broadcast + pushdown intact)
+    from sparkify_datalake_spark.plans.sql_surface import sql
+
+    df = sql(
+        spark,
+        SF_DIR,
+        """
+        SELECT n.n_name, count(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 0
+        GROUP BY n.n_name
+        """,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal" in plan
+    assert df.count() > 0
