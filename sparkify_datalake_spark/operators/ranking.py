@@ -157,3 +157,72 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "text_keywords_topk",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tokens()}) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+stats AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, token,
+    round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (token), stats
+)
+SELECT doc_id, token, score
+FROM (
+  SELECT doc_id, token, score,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, token) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+""",
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — the document-side dual of
+    the query-side retrieval above (tagging/labeling pass every corpus
+    catalog runs).
+
+    Same smoothed TF-IDF arithmetic, but over the FULL vocabulary: tf
+    shuffles once on (doc, token); the per-term document frequencies
+    are vocabulary-sized and broadcast back; ranking is a per-doc
+    window (row_number ≤ 3) on the same doc partitioning the final
+    grouping would use. Determinism: scores are rounded to 6dp BEFORE
+    ranking and ties break on the token string, so the selected
+    keyword set is engine-exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    stats = docs.agg(F.count(F.lit(1)).alias("n"))
+    score = F.round(
+        F.col("tf")
+        * (
+            F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0
+        ),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "score")
+    )
