@@ -73,21 +73,6 @@ _DECODE_SCHEMA = (
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB decode — deterministic fake dimensions from a content hash.
-
-    A real deployment replaces this body with e.g. PIL/libav decode; the
-    container has no media libraries, so the kernel derives stable fake
-    dimensions instead. Everything outside this function is the real
-    production plumbing.
-    """
-    digest = hashlib.md5(payload).digest()
-    width = 16 + digest[0] % 1024
-    height = 16 + digest[1] % 1024
-    channels = 1 + digest[2] % 4
-    return width, height, channels
-
-
 @query("mm_decode_features")
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract kernel over binary payloads via mapInPandas.
@@ -99,8 +84,23 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = with_payload(load(spark, sf_dir, "documents"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl  # closure-local: §7.3 self-containment
+
+        def fake_decode(payload: bytes) -> tuple[int, int, int]:
+            # STUB decode — deterministic fake dimensions from a
+            # content hash. A real deployment replaces this body with
+            # e.g. PIL/libav decode; the container has no media libs,
+            # so the kernel derives stable fake dimensions instead.
+            # Everything around it is the real production plumbing.
+            digest = _hl.md5(payload).digest()
+            return (
+                16 + digest[0] % 1024,
+                16 + digest[1] % 1024,
+                1 + digest[2] % 4,
+            )
+
         for pdf in batches:
-            dims = [_fake_decode(p) for p in pdf["payload"]]
+            dims = [fake_decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
