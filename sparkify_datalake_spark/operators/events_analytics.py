@@ -152,3 +152,52 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "events_path_trigrams",
+    """
+WITH seq AS (
+  SELECT concat_ws('>', event_type,
+           lead(event_type, 1) OVER w,
+           lead(event_type, 2) OVER w) AS path,
+         lead(event_type, 2) OVER w AS third
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT path, count(*) AS n
+FROM seq WHERE third IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 5
+""",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 three-step event-type paths across user streams — sequence
+    mining lite (the "what do users do next" product-analytics query).
+
+    Two lead windows over one user_id sort build each row's forward
+    trigram; the path space is tiny (|event types|³ ≤ 125) so the
+    count aggregation is map-side partial and the top-5 is a bounded
+    heap. Trigrams never cross users (lead stays inside the window
+    partition; tail rows with no third step drop out).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    third = F.lead("event_type", 2).over(w)
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        third,
+    )
+    return (
+        ev.select(path.alias("path"), third.alias("third"))
+        .filter(F.col("third").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(5)
+    )
