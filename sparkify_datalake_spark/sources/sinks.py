@@ -314,9 +314,11 @@ def diff_tables(
     outer join on the keys after each side collapses its non-key
     columns to a single xxhash64 fingerprint (computed map-side, so the
     shuffle carries keys + 8 bytes instead of whole rows — at 100 TB
-    the join cost is the key width, not the table width). NULL-safe:
-    the fingerprint hashes a struct, where NULL ≠ 'NULL-string' and
-    column order is pinned by the shared schema.
+    the join cost is the key width, not the table width). NULL-safe in
+    VALUES: the fingerprint hashes a struct, where NULL ≠ 'NULL-string'
+    and column order is pinned by the shared schema. Keys themselves
+    must be non-null (standard equi-join semantics: a null key never
+    matches, so such a row would read as removed+added).
     """
     value_cols = sorted(set(base.columns) - set(key_cols))
     if set(other.columns) != set(base.columns):

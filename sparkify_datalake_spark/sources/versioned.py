@@ -240,6 +240,12 @@ def commit_stream(
     that upgrades at-least-once delivery to exactly-once table commits,
     the same idempotent-sink contract Delta's streaming writer
     implements. Readers meanwhile time-travel per micro-batch.
+
+    One writer per table: the replay check consults only the LATEST
+    manifest, which is sound for a single streaming query (batch ids
+    are monotone, so a replay is always of the last commit). Two
+    streams interleaving commits on one table would defeat it — run
+    one writer, as with any streaming table sink.
     """
 
     def commit_batch(batch_df, batch_id: int) -> None:
