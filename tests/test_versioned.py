@@ -203,3 +203,16 @@ def test_streaming_replayed_batch_is_skipped(spark, tmp_path):
         q2.stop()
     assert V.latest_version(t) == 0
     assert _ids(spark, t) == [0]
+
+
+def test_vacuum_after_restore_keeps_restored_files(spark, tmp_path):
+    """restore lists OLD data files in a NEW manifest — vacuum's kept
+    horizon must therefore protect them while dropping the overwritten
+    middle version's files."""
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 3), t)                       # v0 → data/v00000
+    V.commit(_df(spark, 50, 53), t, mode="overwrite")   # v1 → data/v00001
+    V.restore(t, 0)                                     # v2 lists v00000
+    deleted = V.vacuum(t, keep_versions=1)
+    assert deleted == ["data/v00001"]
+    assert _ids(spark, t) == [0, 1, 2]
