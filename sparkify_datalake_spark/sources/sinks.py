@@ -341,3 +341,13 @@ def diff_tables(
         | F.col("_fp_o").isNull()
         | (F.col("_fp_b") != F.col("_fp_o"))
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (Spark-bundled columnar alternative to Parquet — same
+    predicate-pushdown/column-pruning reader story, zlib by default)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -194,3 +194,25 @@ def test_observed_write_collects_qc_on_the_write_job(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 100
     assert back.filter("v IS NULL").count() == 10
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trips the orders table and its reader honors filter
+    pushdown + column pruning like the Parquet path."""
+    from sparkify_datalake_spark.sources.load import load
+    from sparkify_datalake_spark.sources.sinks import read_orc, write_orc
+
+    orders = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    filtered = back.filter("o_orderstatus = 'F'").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>" \
+        in plan
+    assert filtered.count() == orders.filter("o_orderstatus = 'F'").count()
