@@ -656,8 +656,16 @@ def dedup_verified_frame(
     measured fixture default. Returns (doc_id, rep_id).
     """
     sig, bands = _minhash_sig_bands()
-    toksets = docs.repartition(32).select(
-        "doc_id", F.array_distinct(_tokens()).alias("toks")
+    # Materialized once: four consumers (band signatures, both sides of
+    # the verify join, singleton self-edges) would otherwise each
+    # re-scan the parquet and re-tokenize — measured ~1.5 s of the
+    # sf0.1 wall. At cluster scale this is the persist() of the
+    # tokenized corpus that every MinHash pipeline keeps for the verify
+    # stage.
+    toksets = (
+        docs.repartition(32)
+        .select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+        .localCheckpoint()
     )
     buckets = (
         toksets.select("doc_id", "toks", sig.alias("sig"))
