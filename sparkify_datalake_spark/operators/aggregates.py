@@ -14,7 +14,7 @@ skew-join/agg splitting, no manual salting needed for these shapes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkify_datalake_spark.functions.determinism import (
@@ -652,4 +652,51 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bitmap_count(F.bitmap_or_agg(F.col("bm"))).alias("partial"))
         .groupBy("o_orderstatus")
         .agg(F.sum("partial").alias("exact_customers"))
+    )
+
+
+@query(
+    "agg_mode",
+    """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority AS modal_priority, n
+FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority
+) = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group modal value (most frequent order priority per status)
+    with a deterministic tiebreak.
+
+    Spark 4 ships a `mode()` aggregate, but its tie resolution is
+    unspecified — useless for a reproducible pipeline. The
+    count-then-rank composition pins ties to the lexicographically
+    smallest value, making the mode engine-exact: a groupBy on the
+    (group, value) pair (partial-aggregatable, so the wide fact scan
+    combines map-side) followed by a row_number over groups whose
+    cardinality is |groups|×|values| — tiny, so the window sort is
+    noise at any scale. The same shape generalizes to top-k frequent
+    values per group (win_topk_group) and to heavy-hitter sketches when
+    the value domain explodes (agg_cms_counts).
+    """
+    orders = load(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n",
+        )
     )

@@ -201,3 +201,48 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(5)
     )
+
+
+@query(
+    "events_anomaly",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n,
+  round((n - avg(n) OVER (PARTITION BY event_type))
+        / stddev_samp(n) OVER (PARTITION BY event_type), 6) AS z,
+  CAST(abs((n - avg(n) OVER (PARTITION BY event_type))
+        / stddev_samp(n) OVER (PARTITION BY event_type)) > 2
+       AS BIGINT) AS is_anomaly
+FROM hourly
+""",
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type, z-scored
+    against that type's own hourly distribution, |z| > 2 flagged — the
+    ops-monitoring query every event pipeline runs on itself.
+
+    Two-level shape: the heavy pass is the (type, hour) count — fully
+    partial-aggregatable, so 100 TB of raw events combine map-side down
+    to |types|×|hours| rows — and the z-score window runs on that tiny
+    aggregate, never on raw events (contrast feat_zscore, which scores
+    rows). The flag is computed from the UNROUNDED z on both engines so
+    the 6dp display round can't flip a borderline anomaly differently
+    per engine. date_trunc over the ns-precision event time matches
+    because hour truncation is exact in both µs and ns arithmetic.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2).cast("long").alias("is_anomaly"),
+    )

@@ -1,0 +1,143 @@
+"""Feature-preparation operators (SURVEY §2 I-ter family): one-hot
+encoding, quantile discretization, and a pairwise correlation matrix —
+the tabular feature-engineering pass an ML training pipeline runs
+before export, expressed as pure Catalyst compositions (no UDFs).
+
+Scale notes (100 TB):
+- one-hot is a map-side projection: zero shuffles, whole-stage codegen,
+  column pruning reaches the scan.
+- the quantile discretizer FIT shown here uses an exact global ntile
+  (one total-order sort) for engine-exact determinism; at cluster scale
+  the same fit runs as approx percentiles (`percentile_approx`, see
+  agg_approx_percentile) or the two-phase ntile (win_ntile_twophase) —
+  the APPLY side is always a map-side CASE over broadcast boundaries.
+- the correlation matrix is one partial-aggregatable pass: every
+  Pearson cell needs only (n, Σx, Σy, Σxy, Σx², Σy²) moments, so 100 TB
+  costs one scan + a 1-row final merge, never a per-pair re-scan.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "feat_onehot",
+    "SELECT c_custkey, "
+    + ", ".join(
+        f"CAST(c_mktsegment = '{s}' AS BIGINT) AS seg_{s.lower()}"
+        for s in _SEGMENTS
+    )
+    + " FROM customer",
+)
+def feat_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encode the (low-cardinality) market segment into
+    indicator columns — the categorical-to-numeric step before export
+    to a trainer.
+
+    The vocabulary is pinned (sorted segment list) rather than inferred
+    per-run: a stable feature space across pipeline runs is the
+    contract one-hot must keep, and pinning it keeps the transform a
+    pure map-side projection — no distinct() scan, no shuffle, and the
+    scan reads exactly two columns. Unseen categories encode as all
+    zeros (the standard handle-invalid=keep choice).
+    """
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        *[
+            (F.col("c_mktsegment") == s).cast("long").alias(f"seg_{s.lower()}")
+            for s in _SEGMENTS
+        ],
+    )
+
+
+@query(
+    "feat_quantile_bucket",
+    """
+WITH b AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM b GROUP BY bucket
+""",
+)
+def feat_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-discretizer FIT: decile boundaries of order totalprice
+    as (bucket, count, lo, hi) — the 10-row table a bucketizer
+    broadcasts back for the map-side APPLY.
+
+    ntile over a TOTAL order (price with orderkey tiebreak) is the
+    SQL-standard definition both engines share bit-for-bit, which makes
+    the fit hash-checkable. The single global sort is the documented
+    scale hazard of exact ntile: at 100 TB the same 10-row output comes
+    from `percentile_approx` (constant memory, one pass) or the
+    two-phase per-range ntile (win_ntile_twophase) — exactness of the
+    boundaries is never worth a terabyte sort in production, and the
+    apply side is indifferent to how the boundaries were fit.
+    """
+    orders = load(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "corr_matrix",
+    " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(corr({a}, {b}), 6) AS pearson_r FROM lineitem"
+        for a, b in combinations(_CORR_COLS, 2)
+    ),
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the lineitem measures as a
+    tall (col_a, col_b, r) frame — the feature-redundancy screen run
+    before model training.
+
+    All C(4,2)=6 cells come out of ONE aggregation pass: `corr` is
+    moment-based (n, Σx, Σy, Σxy, Σx², Σy²), so every cell partial-
+    aggregates map-side and the final merge touches 6 numbers — the
+    plan is one scan + one 1-row exchange, and adding columns grows the
+    aggregate width, never the pass count. The 1-row wide result is
+    unpivoted to the tall frame with `stack` (zero extra jobs).
+    Pearson r is invariant to the n vs n-1 variance convention, so the
+    6dp round is engine-exact.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pairs = list(combinations(_CORR_COLS, 2))
+    wide = li.agg(
+        *[
+            F.corr(a, b).alias(f"r_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack_expr = ", ".join(
+        f"'{a}', '{b}', round(r_{i}, 6)" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, pearson_r)"
+    )

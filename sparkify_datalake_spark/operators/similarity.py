@@ -907,3 +907,100 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_KNN_K = 3
+
+
+@query(
+    "sim_knn_graph",
+    f"""
+SELECT a.vec_id AS src, b.vec_id AS dst,
+  round({_PAIR_COS_SQL}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+QUALIFY row_number() OVER (
+  PARTITION BY a.vec_id
+  ORDER BY round({_PAIR_COS_SQL}, 6) DESC, b.vec_id
+) <= {_KNN_K}
+""",
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide kNN graph (top-3 cosine neighbors per vector)
+    — the batch precursor to clustering, label propagation, and
+    embedding-space dedup, and the ground truth an ANN index's recall
+    is measured against.
+
+    Same blocked-GEMM harness as sim_threshold_pairs, but blocked over
+    the WHOLE corpus (constant blocking key instead of the label): each
+    task matmuls one ≤4096-vector block pair and emits only its LOCAL
+    top-k per source row — per-block candidates are disjoint neighbor
+    sets, so the global top-k is always contained in the union of block
+    top-ks (the standard two-stage distributed top-k argument). The
+    final window re-ranks k·ceil(n/4096) candidates per vector, never
+    n — the shuffle after the GEMM carries O(n·k) rows while the O(n²)
+    similarity matrix stays inside the kernels. Determinism: block
+    results are ranked on (6dp-rounded cosine, neighbor id) exactly
+    like the final window and the oracle, so boundary ties cut the same
+    way everywhere.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    k = _KNN_K
+
+    def knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # self-contained closure (pickles by value; foreign-cwd workers)
+        empty = pd.DataFrame({"src": [], "dst": [], "cos_sim": []})
+        a = pdf[pdf["side"] == 0]
+        if len(a) == 0:
+            return empty
+        ids_a = a["vec_id"].to_numpy()
+        xa = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        na = np.sqrt((xa * xa).sum(axis=1))
+        same = bool((pdf["ci"] == pdf["cj"]).iloc[0])
+        if same:
+            ids_b, xb, nb = ids_a, xa, na
+        else:
+            b = pdf[pdf["side"] == 1]
+            if len(b) == 0:
+                return empty
+            ids_b = b["vec_id"].to_numpy()
+            xb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            nb = np.sqrt((xb * xb).sum(axis=1))
+        sims = np.round((xa @ xb.T) / np.outer(na, nb), 6)
+        src, dst, cos = [], [], []
+
+        def emit(ids_s, ids_d, m, drop_diag):
+            for i in range(len(ids_s)):
+                row = m[i]
+                if drop_diag:
+                    keep = ids_d != ids_s[i]
+                    cand_ids, cand_cos = ids_d[keep], row[keep]
+                else:
+                    cand_ids, cand_cos = ids_d, row
+                top = np.lexsort((cand_ids, -cand_cos))[:k]
+                src.extend([ids_s[i]] * len(top))
+                dst.extend(cand_ids[top])
+                cos.extend(cand_cos[top])
+
+        emit(ids_a, ids_b, sims, same)
+        if not same:
+            emit(ids_b, ids_a, sims.T, False)
+        return pd.DataFrame({"src": src, "dst": dst, "cos_sim": cos})
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.lit(0).alias("label"), "embedding"
+    )
+    cand = (
+        _block_tasks(emb, _GEMM_BLOCK)
+        .groupBy("label", "ci", "cj")
+        .applyInPandas(knn, "src long, dst long, cos_sim double")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst", "cos_sim")
+    )

@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkify_datalake_spark.registry import query
@@ -811,5 +811,93 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg(surprisal), 4).alias("bits_per_token"),
+        )
+    )
+
+
+_BLOCK_TOKS = 16
+
+
+@query(
+    "dedup_block_exact",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, CAST(u.block_id AS BIGINT) AS block_id,
+    md5(array_to_string(
+      list_slice(toks, block_id * {_BLOCK_TOKS} + 1,
+                 block_id * {_BLOCK_TOKS} + {_BLOCK_TOKS}), ' ')) AS h
+  FROM t, unnest(range(0,
+    greatest(1, CAST(ceil(len(toks) / {_BLOCK_TOKS}.0) AS BIGINT))
+  )) AS u(block_id)
+),
+f AS (
+  SELECT doc_id,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, block_id) > 1 AS dup
+  FROM b
+)
+SELECT doc_id, count(*) AS n_blocks,
+  CAST(sum(CAST(dup AS BIGINT)) AS BIGINT) AS n_dup_blocks,
+  round(sum(CAST(dup AS BIGINT)) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+FROM f GROUP BY doc_id
+""",
+)
+def dedup_block_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-PASSAGE detection (Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better", block-granularity):
+    each doc is cut into non-overlapping 16-token blocks, a block is a
+    duplicate iff the identical token run occurred earlier in the
+    corpus (first occurrence by (doc_id, block_id) owns it), and docs
+    report their duplicated-block ratio — the signal used to strip
+    boilerplate passages that whole-doc dedup (dedup_exact) can't see.
+
+    Pipeline: map-side 1→k block fan-out (sequence+explode+slice, no
+    shuffle), md5 per block, ONE shuffle on the 16-byte block hash for
+    the first-occurrence ranking, one groupBy(doc_id) back. At 100 TB
+    the block-hash shuffle carries (hash, doc, idx) triples — bytes per
+    block, not text — and hot boilerplate blocks skew only the ranking
+    window's tail, which AQE splits. Suffix-array exact-substring dedup
+    is the letter of the paper; fixed-block hashing is its standard
+    distributed approximation (exact at block granularity, no global
+    suffix sort).
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    n_blocks = F.greatest(
+        F.lit(1), F.ceil(F.size("toks") / F.lit(float(_BLOCK_TOKS))).cast("long")
+    )
+    b = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_blocks - 1)).alias(
+            "block_id"
+        ),
+        "toks",
+    ).select(
+        "doc_id",
+        "block_id",
+        F.md5(
+            F.array_join(
+                F.slice("toks", F.col("block_id") * _BLOCK_TOKS + 1, _BLOCK_TOKS),
+                " ",
+            )
+        ).alias("h"),
+    )
+    dup = (
+        F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "block_id"))
+        > 1
+    )
+    return (
+        b.select("doc_id", dup.cast("long").alias("dup"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("dup").alias("n_dup_blocks"),
+            F.round(
+                F.sum("dup") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_ratio"),
         )
     )

@@ -426,3 +426,49 @@ def win_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_1h_sum"),
     )
+
+
+@query(
+    "win_count_distinct",
+    """
+SELECT event_id, user_id,
+  count(DISTINCT event_type) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS types_seen
+FROM events
+""",
+)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count per entity (event types seen so far per
+    user) — the windowed COUNT(DISTINCT) Spark's window functions
+    refuse outright (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED).
+
+    Composition: a row is the FIRST sighting of its (user, type) pair
+    iff row_number over that pair is 1; the running sum of first-
+    sighting flags over the user's event-time order IS the running
+    distinct count. Two window passes over the SAME user_id hash
+    partitioning — Catalyst plans one Exchange and two Sorts (the
+    second window only re-sorts within partitions), and per-row state
+    is one counter, vs the per-frame set a naive windowed DISTINCT
+    would hold. The oracle runs DuckDB's native DISTINCT window
+    aggregate, pinning the composition to the real semantics. Ordering
+    is total (ts, event_id) so both engines agree on every prefix.
+    """
+    ev = load(spark, sf_dir, "events")
+    first_seen = (
+        F.row_number().over(
+            Window.partitionBy("user_id", "event_type").orderBy(
+                "ts", "event_id"
+            )
+        )
+        == 1
+    )
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(first_seen.cast("long")).over(running).alias("types_seen"),
+    )
