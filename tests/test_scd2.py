@@ -1,0 +1,142 @@
+"""SCD2 dimension maintenance (sources/scd2.py): version chains close
+and open correctly, unchanged updates are no-ops, and the as-of lookup
+returns the version current at the fact's timestamp.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.sources.scd2 import (
+    scd2_apply,
+    scd2_init,
+    scd2_lookup_asof,
+)
+
+T0 = datetime(2024, 1, 1)
+T1 = datetime(2024, 2, 1)
+T2 = datetime(2024, 3, 1)
+
+
+def _snap(spark, rows, ts):
+    return spark.createDataFrame(
+        [(k, seg, ts) for k, seg in rows],
+        "custkey long, segment string, eff timestamp",
+    )
+
+
+def _dim0(spark):
+    return scd2_init(
+        _snap(spark, [(1, "BUILDING"), (2, "MACHINERY")], T0), "eff"
+    )
+
+
+def _chains(dim):
+    return {
+        (r["custkey"], r["segment"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in dim.collect()
+    }
+
+
+def test_init_opens_version_one(spark):
+    got = _chains(_dim0(spark))
+    assert got == {
+        (1, "BUILDING", T0, None, True),
+        (2, "MACHINERY", T0, None, True),
+    }
+
+
+def test_change_closes_and_opens(spark):
+    upd = _snap(spark, [(1, "FURNITURE"), (3, "HOUSEHOLD")], T1)
+    got = _chains(
+        scd2_apply(_dim0(spark), upd, "custkey", ["segment"], "eff")
+    )
+    assert got == {
+        (1, "BUILDING", T0, T1, False),   # closed at the update ts
+        (1, "FURNITURE", T1, None, True),  # new open version
+        (2, "MACHINERY", T0, None, True),  # untouched
+        (3, "HOUSEHOLD", T1, None, True),  # brand-new key
+    }
+
+
+def test_unchanged_update_is_noop(spark):
+    upd = _snap(spark, [(1, "BUILDING"), (2, "MACHINERY")], T1)
+    dim1 = scd2_apply(_dim0(spark), upd, "custkey", ["segment"], "eff")
+    assert _chains(dim1) == _chains(_dim0(spark))
+
+
+def test_two_batches_build_contiguous_chain(spark):
+    dim1 = scd2_apply(
+        _dim0(spark), _snap(spark, [(1, "FURNITURE")], T1),
+        "custkey", ["segment"], "eff",
+    )
+    dim2 = scd2_apply(
+        dim1, _snap(spark, [(1, "AUTOMOBILE")], T2),
+        "custkey", ["segment"], "eff",
+    )
+    k1 = sorted(
+        (r["valid_from"], r["valid_to"], r["is_current"], r["segment"])
+        for r in dim2.filter(F.col("custkey") == 1).collect()
+    )
+    assert k1 == [
+        (T0, T1, False, "BUILDING"),
+        (T1, T2, False, "FURNITURE"),
+        (T2, None, True, "AUTOMOBILE"),
+    ]
+    # exactly one current version per key, chain contiguous
+    cur = dim2.filter("is_current").groupBy("custkey").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_null_attr_transitions_are_real_changes(spark):
+    upd = spark.createDataFrame(
+        [(1, None, T1)], "custkey long, segment string, eff timestamp"
+    )
+    dim1 = scd2_apply(_dim0(spark), upd, "custkey", ["segment"], "eff")
+    assert (1, None, T1, None, True) in _chains(dim1)
+    # NULL -> NULL is NOT a change
+    dim2 = scd2_apply(
+        dim1,
+        spark.createDataFrame(
+            [(1, None, T2)], "custkey long, segment string, eff timestamp"
+        ),
+        "custkey", ["segment"], "eff",
+    )
+    assert _chains(dim2) == _chains(dim1)
+
+
+def test_backdated_update_rejected(spark):
+    with pytest.raises(ValueError, match="effective_ts"):
+        scd2_apply(
+            _dim0(spark), _snap(spark, [(1, "FURNITURE")], T0),
+            "custkey", ["segment"], "eff",
+        )
+
+
+def test_asof_lookup_picks_contemporary_version(spark):
+    dim1 = scd2_apply(
+        _dim0(spark), _snap(spark, [(1, "FURNITURE")], T1),
+        "custkey", ["segment"], "eff",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, datetime(2024, 1, 15)),  # during BUILDING
+            (101, 1, datetime(2024, 2, 1)),   # exactly at the cut → new
+            (102, 1, datetime(2024, 5, 1)),   # open current version
+            (103, 9, datetime(2024, 5, 1)),   # unknown key → null enrich
+        ],
+        "fact_id long, custkey long, ts timestamp",
+    )
+    got = {
+        r["fact_id"]: r["segment"]
+        for r in scd2_lookup_asof(dim1, facts, "custkey", "ts").collect()
+    }
+    assert got == {
+        100: "BUILDING",
+        101: "FURNITURE",
+        102: "FURNITURE",
+        103: None,
+    }
