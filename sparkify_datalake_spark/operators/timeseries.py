@@ -160,3 +160,131 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_sec"
         ),
     )
+
+
+@query(
+    "ts_interpolate",
+    """
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, ts, value
+  FROM events WHERE user_id < 50
+),
+obs AS (
+  SELECT user_id, h, round(arg_max(value, ts), 6) AS v
+  FROM ev GROUP BY user_id, h
+),
+grid AS (
+  SELECT user_id,
+    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+  FROM ev GROUP BY user_id
+),
+j AS (
+  SELECT g.user_id, g.h, o.v,
+    last_value(o.v IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN o.v IS NOT NULL THEN g.h END IGNORE NULLS)
+      OVER wp AS ph,
+    first_value(o.v IGNORE NULLS) OVER wn AS nv,
+    first_value(CASE WHEN o.v IS NOT NULL THEN g.h END IGNORE NULLS)
+      OVER wn AS nh
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+  WINDOW
+    wp AS (PARTITION BY g.user_id ORDER BY g.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY g.user_id ORDER BY g.h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, h,
+  CAST(v IS NOT NULL AS BIGINT) AS is_observed,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         floor((pv + (nv - pv)
+           * (CAST(epoch_us(h) - epoch_us(ph) AS DOUBLE)
+              / (epoch_us(nh) - epoch_us(ph)))) * 1000000 + 0.5) / 1000000
+       WHEN pv IS NOT NULL THEN pv
+       ELSE nv END AS value_interp
+FROM j
+""",
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the hourly resample grid — the
+    numeric twin of ts_resample_ffill for continuous measures (sensor
+    values, prices) where a step function misrepresents the gap.
+
+    Same three scale-shaped stages as the ffill variant (bounded obs
+    aggregate, per-user sequence grid, grid-pinning left join), then
+    BOTH fill directions in one window pass pair: previous observation
+    (value + hour) via last(ignorenulls) over the ascending frame, next
+    observation via first(ignorenulls) over the following frame — the
+    two frames share the user_id partitioning and one ascending sort,
+    so the whole op costs the join plus ONE window exchange. Gap hours
+    get pv + (nv-pv)·Δt ratio with Δt in exact integer µs; edges
+    degrade to nearest-neighbor (ffill after the last obs, bfill before
+    the first). Observed values are 6dp-rounded BEFORE interpolating,
+    so both engines run identical IEEE arithmetic on identical inputs;
+    the interp result is then quantized with an explicit
+    floor(x·1e6 + 0.5)/1e6 rather than round() — hour-grid Δt ratios
+    are dyadic, so interpolants land EXACTLY on 6dp half-way points
+    where the engines' native double round() disagree (3 rows at
+    sf0.01), while floor on bitwise-identical inputs cannot.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id", F.date_trunc("hour", "ts").alias("h"), "ts", "value"
+        )
+    )
+    obs = ev.groupBy("user_id", "h").agg(
+        F.round(F.expr("max_by(value, ts)"), 6).alias("v")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    j = grid.join(obs, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    frac = (
+        F.unix_micros("h") - F.unix_micros("ph")
+    ).cast("double") / (F.unix_micros("nh") - F.unix_micros("ph"))
+    return j.select(
+        "user_id",
+        "h",
+        F.col("v").isNotNull().cast("long").alias("is_observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.floor(
+                (F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+        .alias("value_interp"),
+    )

@@ -445,24 +445,26 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     refuse outright (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED).
 
     Composition: a row is the FIRST sighting of its (user, type) pair
-    iff row_number over that pair is 1; the running sum of first-
-    sighting flags over the user's event-time order IS the running
-    distinct count. Two window passes over the SAME user_id hash
-    partitioning — Catalyst plans one Exchange and two Sorts (the
-    second window only re-sorts within partitions), and per-row state
-    is one counter, vs the per-frame set a naive windowed DISTINCT
-    would hold. The oracle runs DuckDB's native DISTINCT window
-    aggregate, pinning the composition to the real semantics. Ordering
-    is total (ts, event_id) so both engines agree on every prefix.
+    iff, with the user's rows sorted by (type, ts), the previous row
+    holds a different type (lag-based group-boundary flag); the running
+    sum of first-sighting flags over the user's event-time order IS the
+    running distinct count. Both window passes partition by user_id
+    ALONE (the boundary flag deliberately uses lag within the user
+    partition rather than row_number over (user, type), which would
+    demand a second hash partitioning) — Catalyst plans ONE Exchange
+    and two Sorts (plan-asserted), and per-row state is one counter,
+    vs the per-frame set a naive windowed DISTINCT would hold. The
+    oracle runs DuckDB's native DISTINCT window aggregate, pinning the
+    composition to the real semantics. Ordering is total (ts, event_id)
+    so both engines agree on every prefix.
     """
     ev = load(spark, sf_dir, "events")
+    by_type = Window.partitionBy("user_id").orderBy(
+        "event_type", "ts", "event_id"
+    )
     first_seen = (
-        F.row_number().over(
-            Window.partitionBy("user_id", "event_type").orderBy(
-                "ts", "event_id"
-            )
-        )
-        == 1
+        F.lag("event_type").over(by_type).isNull()
+        | (F.lag("event_type").over(by_type) != F.col("event_type"))
     )
     running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -348,3 +348,45 @@ def test_sql_front_door_runs_adhoc_text(spark):
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal" in plan
     assert df.count() > 0
+
+
+def test_feat_onehot_is_shuffle_free_two_column_scan(spark):
+    # one-hot must stay a map-side projection: no exchange at all, and
+    # column pruning reaches the customer scan
+    plan = _plan(spark, "feat_onehot")
+    assert "Exchange" not in plan
+    assert "c_custkey" in plan and "c_mktsegment" in plan
+    assert "c_acctbal" not in plan and "c_name" not in plan
+
+
+def test_corr_matrix_single_aggregation_pass(spark):
+    # all 6 Pearson cells from ONE partial+final aggregate over ONE scan
+    plan = _plan(spark, "corr_matrix")
+    assert plan.count("Scan parquet") == 1
+    assert "partial_corr" in plan
+
+
+def test_win_count_distinct_single_exchange(spark):
+    # both window passes share the user_id hash partitioning: one
+    # Exchange (plus AQE reads), never two shuffles
+    plan = _plan(spark, "win_count_distinct")
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchange == 1, plan
+
+
+def test_events_anomaly_windows_on_aggregate_not_raw_events(spark):
+    # the z-score window must consume the (type, hour) aggregate; the
+    # raw-event pass partial-aggregates map-side
+    plan = _plan(spark, "events_anomaly")
+    assert "partial_count" in plan
+    win_after_agg = plan.index("Window") < plan.index("Scan parquet")
+    assert win_after_agg  # executedPlan prints top-down: Window above scan
+
+
+def test_knn_graph_shuffles_candidates_not_matrix(spark):
+    # the post-GEMM exchange carries (src, dst, cos_sim) top-k rows —
+    # the O(n²) similarity matrix must never appear as exchanged rows
+    plan = _plan(spark, "sim_knn_graph")
+    assert "FlatMapGroupsInPandas" in plan
+    after_gemm = plan.split("FlatMapGroupsInPandas")[0]
+    assert "src" in after_gemm and "cos_sim" in after_gemm
