@@ -490,3 +490,57 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.missing", "bigint").alias("missing_val"),
         F.try_parse_json("props").isNotNull().alias("parses"),
     )
+
+
+@query(
+    "fn_url",
+    """
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+      || '?lang=' || lang || '&v=2' AS url
+  FROM documents
+)
+SELECT doc_id, url,
+  regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+  regexp_extract(url, 'lang=([^&#]*)', 1) AS lang_param,
+  regexp_extract(url, '[?&]v=([^&#]*)', 1) AS v_param
+FROM u
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL construction + parsing — the normalize/partition-by-host
+    step of every web-corpus pipeline (crawl dedup buckets on host,
+    robots/quality rules key on scheme and path).
+
+    URLs are synthesized from document columns (the fixtures carry no
+    real ones), then parsed back with anchored regexes — scheme, host,
+    path, one query parameter — rather than Spark's parse_url, which
+    has no DuckDB twin; the regexes ARE the cross-engine contract, and
+    they follow RFC 3986's component boundaries ([^/?#] for authority,
+    [^?#] for path) so they generalize past the synthetic shape. All
+    map-side codegen: zero shuffles, and at 100 TB this runs as a
+    projection fused into whatever scan feeds it.
+    """
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract("url", r"lang=([^&#]*)", 1).alias("lang_param"),
+        F.regexp_extract("url", r"[?&]v=([^&#]*)", 1).alias("v_param"),
+    )

@@ -201,3 +201,129 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         "doc_id bigint, n_bytes_in int, n_bytes_out int, resized_md5 string",
     )
+
+
+_PHASH_BANDS = 4
+_PHASH_BAND_BITS = 16
+_PHASH_MAX_HAMMING = 8
+_PHASH_MAX_BUCKET = 50
+
+
+def phash_signatures(payloads: DataFrame) -> DataFrame:
+    """(doc_id, phash): 64-bit perceptual-style signature per binary
+    payload via an Arrow-batched mapInPandas kernel.
+
+    The media decode is stubbed (no codec libs in the container) with a
+    deterministic LOCALITY-PRESERVING reduction — the payload is split
+    into 64 byte segments and bit i is set iff segment i's mean exceeds
+    the whole payload's mean, so small payload edits flip few bits,
+    exactly the property a real pHash/aHash has after decode+DCT. The
+    Spark-side contract (binary column in, packed signed-64 hash out,
+    bounded Arrow batches, no shuffle) is the real plumbing a production
+    image-dedup kernel drops into.
+    """
+    import numpy as np  # noqa: F401 (kernel captures by value)
+
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            hashes = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.float64
+                )
+                if len(b) == 0:
+                    hashes.append(0)
+                    continue
+                segs = np.array_split(b, 64)
+                mu = b.mean()
+                h = 0
+                for s in segs:
+                    h = (h << 1) | int(len(s) > 0 and s.mean() > mu)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        kernel, "doc_id long, phash long"
+    )
+
+
+def phash_dedup_pairs(
+    payloads: DataFrame,
+    max_hamming: int = _PHASH_MAX_HAMMING,
+    max_bucket: int = _PHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate binary payloads by perceptual-hash hamming
+    distance: (doc_a, doc_b, hamming ≤ max_hamming).
+
+    The banding trick from dedup_simhash applied to the multimodal
+    signature: 4 bands × 16 bits — two hashes within hamming 8 of each
+    other agree exactly on ≥1 band for hamming ≤ 3 and with high
+    probability beyond, so candidates come from equality joins on
+    (band, band_value), never an all-pairs scan. Verification is one
+    codegen expression: bit_count(xor) on the packed longs. Mega-bucket
+    cap as in every LSH pipeline here (a degenerate band value shared
+    corpus-wide would make candidates quadratic). Scale: one narrow
+    kernel pass + one 4×-fanout equality-join shuffle on 10-byte keys +
+    per-candidate popcount — the standard web-scale image-dedup shape.
+    """
+    sig = phash_signatures(payloads)
+    bands = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("phash"), b * _PHASH_BAND_BITS
+                        )
+                        .bitwiseAND(F.lit((1 << _PHASH_BAND_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            ).alias("bands")
+        ).alias("bv"),
+    ).select("doc_id", "phash", "bv.band", "bv.band_val")
+    small = (
+        bands.groupBy("band", "band_val")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= max_bucket)
+        .select("band", "band_val")
+    )
+    bands = bands.join(F.broadcast(small), ["band", "band_val"])
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+@query("mm_dedup_phash")
+def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the documents' binary
+    payloads (rows-only: the signature kernel has no SQL twin; pytest
+    pins hamming-0 on identical payloads, locality under small edits,
+    and band-collision recall — tests/test_phash.py).
+    """
+    return phash_dedup_pairs(with_payload(load(spark, sf_dir, "documents")))
