@@ -246,3 +246,65 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) > 2).cast("long").alias("is_anomaly"),
     )
+
+
+@query(
+    "events_dau_wau",
+    """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+),
+cover AS (
+  SELECT user_id, d,
+    unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day
+  FROM du
+)
+SELECT day,
+  count(DISTINCT CASE WHEN d = day THEN user_id END) AS dau,
+  count(DISTINCT user_id) AS wau
+FROM cover
+WHERE day <= (SELECT max(d) FROM du)
+GROUP BY day
+""",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per day — the engagement pair every
+    product-analytics stack reports, and the textbook rolling-DISTINCT
+    problem (a window can't do it: distinct doesn't decompose over
+    sliding frames).
+
+    The cover-set trick: dedupe to (user, active-day) FIRST (the only
+    pass over raw events), then each active day covers the 7 report
+    days it can influence via a map-side 7× sequence-explode, and one
+    groupBy counts DAU (conditional on exact-day match) and WAU
+    (distinct over the cover) together. Cost: one distinct shuffle over
+    (user, day) — bounded by users × days, not events — plus a 7×
+    fan-out of that bounded frame; contrast the naive 7-way self-join
+    of daily cohorts. Report days past the observed horizon are cut so
+    every WAU is a full trailing window over real data.
+    """
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    maxd = du.agg(F.max("d").alias("maxd"))
+    cover = du.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.sequence(
+                "d", F.col("d") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    return (
+        cover.join(F.broadcast(maxd), F.col("day") <= F.col("maxd"))
+        .groupBy("day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("d") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct("user_id").alias("wau"),
+        )
+    )

@@ -141,3 +141,36 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, pearson_r)"
     )
+
+
+@query(
+    "agg_linreg",
+    """
+SELECT l_returnflag,
+  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+  regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price on quantity per return
+    flag) via the SQL-standard REGR_* aggregates — the closed-form
+    model fit that, like corr_matrix, is pure moment arithmetic: slope,
+    intercept, R² and count all derive from (n, Σx, Σy, Σxy, Σx², Σy²),
+    so the whole fit partial-aggregates map-side and costs one scan +
+    one tiny exchange at any scale. This is the degenerate-but-common
+    end of distributed ML: anything moment-expressible belongs in the
+    engine as an aggregate, not in a training loop. 6dp rounding
+    absorbs the ~1e-12 relative double-summation-order difference
+    between engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )

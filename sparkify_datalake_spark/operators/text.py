@@ -901,3 +901,78 @@ def dedup_block_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+_CONTAINMENT_SAMPLE = 300
+_CONTAINMENT_TAU = 0.8
+
+_CONTAINMENT_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(string_split(lower(text),' ')) - 1),
+      i -> concat(string_split(lower(text),' ')[i], ' ',
+                  string_split(lower(text),' ')[i+1], ' ',
+                  string_split(lower(text),' ')[i+2]))) AS shingles
+  FROM documents
+  WHERE doc_id < {_CONTAINMENT_SAMPLE}
+    AND len(string_split(lower(text),' ')) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(a.shingles), 6) AS containment
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(a.shingles), 6) >= {_CONTAINMENT_TAU}
+"""
+
+
+@query("dedup_containment", _CONTAINMENT_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC 3-gram-shingle containment |sh(A)∩sh(B)|/|sh(A)| ≥
+    0.8 on the bounded sample — the partial-copy detector symmetric
+    Jaccard is blind to: a short doc quoted wholesale inside a long one
+    scores near-zero Jaccard (the union is huge) but containment ≈ 1 in
+    the quote's direction, which is why web-dedup pipelines (and
+    benchmark-contamination checks — text_contamination is the
+    cross-corpus variant) track containment separately. Shingles, not
+    token sets: on a small shared vocabulary every token SET contains
+    every other (measured 144k degenerate pairs at sf0.01), while
+    order-sensitive 3-grams only match real shared passages.
+    Directional, so (a,b) and (b,a) are distinct facts and both emit.
+    Same bounded-sample anchor role as dedup_near_exact/dedup_ngram; at
+    100 TB the formula rides dedup_near_verified's banded candidates —
+    only the verify expression swaps.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CONTAINMENT_SAMPLE
+    )
+    toks = _tokens()
+    sh = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3), "
+                    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+                )
+            ).alias("shingles"),
+        )
+        .repartition(16)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cont = F.round(
+        F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
+        / F.size("a.shingles"),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONTAINMENT_TAU)
+    )

@@ -288,3 +288,63 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("nv"))
         .alias("value_interp"),
     )
+
+
+@query(
+    "ts_rollup_hierarchy",
+    """
+WITH hour AS (
+  SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events,
+    sum(CAST(value AS DECIMAL(18,2))) AS sv
+  FROM events GROUP BY 1
+),
+day AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*) AS n_events,
+    sum(CAST(value AS DECIMAL(18,2))) AS sv
+  FROM events GROUP BY 1
+)
+SELECT 'hour' AS level, bucket, n_events,
+  CAST(round(sv, 2) AS DOUBLE) AS sum_value FROM hour
+UNION ALL
+SELECT 'day' AS level, bucket, n_events,
+  CAST(round(sv, 2) AS DOUBLE) AS sum_value FROM day
+""",
+)
+def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: minute → hour → day, each
+    coarser level aggregated FROM the next finer one, never from raw
+    events — the continuous-aggregate maintenance contract (a day
+    re-rolls from 24 hour rows, not from a day of raw facts).
+
+    The Spark side builds the real chain (minute buckets from events,
+    hours from minutes, days from hours); the ORACLE aggregates hour
+    and day directly from raw events — the hash match is therefore the
+    PROOF that the chain is lossless, which is exactly the mergeability
+    property that makes incremental rollups valid. It holds because
+    count and DECIMAL sum are associative (kept exact through every
+    level; rounded once at the edge) — the same property the HLL/bitmap
+    rollups (agg_hll_union, agg_bitmap_distinct) extend to distinct
+    counts. At 100 TB each level's input is the finer level's output
+    (minutes ≈ 2 orders smaller than events, hours 60× smaller again):
+    the re-aggregation cost collapses geometrically.
+    """
+    ev = load(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket").alias("bucket")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    out_cols = lambda lvl, df: df.select(  # noqa: E731
+        F.lit(lvl).alias("level"),
+        "bucket",
+        "n_events",
+        F.round("sv", 2).cast("double").alias("sum_value"),
+    )
+    return out_cols("hour", hour).unionByName(out_cols("day", day))
