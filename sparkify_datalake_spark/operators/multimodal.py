@@ -237,11 +237,15 @@ def phash_signatures(payloads: DataFrame) -> DataFrame:
                 if len(b) == 0:
                     hashes.append(0)
                     continue
-                segs = np.array_split(b, 64)
-                mu = b.mean()
-                h = 0
-                for s in segs:
-                    h = (h << 1) | int(len(s) > 0 and s.mean() > mu)
+                # segment means via one cumsum (vectorized; no 64-way
+                # array_split allocation per payload)
+                idx = (np.arange(65) * len(b)) // 64
+                cs = np.concatenate(([0.0], np.cumsum(b)))
+                cnt = np.diff(idx)
+                sums = cs[idx[1:]] - cs[idx[:-1]]
+                means = np.where(cnt > 0, sums / np.maximum(cnt, 1), 0.0)
+                bits = means > b.mean()
+                h = int.from_bytes(np.packbits(bits).tobytes(), "big")
                 if h >= 1 << 63:
                     h -= 1 << 64
                 hashes.append(h)
@@ -271,7 +275,10 @@ def phash_dedup_pairs(
     kernel pass + one 4×-fanout equality-join shuffle on 10-byte keys +
     per-candidate popcount — the standard web-scale image-dedup shape.
     """
-    sig = phash_signatures(payloads)
+    # materialized once: the self-join references the band frame on BOTH
+    # sides and the bucket-count guard a third time — without this the
+    # Python signature kernel re-runs per consumer (measured 3×)
+    sig = phash_signatures(payloads).localCheckpoint()
     bands = sig.select(
         "doc_id",
         "phash",

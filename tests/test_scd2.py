@@ -140,3 +140,59 @@ def test_asof_lookup_picks_contemporary_version(spark):
         102: "FURNITURE",
         103: None,
     }
+
+
+def test_streaming_cdc_builds_version_chain(spark, tmp_path):
+    """Micro-batch CDC into an SCD2 dimension: a file-source stream
+    drives foreachBatch(scd2_apply) against a parquet-persisted dim —
+    the streaming half of the SCD2 contract (at scale: Kafka source,
+    same sink logic; composes with the versioned table for time-travel
+    over dimension history)."""
+    import os
+
+    dim_path = str(tmp_path / "dim")
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src, exist_ok=True)
+    schema = "custkey long, segment string, eff timestamp"
+
+    _dim0(spark).write.parquet(dim_path)
+
+    def apply_batch(batch_df, _batch_id):
+        s = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        dim = s.read.parquet(dim_path)
+        new_dim = scd2_apply(
+            dim, batch_df, "custkey", ["segment"], "eff"
+        ).localCheckpoint()  # materialize before overwriting the input path
+        new_dim.write.mode("overwrite").parquet(dim_path)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        _snap(spark, [(1, "FURNITURE")], T1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        _snap(spark, [(1, "AUTOMOBILE"), (3, "HOUSEHOLD")], T2).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _chains(spark.read.parquet(dim_path))
+    assert got == {
+        (1, "BUILDING", T0, T1, False),
+        (1, "FURNITURE", T1, T2, False),
+        (1, "AUTOMOBILE", T2, None, True),
+        (2, "MACHINERY", T0, None, True),
+        (3, "HOUSEHOLD", T2, None, True),
+    }
