@@ -308,3 +308,50 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("wau"),
         )
     )
+
+
+@query(
+    "events_rfm",
+    """
+WITH per_user AS (
+  SELECT user_id,
+    max(ts) AS last_seen,
+    count(*) AS frequency,
+    CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  ntile(5) OVER (ORDER BY last_seen, user_id) AS r_score,
+  ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+  ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+FROM per_user
+""",
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quintile segmentation per user
+    — the classic customer-value scoring every growth team runs.
+
+    Two-level shape: the heavy pass collapses raw events to one row per
+    user (count + DECIMAL sum fully partial-aggregatable, max(ts) for
+    recency), and the three ntile windows run on the USER aggregate —
+    at 100 TB the sorts cover millions of users, not billions of
+    events, and the three windows share one pass over that frame (no
+    partition key, so at extreme user counts each becomes the two-phase
+    ntile of win_ntile_twophase). user_id tiebreaks make every quintile
+    boundary engine-exact; higher score = better (more recent, more
+    frequent, higher spend).
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    return per_user.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy("last_seen", "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
+    )

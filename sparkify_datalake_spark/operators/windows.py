@@ -474,3 +474,40 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(first_seen.cast("long")).over(running).alias("types_seen"),
     )
+
+
+@query(
+    "win_navigation",
+    """
+SELECT event_id, user_id,
+  nth_value(event_type, 3) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_type,
+  round(cume_dist() OVER (
+    PARTITION BY user_id ORDER BY ts, event_id), 6) AS time_position
+FROM events
+""",
+)
+def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-navigation window functions: nth_value (the user's 3rd
+    event type, visible once reached — NULL on earlier rows because the
+    running frame hasn't grown to 3 yet) and cume_dist (how far through
+    the user's history each event sits) — completing the window-surface
+    ladder next to rank/lag/first_last/percent_rank.
+
+    One entity-keyed window partitioning serves both functions in a
+    single pass; ordering is total via (ts, event_id) so frame contents
+    — and therefore nth_value's NULL boundary and every cume_dist
+    denominator step — are engine-exact. cume_dist counts ties by peer
+    group (SQL standard) but the total order makes every peer group
+    size 1, so both engines agree bit-for-bit after 6dp rounding.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.nth_value("event_type", 3).over(wf).alias("third_type"),
+        F.round(F.cume_dist().over(w), 6).alias("time_position"),
+    )
