@@ -29,6 +29,11 @@ _SCALE_OPS = {
     "sim_ann_lsh": "embeddings",
     "sim_ivf_topk": "embeddings",
     "sim_pq_topk": "embeddings",
+    # round-3 continuation: banded phash dedup and block-hash passage
+    # dedup must stay near-linear; the exact kNN graph is O(n²/blocks)
+    # by design and is deliberately NOT listed
+    "mm_dedup_phash": "documents",
+    "dedup_block_exact": "documents",
 }
 
 

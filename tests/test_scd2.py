@@ -196,3 +196,60 @@ def test_streaming_cdc_builds_version_chain(spark, tmp_path):
         (2, "MACHINERY", T0, None, True),
         (3, "HOUSEHOLD", T2, None, True),
     }
+
+
+def test_random_update_sequences_keep_invariants(spark):
+    """Property test: under ANY sequence of update batches, the SCD2
+    table keeps its structural invariants — exactly one current version
+    per key, per-key version chains contiguous (each valid_to equals
+    the next valid_from) and strictly forward, and the current segment
+    always equals the last CHANGED value delivered for the key."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = [1, 2, 3]
+    segments = ["A", "B", "C", None]
+    batch = st.dictionaries(
+        st.sampled_from(keys), st.sampled_from(segments), max_size=3
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(batch, min_size=1, max_size=4))
+    def run(batches):
+        dim = scd2_init(
+            _snap(spark, [(k, "INIT") for k in keys], T0), "eff"
+        )
+        expected_current = {k: "INIT" for k in keys}
+        for i, b in enumerate(batches):
+            if not b:
+                continue
+            ts = datetime(2024, 2 + i, 1)
+            upd = spark.createDataFrame(
+                [(k, seg, ts) for k, seg in b.items()],
+                "custkey long, segment string, eff timestamp",
+            )
+            dim = scd2_apply(dim, upd, "custkey", ["segment"], "eff")
+            # keep lineage bounded across iterations
+            dim = dim.localCheckpoint()
+            for k, seg in b.items():
+                expected_current[k] = seg
+        rows = dim.collect()
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r["custkey"], []).append(r)
+        assert set(by_key) == set(keys)
+        for k, versions in by_key.items():
+            cur = [r for r in versions if r["is_current"]]
+            assert len(cur) == 1
+            assert cur[0]["segment"] == expected_current[k]
+            chain = sorted(versions, key=lambda r: r["valid_from"])
+            for a, b2 in zip(chain, chain[1:]):
+                assert a["valid_to"] == b2["valid_from"]  # contiguous
+                assert a["valid_from"] < a["valid_to"]  # forward-only
+            assert chain[-1]["valid_to"] is None
+
+    run()
