@@ -174,3 +174,68 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+@query(
+    "feat_ewma",
+    """
+WITH lists AS (
+  SELECT event_id, user_id,
+    array_agg(value) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+  FROM events
+)
+SELECT event_id, user_id,
+  round(
+    list_reduce(list_transform(range(1, len(l) + 1),
+                i -> l[i] * (0.5 ** (len(l) - i))), (a, b) -> a + b)
+    / list_reduce(list_transform(range(1, len(l) + 1),
+                  i -> 0.5 ** (len(l) - i)), (a, b) -> a + b),
+    6) AS ewma
+FROM lists
+""",
+)
+def feat_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's value
+    stream (decay ½ per event, bounded 10-event frame, adjust-style
+    normalization) — the time-decay feature every behavioral model
+    wants, and deliberately NOT a Python loop: the frame rides one
+    entity-keyed window (collect over ROWS 9 PRECEDING) and the
+    weighted fold runs as higher-order functions inside codegen.
+
+    Engine-exactness is arranged, not hoped for: decay ½ makes every
+    weight an exact power of two (pow(0.5,k) is exact in IEEE 754, and
+    multiplying by it only shifts the exponent), both engines fold the
+    SAME oldest-first order (Spark's aggregate from 0.0 ≡ DuckDB's
+    list_reduce seeded with the first element, since 0+x₁ is exact), so
+    numerator and denominator are bit-identical before the 6dp display
+    round. The 10-event truncation bounds per-row state; the unbounded
+    recursive EWMA is the streaming variant (applyInPandasWithState
+    territory, cf. streaming/runtime.py) — batch pipelines use exactly
+    this windowed form so that backfills are reproducible.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    lists = ev.select(
+        "event_id",
+        "user_id",
+        F.collect_list("value").over(w).alias("l"),
+    )
+    num = (
+        "aggregate(zip_with(l, sequence(0, size(l) - 1), "
+        "(v, i) -> v * power(0.5D, size(l) - 1 - i)), 0D, (a, x) -> a + x)"
+    )
+    den = (
+        "aggregate(sequence(0, size(l) - 1), 0D, "
+        "(a, i) -> a + power(0.5D, size(l) - 1 - i))"
+    )
+    return lists.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr(f"{num} / {den}"), 6).alias("ewma"),
+    )

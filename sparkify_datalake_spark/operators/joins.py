@@ -346,3 +346,134 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "probe", dist.alias("dist"))
         .filter(F.col("dist") <= 2)
     )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "join_asof_nearest",
+    f"""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+flagged AS (
+  SELECT user_id, ts, event_id, kind,
+    max(CASE WHEN kind = 0 THEN ts END) OVER wb AS back_ts,
+    min(CASE WHEN kind = 0 THEN ts END) OVER wf AS fwd_ts
+  FROM u
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY ts DESC, kind DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT event_id, user_id, ts,
+    epoch_us(ts) - epoch_us(back_ts) AS db,
+    epoch_us(fwd_ts) - epoch_us(ts) AS df,
+    back_ts, fwd_ts
+  FROM flagged WHERE kind = 1
+)
+SELECT event_id, user_id, ts AS purchase_ts,
+  CASE WHEN db IS NOT NULL AND db <= {_ASOF_TOL_US}
+            AND (df IS NULL OR df > {_ASOF_TOL_US} OR db <= df)
+       THEN back_ts ELSE fwd_ts END AS click_ts,
+  round(least(coalesce(db, {_ASOF_TOL_US} + 1),
+              coalesce(df, {_ASOF_TOL_US} + 1)) / 1000000.0, 3) AS delta_sec
+FROM scored
+WHERE (db IS NOT NULL AND db <= {_ASOF_TOL_US})
+   OR (df IS NOT NULL AND df <= {_ASOF_TOL_US})
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join with tolerance: each purchase matched
+    to its CLOSEST click within ±1 h, either direction (backward ties
+    win) — pandas merge_asof(direction='nearest', tolerance=...), the
+    sensor-fusion/attribution variant the plain backward as-of
+    (join_asof) can't express.
+
+    Same union trick, both directions in ONE user_id partitioning: an
+    ascending pass carries the running latest click (equal-ts clicks
+    sort before purchases, so Δ=0 lands backward) and a descending pass
+    carries the running earliest later click (equal-ts clicks sort
+    after the purchase there, so they are never double-counted) —
+    Catalyst plans one Exchange with two Sorts, never a range
+    self-join. Δs compare in exact integer µs; out-of-tolerance sides
+    disqualify independently and unmatched purchases drop (inner
+    semantics).
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind").desc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    flagged = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "kind",
+        F.max(click_ts).over(wb).alias("back_ts"),
+        F.min(click_ts).over(wf).alias("fwd_ts"),
+    ).filter(F.col("kind") == 1)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    db = us - F.unix_micros(F.col("back_ts").cast("timestamp"))
+    df_ = F.unix_micros(F.col("fwd_ts").cast("timestamp")) - us
+    tol = F.lit(_ASOF_TOL_US)
+    scored = flagged.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        db.alias("db"),
+        df_.alias("df"),
+        "back_ts",
+        "fwd_ts",
+    )
+    pick_back = (
+        F.col("db").isNotNull()
+        & (F.col("db") <= tol)
+        & (
+            F.col("df").isNull()
+            | (F.col("df") > tol)
+            | (F.col("db") <= F.col("df"))
+        )
+    )
+    return (
+        scored.filter(
+            (F.col("db").isNotNull() & (F.col("db") <= tol))
+            | (F.col("df").isNotNull() & (F.col("df") <= tol))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_ts",
+            F.when(pick_back, F.col("back_ts"))
+            .otherwise(F.col("fwd_ts"))
+            .alias("click_ts"),
+            F.round(
+                F.least(
+                    F.coalesce(F.col("db"), tol + 1),
+                    F.coalesce(F.col("df"), tol + 1),
+                )
+                / 1_000_000.0,
+                3,
+            ).alias("delta_sec"),
+        )
+    )

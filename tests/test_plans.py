@@ -390,3 +390,37 @@ def test_knn_graph_shuffles_candidates_not_matrix(spark):
     assert "FlatMapGroupsInPandas" in plan
     after_gemm = plan.split("FlatMapGroupsInPandas")[0]
     assert "src" in after_gemm and "cos_sim" in after_gemm
+
+
+def test_rollup_hierarchy_chains_aggregates_without_rescan(spark):
+    # one events scan feeds the whole minute->hour->day chain; the day
+    # level must re-aggregate the hour level, not the raw table
+    plan = _plan(spark, "ts_rollup_hierarchy")
+    assert plan.count("Scan parquet") <= 2  # one per union branch max
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_dau_wau_dedupes_before_fanout(spark):
+    # the 7x cover-set explode must consume the DISTINCT (user, day)
+    # frame — Generate above the distinct aggregate, below raw events
+    plan = _plan(spark, "events_dau_wau")
+    gen = plan.index("Generate")
+    agg_positions = [i for i in range(len(plan)) if plan.startswith("HashAggregate", i)]
+    assert any(i > gen for i in agg_positions), "distinct must sit under the explode"
+    assert "Scan parquet" in plan
+
+
+def test_rfm_windows_run_on_user_aggregate(spark):
+    # the three ntile sorts must consume the per-user aggregate: window
+    # operators appear above the aggregation of the raw scan
+    plan = _plan(spark, "events_rfm")
+    assert "partial_count" in plan or "partial_max" in plan
+    assert plan.index("Window") < plan.index("Scan parquet")
+
+
+def test_ewma_fold_stays_in_codegen(spark):
+    # the weighted fold must be higher-order functions (no Python eval
+    # node), and the frame one entity-keyed window
+    plan = _plan(spark, "feat_ewma")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
