@@ -355,3 +355,101 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
         F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
     )
+
+
+@query(
+    "events_markov",
+    """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM counts
+""",
+)
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next=to | current=from) — the normalized sibling of
+    events_path_trigrams, and the model behind next-action prediction
+    and anomalous-session scoring.
+
+    One lead window on the user sort produces adjacent pairs, a
+    partial-aggregatable count collapses them to the |types|² matrix,
+    and row-normalization is a window over that tiny matrix — the raw
+    event volume is touched exactly once, with one shuffle. Transition
+    probability is a single integer-ratio division on identical counts,
+    so 6dp rounding is engine-exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wn = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wn).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+@query(
+    "agg_entropy",
+    """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT user_id, sum(n) AS tot FROM c GROUP BY 1
+)
+SELECT c.user_id,
+  round(-sum((c.n / CAST(t.tot AS DOUBLE))
+             * log2(c.n / CAST(t.tot AS DOUBLE))), 6) AS entropy_bits,
+  count(*) AS n_types
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY c.user_id
+""",
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution (bits) —
+    the behavioral-diversity feature (bots score near 0, exploratory
+    users near log2|types|), and the aggregate behind split-quality and
+    anomaly scoring.
+
+    Two-level: (user, type) counts partial-aggregate over raw events;
+    entropy folds over that bounded frame (≤|types| rows per user) with
+    a broadcast-shaped join of per-user totals. -Σ p·log2 p sums at
+    most 5 terms of O(1) magnitude, so cross-engine libm drift in log2
+    (≤1 ulp) is ~1e-16 against the 6dp round. Deterministic: counts are
+    integers, the p ratios divide identical operands.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )

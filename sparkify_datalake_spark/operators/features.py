@@ -239,3 +239,66 @@ def feat_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.expr(f"{num} / {den}"), 6).alias("ewma"),
     )
+
+
+_TE_SMOOTH = 10
+
+
+@query(
+    "feat_target_encode",
+    f"""
+WITH g AS (
+  SELECT c.c_mktsegment, count(*) AS n,
+    sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT c_mktsegment, n,
+  round(CAST(s AS DOUBLE) / n, 4) AS raw_mean,
+  round((CAST(s AS DOUBLE) + {_TE_SMOOTH}
+           * (CAST(sum(s) OVER () AS DOUBLE) / sum(n) OVER ()))
+        / (n + {_TE_SMOOTH}), 4) AS encoded
+FROM g
+""",
+)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of the market segment against order
+    value — the high-cardinality-categorical workhorse one-hot can't
+    serve: each category maps to a shrunk mean,
+    (Σtarget + m·global_mean)/(n + m), so rare categories pull toward
+    the prior instead of memorizing noise.
+
+    The FIT is one partial-aggregatable pass over the fact join
+    (broadcast dim; DECIMAL sums for order-independence) producing one
+    row per category; the global mean derives from the same aggregates
+    via an unpartitioned window over |categories| rows — no second fact
+    scan. Divisions run on identical doubles in both engines (exact
+    decimal sums cast once), so 4dp rounding is engine-exact. The APPLY
+    is a broadcast map-side join of this table, same as every encoder
+    here.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    g = (
+        orders.join(
+            F.broadcast(cust),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    wall = Window.partitionBy()
+    global_mean = F.sum("s").over(wall).cast("double") / F.sum("n").over(wall)
+    return g.select(
+        "c_mktsegment",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 4).alias("raw_mean"),
+        F.round(
+            (F.col("s").cast("double") + _TE_SMOOTH * global_mean)
+            / (F.col("n") + _TE_SMOOTH),
+            4,
+        ).alias("encoded"),
+    )

@@ -268,3 +268,67 @@ def graph_user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node"))
         .limit(20)
     )
+
+
+_EDGE_SQL = """
+  SELECT DISTINCT least(user_id, next_user) AS a,
+                  greatest(user_id, next_user) AS b
+  FROM (
+    SELECT user_id,
+      lead(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS next_user
+    FROM events
+  ) WHERE next_user IS NOT NULL AND next_user <> user_id
+"""
+
+
+@query(
+    "graph_triangle_count",
+    f"""
+WITH e AS ({_EDGE_SQL})
+SELECT count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the undirected user-interaction graph —
+    the clustering/community-density primitive (LSCC, clustering
+    coefficient, spam-graph detection all start here), and the third
+    classic graph op beside connected components and PageRank.
+
+    The node-ordered wedge-closure formulation: edges canonicalize to
+    a < b once, wedges enumerate only in ascending order (e1=(a,b) ⋈
+    e2=(b,c) gives a < b < c), and a final join probes the closing edge
+    (a,c) — each triangle is counted exactly once, no division by 6,
+    and the join fan-out is Σ deg²(v) over ORDERED degrees, the
+    standard distributed-triangle bound (at 100 TB the next step is
+    degree-descending orientation, which provably caps ordered degrees
+    at O(√m)). Pure equi-joins + one count: both engines run the
+    identical plan shape, so the count is hash-checked, not trusted.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e = (
+        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
+        .filter(
+            F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+        .select(
+            F.least("user_id", "next_user").alias("a"),
+            F.greatest("user_id", "next_user").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()  # three join consumers of one tiny edge set
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+    closed = wedges.join(
+        e3,
+        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
