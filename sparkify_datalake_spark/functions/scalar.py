@@ -544,3 +544,45 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", r"lang=([^&#]*)", 1).alias("lang_param"),
         F.regexp_extract("url", r"[?&]v=([^&#]*)", 1).alias("v_param"),
     )
+
+
+@query(
+    "fn_datetime_tz",
+    """
+SELECT event_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_wall,
+  strftime(timezone('America/New_York', timezone('UTC', ts)),
+           '%Y-%m-%d %H:%M:%S') AS ny_wall,
+  strftime(timezone('Asia/Tokyo', timezone('UTC', ts)),
+           '%Y-%m-%d %H:%M:%S') AS tokyo_wall,
+  CAST(hour(timezone('America/New_York', timezone('UTC', ts))) AS BIGINT)
+    AS ny_hour
+FROM events WHERE event_id < 2000
+""",
+)
+def fn_datetime_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion with real DST semantics: event times (stored
+    timezone-naive, semantically UTC) rendered as New York and Tokyo
+    wall clocks — the localization step every global-events pipeline
+    needs, and a genuine cross-engine trap: the fixture's event range
+    crosses the 2024-03-10 US spring-forward, so EST→EDT offsets change
+    mid-corpus and both engines must agree on IANA tzdata, not on a
+    fixed offset. Spark's `convert_timezone(from, to, ntz)` ≡ DuckDB's
+    `timezone(to, timezone(from, ts))` composition; wall clocks emit as
+    formatted strings so the comparison is value-level, independent of
+    each engine's zoned-timestamp carrier type. Map-side codegen, zero
+    shuffles.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ny = F.convert_timezone(
+        F.lit("UTC"), F.lit("America/New_York"), F.col("ts")
+    )
+    tokyo = F.convert_timezone(F.lit("UTC"), F.lit("Asia/Tokyo"), F.col("ts"))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("utc_wall"),
+        F.date_format(ny, fmt).alias("ny_wall"),
+        F.date_format(tokyo, fmt).alias("tokyo_wall"),
+        F.hour(ny).cast("long").alias("ny_hour"),
+    )
