@@ -453,3 +453,76 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_types"),
         )
     )
+
+
+@query(
+    "events_attribution",
+    """
+WITH c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+    c.ts AS click_ts,
+    count(*) OVER (PARTITION BY p.event_id) AS n_touch,
+    max(c.ts) OVER (PARTITION BY p.event_id) AS last_ts
+  FROM c JOIN p ON c.user_id = p.user_id
+    AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
+)
+SELECT click_id,
+  count(*) AS n_purchases_touched,
+  round(sum(1.0 / n_touch), 6) AS linear_credit,
+  CAST(sum(CASE WHEN click_ts = last_ts THEN 1 ELSE 0 END) AS BIGINT)
+    AS last_touch_wins
+FROM m GROUP BY click_id
+""",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: every click within the 24 h
+    window before a purchase shares that conversion — linear credit
+    (1/n per touched purchase) and last-touch wins side by side, the
+    two models every ad-measurement pipeline reconciles.
+
+    One user-keyed interval join (clicks × purchases bounded by the
+    24 h window — at 100 TB this is day-bucketed so a user's join
+    candidates stay local) followed by a per-purchase window for touch
+    counts and one groupBy folding credits per click. Deterministic:
+    touch counts are integers, the 1/n terms divide identical operands,
+    and per-click sums of ≤ a handful of O(1) terms sit ~1e-16 from the
+    oracle's — invisible at 6dp.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    m = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") < F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    m = m.select(
+        F.col("event_id").alias("click_id"),
+        "purchase_id",
+        F.col("ts").alias("click_ts"),
+        F.count(F.lit(1)).over(wp).alias("n_touch"),
+        F.max("ts").over(wp).alias("last_ts"),
+    )
+    return m.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_touched"),
+        F.round(F.sum(F.lit(1.0) / F.col("n_touch")), 6).alias(
+            "linear_credit"
+        ),
+        F.sum(
+            F.when(F.col("click_ts") == F.col("last_ts"), 1).otherwise(0)
+        ).alias("last_touch_wins"),
+    )

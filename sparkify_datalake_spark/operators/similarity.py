@@ -1004,3 +1004,38 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("src", "dst", "cos_sim")
     )
+
+
+@query("sim_index_stats")
+def sim_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality report for the persisted IVF index, as a query —
+    the health check every ANN service exposes: cluster-size balance
+    (a skewed quantizer silently turns nprobe pruning into full scans)
+    and measured recall@10 of the probe path against the brute-force
+    ground truth (sim_cosine_topk), computed live from the same tables.
+
+    One row: n_clusters, min/max/avg cluster size, imbalance (max/avg
+    — 1.0 is perfect), recall_at_10. Rows-only by nature (the index is
+    Spark-side state), but every input has a hash-checked or
+    bound-tested anchor: the assignment table is plan-asserted
+    partition-pruned, and recall is the same quantity
+    tests/test_oracle.py bounds ≥ 0.5 — surfacing it as a query makes
+    index drift observable in production, not just in CI.
+    """
+    _, assign_path = ivf_build(spark, sf_dir)
+    sizes = (
+        spark.read.parquet(assign_path)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = {r["vec_id"] for r in sim_cosine_topk(spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in sim_ivf_topk(spark, sf_dir).collect()}
+    recall = len(exact & approx) / max(len(exact), 1)
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.min("n").alias("min_size"),
+        F.max("n").alias("max_size"),
+        F.round(F.avg("n"), 2).alias("avg_size"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("imbalance"),
+        F.lit(round(recall, 4)).alias("recall_at_10"),
+    )
