@@ -700,3 +700,36 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "agg_listagg",
+    """
+SELECT o_orderstatus,
+  string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+    AS priorities,
+  count(DISTINCT o_orderpriority) AS n_priorities
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): the distinct
+    priorities per status as one '|'-joined, explicitly sorted string.
+
+    collect_set carries NO order guarantee in a distributed engine —
+    emitting it raw is nondeterministic run-to-run, let alone across
+    engines. The deterministic composition is collect_set →
+    array_sort → array_join, which is exactly what LISTAGG ... WITHIN
+    GROUP (ORDER BY) promises; the oracle's string_agg(DISTINCT ...
+    ORDER BY) pins it. Output is a scalar string (the §7.2 no-array
+    rule), and the aggregate stays partial-mergeable: sets union
+    map-side, the sort touches |distinct| elements per group at the
+    very end.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), "|"
+        ).alias("priorities"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+    )
