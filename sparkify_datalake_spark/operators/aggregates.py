@@ -733,3 +733,45 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priorities"),
         F.count_distinct("o_orderpriority").alias("n_priorities"),
     )
+
+
+@query(
+    "agg_weighted_avg",
+    """
+SELECT l_returnflag,
+  round(
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE),
+    6) AS wavg_discount,
+  round(
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE)
+    / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE),
+    6) AS qty_wavg_discount
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted averages (revenue- and quantity-weighted discount per
+    return flag): Σwx/Σw with BOTH sums kept in exact DECIMAL — the
+    weighted mean is a ratio of two partial-aggregatable sums, so it
+    shares corr/regr's one-scan-one-tiny-exchange cost model, and the
+    decimal discipline (§7.2: multiply decimals, never doubles) makes
+    the quotient operands bit-identical across engines before the one
+    double division.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(price * disc).cast("double")
+            / F.sum(price).cast("double"),
+            6,
+        ).alias("wavg_discount"),
+        F.round(
+            F.sum(qty * disc).cast("double") / F.sum(qty).cast("double"), 6
+        ).alias("qty_wavg_discount"),
+    )

@@ -1,0 +1,122 @@
+"""Association-rule mining primitives (SURVEY §2 I-sexies family):
+market-basket pair counting with support/confidence/lift — the a-priori
+first pass every retail/recsys pipeline runs, expressed as the
+self-join-with-cap shape that survives scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkify_datalake_spark.registry import query
+from sparkify_datalake_spark.sources.load import load
+
+_MAX_BASKET = 50
+_TOP_PAIRS = 20
+
+
+@query(
+    "mine_basket_pairs",
+    f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+sized AS (
+  SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= {_MAX_BASKET}
+),
+kept AS (
+  SELECT i.l_orderkey, i.l_partkey FROM items i
+  JOIN sized s ON i.l_orderkey = s.l_orderkey
+),
+stats AS (
+  SELECT (SELECT count(*) FROM sized) AS n_orders
+),
+item_n AS (
+  SELECT l_partkey, count(*) AS n FROM kept GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS pair_n
+  FROM kept a JOIN kept b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, pair_n,
+  round(pair_n / CAST(s.n_orders AS DOUBLE), 6) AS support,
+  round(pair_n / CAST(ia.n AS DOUBLE), 6) AS confidence_a_b,
+  round((pair_n * CAST(s.n_orders AS DOUBLE)) / (ia.n * CAST(ib.n AS DOUBLE)),
+        6) AS lift
+FROM pairs
+JOIN item_n ia ON ia.l_partkey = part_a
+JOIN item_n ib ON ib.l_partkey = part_b
+CROSS JOIN stats s
+ORDER BY pair_n DESC, part_a, part_b
+LIMIT {_TOP_PAIRS}
+""",
+)
+def mine_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis, a-priori first pass: the top-20
+    co-purchased part pairs with support, confidence(a→b) and lift.
+
+    The scale-shaped formulation: baskets dedupe to DISTINCT (order,
+    item) first, oversized baskets are capped ( > 50 items — a
+    warehouse order that co-occurs with everything carries no signal
+    and makes the pair fan-out quadratic; the mega-bucket guard of
+    LSH dedup under another name), pairs generate through ONE
+    self-equi-join on the order key with part_a < part_b so each pair
+    counts once, and the metrics join the pair counts against the
+    (tiny, broadcastable) per-item counts. Ratios divide identical
+    integers in both engines → 6dp-exact; ORDER BY (count, pair) is
+    total, so the top-20 is a bounded heap (TakeOrderedAndProject),
+    never a global sort.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("basket"))
+        .filter(F.col("basket") <= _MAX_BASKET)
+        .select("l_orderkey")
+    )
+    kept = items.join(sized, "l_orderkey").localCheckpoint()
+    n_orders = sized.count()
+    item_n = kept.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = kept.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (a.k == b.k) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+    ia = item_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")
+    )
+    ib = item_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            F.round(F.col("pair_n") / F.lit(float(n_orders)), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("pair_n") / F.col("n_a").cast("double"), 6
+            ).alias("confidence_a_b"),
+            F.round(
+                (F.col("pair_n") * F.lit(float(n_orders)))
+                / (F.col("n_a") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_n").desc(), "part_a", "part_b")
+        .limit(_TOP_PAIRS)
+    )
