@@ -775,3 +775,35 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(qty * disc).cast("double") / F.sum(qty).cast("double"), 6
         ).alias("qty_wavg_discount"),
     )
+
+
+@query(
+    "agg_bool",
+    """
+SELECT o_orderstatus,
+  bool_and(o_totalprice > 1000) AS all_over_1k,
+  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_urgent
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (ALL/ANY over predicates per group) — the
+    data-quality assertion shape ("every order priced", "any urgent
+    order present") that beats count-compare idioms: bool_and/bool_or
+    short-circuit in partial aggregation (a single false/true decides a
+    partition's contribution), and the paired conditional count shows
+    the quantitative twin. Both engines share SQL-standard semantics
+    including NULL handling (no NULLs here; predicates are total).
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias(
+            "any_urgent"
+        ),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("n_urgent"),
+    )

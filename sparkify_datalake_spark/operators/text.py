@@ -976,3 +976,51 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= _CONTAINMENT_TAU)
     )
+
+
+@query(
+    "text_readability",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_words,
+  round(CAST(len(list_filter(toks, w -> length(w) > 6)) AS DOUBLE)
+        / len(toks), 6) AS long_word_ratio,
+  round(CAST(list_sum(list_transform(toks,
+          w -> len(regexp_extract_all(w, '[aeiou]+')))) AS DOUBLE)
+        / len(toks), 6) AS syllables_per_word
+FROM t
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability proxies per document (long-word ratio + vowel-group
+    syllable estimate per word) — the complexity features LIX/Flesch
+    formulas build on, and a standard quality-filter input next to
+    text_quality's length/stopword ratios.
+
+    Pure higher-order-function arithmetic over the token array: filter
+    for long words, transform+sum of per-word vowel-group counts (the
+    classic syllable proxy) — one map-side pass, no explode shuffle, no
+    UDF. The vowel-group regex runs in the Java∩RE2-safe subset so both
+    engines count identical matches; ratios divide identical integers.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tokens().alias("toks"))
+    n_words = F.size("toks")
+    long_ratio = (
+        F.size(F.filter("toks", lambda w: F.length(w) > 6)).cast("double")
+        / n_words
+    )
+    syl = F.expr(
+        "aggregate(transform(toks, "
+        "w -> size(regexp_extract_all(w, '[aeiou]+', 0))), 0, "
+        "(a, x) -> a + x)"
+    ).cast("double")
+    return t.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(long_ratio, 6).alias("long_word_ratio"),
+        F.round(syl / n_words, 6).alias("syllables_per_word"),
+    )
