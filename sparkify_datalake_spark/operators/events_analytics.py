@@ -526,3 +526,78 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("click_ts") == F.col("last_ts"), 1).otherwise(0)
         ).alias("last_touch_wins"),
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    """
+WITH cohort AS (
+  SELECT o_custkey,
+    CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cmonth
+  FROM orders GROUP BY 1
+),
+monthly AS (
+  SELECT c.cmonth,
+    date_diff('month', c.cmonth,
+              CAST(date_trunc('month', o.o_orderdate) AS DATE)) AS offset_m,
+    sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN cohort c ON o.o_custkey = c.o_custkey
+  GROUP BY 1, 2
+)
+SELECT cmonth, offset_m,
+  CAST(round(rev, 2) AS DOUBLE) AS month_revenue,
+  CAST(round(sum(rev) OVER (
+    PARTITION BY cmonth ORDER BY offset_m
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+    AS cumulative_ltv
+FROM monthly
+""",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, revenue per month-offset, and the running cumulative LTV per
+    cohort — the money sibling of events_retention (which counts
+    presence; this folds DECIMAL revenue).
+
+    The heavy pass aggregates facts to (cohort, offset) cells — fully
+    partial-aggregatable, cohort assignment rides a join against the
+    tiny first-order frame — and the cumulative window runs on the
+    triangle itself (|cohorts| × |offsets| rows). Month offsets use
+    date_diff on month-truncated dates (exact integers in both
+    engines); revenue stays DECIMAL through the window sum and rounds
+    once at the edge, so the running LTV is engine-exact.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cohort = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate"))
+        .cast("date")
+        .alias("cmonth")
+    )
+    monthly = (
+        orders.join(cohort, "o_custkey")
+        .groupBy(
+            "cmonth",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate").cast("date"),
+                F.col("cmonth"),
+            )
+            .cast("long")
+            .alias("offset_m"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("cmonth")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "cmonth",
+        "offset_m",
+        F.round("rev", 2).cast("double").alias("month_revenue"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias(
+            "cumulative_ltv"
+        ),
+    )

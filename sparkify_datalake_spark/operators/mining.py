@@ -6,7 +6,7 @@ self-join-with-cap shape that survives scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkify_datalake_spark.registry import query
@@ -119,4 +119,70 @@ def mine_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pair_n").desc(), "part_a", "part_b")
         .limit(_TOP_PAIRS)
+    )
+
+
+@query(
+    "mine_abc_pareto",
+    """
+WITH part_rev AS (
+  SELECT l_partkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, rev,
+    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      / CAST(sum(rev) OVER () AS DOUBLE) AS cum_share
+  FROM part_rev
+)
+SELECT l_partkey,
+  CAST(round(rev, 2) AS DOUBLE) AS revenue,
+  round(cum_share, 6) AS cum_share,
+  CASE WHEN cum_share <= 0.8 THEN 'A'
+       WHEN cum_share <= 0.95 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM ranked
+""",
+)
+def mine_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of parts by revenue (A = first 80% of
+    cumulative revenue, B to 95%, C the tail) — the inventory/catalog
+    prioritization every supply-chain and catalog-curation pipeline
+    runs, and the batch shape behind "head/torso/tail" corpus splits.
+
+    Facts partial-aggregate to per-part revenue first; the ranked
+    cumulative share runs over THAT frame (|parts| rows — at 100 TB
+    still a global sort, but of the dimension cardinality, and the
+    two-phase ntile pattern applies if parts themselves explode). The
+    running sum stays DECIMAL (exact at any order), the share divides
+    two exact-decimal-derived doubles, and (rev DESC, partkey) is a
+    total order — class boundaries are engine-exact, computed from the
+    UNROUNDED share so the 6dp display round can't flip a boundary row.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w_cum = Window.orderBy(
+        F.col("rev").desc(), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    cum_share = F.sum("rev").over(w_cum).cast("double") / F.sum("rev").over(
+        w_all
+    ).cast("double")
+    ranked = part_rev.select(
+        "l_partkey",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        cum_share.alias("cum_share_raw"),
+    )
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        F.round("cum_share_raw", 6).alias("cum_share"),
+        F.when(F.col("cum_share_raw") <= 0.8, "A")
+        .when(F.col("cum_share_raw") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
     )
