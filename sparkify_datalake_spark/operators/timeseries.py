@@ -348,3 +348,77 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sv", 2).cast("double").alias("sum_value"),
     )
     return out_cols("hour", hour).unionByName(out_cols("day", day))
+
+
+@query(
+    "events_bounce_rate",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq,
+    ts
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_seq,
+    CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+    count(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT day,
+  count(*) AS n_sessions,
+  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bounces,
+  round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+FROM per_session GROUP BY day
+""",
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions that contain exactly one
+    event, keyed by the session's start day — the engagement-quality
+    metric layered on gap-based sessionization (same 30-min timeout and
+    lag-flag-cumsum machinery as ts_sessionize, then two tiny
+    aggregations on the session frame).
+
+    The metric pass never re-touches raw events: sessions collapse to
+    one row each, days to one row each. Bounce definition (n_events=1)
+    and day attribution (session START day — a session straddling
+    midnight counts once, on the day it began) are pinned in both
+    engines; the rate divides identical integers.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((us - F.lag(us).over(w)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = ev.select(
+        "user_id", "ts", F.sum(new_s).over(run).alias("session_seq")
+    )
+    per_session = sessions.groupBy("user_id", "session_seq").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce).alias("n_bounces"),
+        F.round(
+            F.sum(bounce) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("bounce_rate"),
+    )
