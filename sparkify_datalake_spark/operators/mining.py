@@ -78,8 +78,12 @@ def mine_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("basket") <= _MAX_BASKET)
         .select("l_orderkey")
     )
-    kept = items.join(sized, "l_orderkey").localCheckpoint()
-    n_orders = sized.count()
+    # lazy checkpoint: the pair join consumes kept twice (both sides) —
+    # materialized by the final action, not a separate eager job; the
+    # corpus-size scalar rides a broadcast 1-row aggregate instead of a
+    # driver-side count() so the whole query is one job
+    kept = items.join(sized, "l_orderkey").localCheckpoint(eager=False)
+    stats = sized.agg(F.count(F.lit(1)).alias("n_orders"))
     item_n = kept.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     a = kept.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
@@ -101,18 +105,19 @@ def mine_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(ia), "part_a")
         .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(stats))
         .select(
             "part_a",
             "part_b",
             "pair_n",
-            F.round(F.col("pair_n") / F.lit(float(n_orders)), 6).alias(
-                "support"
-            ),
+            F.round(
+                F.col("pair_n") / F.col("n_orders").cast("double"), 6
+            ).alias("support"),
             F.round(
                 F.col("pair_n") / F.col("n_a").cast("double"), 6
             ).alias("confidence_a_b"),
             F.round(
-                (F.col("pair_n") * F.lit(float(n_orders)))
+                (F.col("pair_n") * F.col("n_orders").cast("double"))
                 / (F.col("n_a") * F.col("n_b").cast("double")),
                 6,
             ).alias("lift"),
