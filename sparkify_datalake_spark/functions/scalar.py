@@ -586,3 +586,49 @@ def fn_datetime_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(tokyo, fmt).alias("tokyo_wall"),
         F.hour(ny).cast("long").alias("ny_hour"),
     )
+
+
+@query(
+    "fn_surrogate_key",
+    """
+SELECT c_custkey,
+  substring(md5(concat_ws('|', 'customer', CAST(c_custkey AS VARCHAR),
+                          c_name)), 1, 16) AS sk_hex,
+  ('0x' || substring(md5(concat_ws('|', 'customer',
+                         CAST(c_custkey AS VARCHAR), c_name)), 1, 15))::BIGINT
+    AS sk_int
+FROM customer
+""",
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-derived surrogate keys — the reproducible
+    replacement for `monotonically_increasing_id` (whose values depend
+    on partition layout, so two runs of the same pipeline mint
+    different keys; SURVEY §2.1 flags it nondeterministic-by-design):
+    sk = md5 over a namespaced natural key, emitted both as a 16-hex
+    string and as a 60-bit integer (15 hex digits → BIGINT, identical
+    via Spark's conv(,16,10) and DuckDB's 0x-cast).
+
+    Map-side, shuffle-free, and stable across runs, partitionings and
+    engines — the property that makes incremental dimension loads and
+    cross-system joins on the key safe. Collision risk at 60 bits is
+    birthday-bounded (~n²/2⁶¹ — negligible below ~10⁸ keys per
+    namespace; use the full 128-bit hex form beyond);
+    tests/test_oracle's hash check plus a uniqueness pytest pin it.
+    """
+    cust = load(spark, sf_dir, "customer")
+    basis = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit("customer"),
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+        )
+    )
+    return cust.select(
+        "c_custkey",
+        F.substring(basis, 1, 16).alias("sk_hex"),
+        F.conv(F.substring(basis, 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("sk_int"),
+    )

@@ -477,3 +477,56 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta_sec"),
         )
     )
+
+
+@query(
+    "join_band_lookup",
+    """
+WITH b AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+),
+bands AS (
+  SELECT bucket, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+  FROM b GROUP BY bucket
+)
+SELECT o.o_orderkey, bands.bucket
+FROM orders o JOIN bands
+  ON o.o_totalprice >= bands.lo
+ AND (o.o_totalprice < bands.hi OR bands.bucket = 10)
+""",
+)
+def join_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key): classify every order into a price
+    band by interval lookup — the band-join shape (tax brackets, SLA
+    tiers, IP-range geo lookup) that sort-merge machinery can't help
+    with because there is no equality column at all.
+
+    The scale answer when one side is band-sized: BROADCAST the
+    interval table and evaluate the range predicate map-side
+    (BroadcastNestedLoopJoin — nested-loop over 10 rows per record is a
+    codegen loop, not a shuffle); the fact side never moves. When BOTH
+    sides are large the pattern upgrades to bucketing each interval
+    onto a shared grid and equi-joining on the grid cell (the
+    events_dau_wau cover-set trick generalized). Half-open [lo, hi)
+    semantics with the last band closed make the lookup total and
+    unambiguous — boundary-value orders land in exactly one band in
+    both engines. Bands derive from the same total-order ntile as
+    feat_quantile_bucket (fit), making this its APPLY half.
+    """
+    orders = load(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    bands = b.groupBy("bucket").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return orders.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo"))
+        & ((F.col("o_totalprice") < F.col("hi")) | (F.col("bucket") == 10)),
+    ).select("o_orderkey", "bucket")

@@ -198,3 +198,22 @@ def test_cms_never_undercounts_any_key(spark, keys):
     true = Counter(keys)
     for k, t in true.items():
         assert est[k] >= t, (k, est[k], t)
+
+
+def test_surrogate_keys_unique_and_stable(spark):
+    """fn_surrogate_key must mint collision-free, rerun-stable keys —
+    the two properties monotonically_increasing_id cannot promise."""
+    from sparkify_datalake_spark.registry import queries
+
+    q = queries()["fn_surrogate_key"]
+    df1 = q(spark, "/root/testdata/sf0.001")
+    n = df1.count()
+    assert df1.select("sk_int").distinct().count() == n
+    assert df1.select("sk_hex").distinct().count() == n
+    # stable across runs (new plan, same values)
+    r1 = sorted((r["c_custkey"], r["sk_int"]) for r in df1.collect())
+    r2 = sorted(
+        (r["c_custkey"], r["sk_int"])
+        for r in q(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert r1 == r2
