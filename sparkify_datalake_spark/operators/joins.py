@@ -487,14 +487,16 @@ WITH b AS (
          ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
   FROM orders
 ),
+edges AS (
+  SELECT bucket, min(o_totalprice) AS lo FROM b GROUP BY bucket
+),
 bands AS (
-  SELECT bucket, min(o_totalprice) AS lo, max(o_totalprice) AS hi
-  FROM b GROUP BY bucket
+  SELECT bucket, lo, lead(lo) OVER (ORDER BY bucket) AS hi FROM edges
 )
 SELECT o.o_orderkey, bands.bucket
 FROM orders o JOIN bands
   ON o.o_totalprice >= bands.lo
- AND (o.o_totalprice < bands.hi OR bands.bucket = 10)
+ AND (o.o_totalprice < bands.hi OR bands.hi IS NULL)
 """,
 )
 def join_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,11 +511,15 @@ def join_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen loop, not a shuffle); the fact side never moves. When BOTH
     sides are large the pattern upgrades to bucketing each interval
     onto a shared grid and equi-joining on the grid cell (the
-    events_dau_wau cover-set trick generalized). Half-open [lo, hi)
-    semantics with the last band closed make the lookup total and
-    unambiguous — boundary-value orders land in exactly one band in
-    both engines. Bands derive from the same total-order ntile as
-    feat_quantile_bucket (fit), making this its APPLY half.
+    events_dau_wau cover-set trick generalized). Band edges are
+    [lo_k, lo_{k+1}) via lead() — CONTIGUOUS by construction, which
+    matters because ntile splits ties across buckets: per-bucket
+    min/max intervals can exclude a tie value entirely (measured: 9 of
+    15000 orders dropped), while lead-edges cover the whole number
+    line above the global min, so every order lands in exactly one
+    band in both engines (row count == orders, tested). Bands derive
+    from the same total-order ntile as feat_quantile_bucket (fit),
+    making this its APPLY half.
     """
     orders = load(spark, sf_dir, "orders")
     b = orders.select(
@@ -522,11 +528,14 @@ def join_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy("o_totalprice", "o_orderkey"))
         .alias("bucket"),
     )
-    bands = b.groupBy("bucket").agg(
-        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    edges = b.groupBy("bucket").agg(F.min("o_totalprice").alias("lo"))
+    bands = edges.select(
+        "bucket",
+        "lo",
+        F.lead("lo").over(Window.orderBy("bucket")).alias("hi"),
     )
     return orders.join(
         F.broadcast(bands),
         (F.col("o_totalprice") >= F.col("lo"))
-        & ((F.col("o_totalprice") < F.col("hi")) | (F.col("bucket") == 10)),
+        & ((F.col("o_totalprice") < F.col("hi")) | F.col("hi").isNull()),
     ).select("o_orderkey", "bucket")

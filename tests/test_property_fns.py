@@ -217,3 +217,17 @@ def test_surrogate_keys_unique_and_stable(spark):
         for r in q(spark, "/root/testdata/sf0.001").collect()
     )
     assert r1 == r2
+
+
+def test_band_lookup_covers_every_order_exactly_once(spark):
+    """join_band_lookup's lead-derived edges must partition the price
+    line: per-bucket min/max intervals drop tie-straddling values
+    (9/15000 measured before the fix); exactly-once coverage is the
+    band-join contract."""
+    from sparkify_datalake_spark.registry import queries
+
+    sf = "/root/testdata/sf0.001"
+    df = queries()["join_band_lookup"](spark, sf)
+    n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
+    assert df.count() == n_orders
+    assert df.select("o_orderkey").distinct().count() == n_orders
