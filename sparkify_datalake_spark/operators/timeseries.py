@@ -422,3 +422,55 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bounce) / F.count(F.lit(1)).cast("double"), 6
         ).alias("bounce_rate"),
     )
+
+
+@query(
+    "events_dedup_first_in_window",
+    """
+WITH w AS (
+  SELECT user_id, event_type, ts, event_id, value,
+    make_timestamp(CAST(epoch_us(ts) AS BIGINT)
+                   // 1800000000 * 1800000000) AS win_start
+  FROM events
+)
+SELECT user_id, event_type, win_start,
+  min(ts) AS first_ts,
+  arg_min(event_id, ts) AS first_event_id,
+  count(*) AS n_suppressed
+FROM w GROUP BY user_id, event_type, win_start
+""",
+)
+def events_dedup_first_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event dedup: keep the FIRST event per (user, type) per
+    30-min tumbling window, with the suppressed-count audit column —
+    the batch twin of the streaming dropDuplicatesWithinWatermark
+    (streaming/runtime.py dedup_stream), and the standard telemetry
+    debounce (retry storms, double-clicks, at-least-once ingestion).
+
+    Window assignment is pure integer arithmetic on epoch µs (floor to
+    the 1800 s grid; the oracle reconstructs the naive timestamp with
+    make_timestamp(µs), which — unlike to_timestamp→CAST — is
+    independent of the oracle session's TimeZone), so the whole op is
+    ONE
+    partial-aggregatable groupBy: min(ts) + min_by(event_id, ts) picks
+    the keeper deterministically ((user,ts) unique in the fixtures),
+    and no window function or sort is needed at all — at 100 TB this
+    is an aggregation, not an ordering problem.
+    """
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    win = F.timestamp_micros(
+        (us / 1_800_000_000).cast("long") * 1_800_000_000
+    ).cast("timestamp_ntz")
+    return (
+        ev.select(
+            "user_id", "event_type", "ts", "event_id",
+            win.alias("win_start"),
+        )
+        .groupBy("user_id", "event_type", "win_start")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.expr("min_by(event_id, ts)").alias("first_event_id"),
+            F.count(F.lit(1)).alias("n_suppressed"),
+        )
+    )
