@@ -1024,3 +1024,67 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(long_ratio, 6).alias("long_word_ratio"),
         F.round(syl / n_words, 6).alias("syllables_per_word"),
     )
+
+
+@query(
+    "text_vocab_growth",
+    """
+WITH firsts AS (
+  SELECT min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents)
+  GROUP BY token
+),
+per_doc AS (
+  SELECT first_doc AS doc_id, count(*) AS new_tokens
+  FROM firsts GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(p.new_tokens, 0) AS new_tokens,
+  CAST(sum(coalesce(p.new_tokens, 0)) OVER (
+    ORDER BY d.doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS vocab_size
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: distinct-token count after
+    each document in doc_id order — the corpus statistic that tells you
+    whether more data still buys vocabulary coverage (sub-linear growth
+    flattening = diminishing lexical returns).
+
+    The running-distinct trick at corpus scale: a token contributes at
+    its FIRST document (one groupBy(token) min — the only pass over
+    exploded tokens), first-counts collapse to one row per document,
+    and the cumulative sum runs over the |documents|-row frame. The
+    global-order window is the documented exact-curve cost (dimension
+    cardinality, not token volume); at 100 TB the same first-doc frame
+    feeds a bucketed two-phase cumsum (win_ntile_twophase's pattern).
+    """
+    docs = load(spark, sf_dir, "documents")
+    firsts = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+        )
+        .select(
+            "doc_id",
+            "new_tokens",
+            F.sum("new_tokens").over(w).alias("vocab_size"),
+        )
+    )

@@ -474,3 +474,58 @@ def events_dedup_first_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_suppressed"),
         )
     )
+
+
+@query(
+    "events_inter_arrival",
+    """
+WITH gaps AS (
+  SELECT event_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+  count(*) AS n_gaps,
+  round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_sec,
+  round(quantile_cont(gap_us, 0.95) / 1000000.0, 6) AS p95_sec,
+  round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 6)
+    AS mean_sec
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""",
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type (p50/p95/mean
+    seconds between consecutive events) — the traffic-model fingerprint
+    behind capacity planning, anomaly baselines and synthetic-load
+    generation.
+
+    One lag window over the per-type time order produces integer-µs
+    gaps; percentiles interpolate over those exact integers (the same
+    linear-interpolation contract agg_percentile pinned across engines)
+    and the mean divides an exact integer sum — so 6dp rounding is
+    engine-exact. Scale: gaps are computed within event_type partitions
+    (entity-keyed window) and the percentile state is per-group — at
+    100 TB swap the exact percentile for percentile_approx exactly as
+    agg_approx_percentile demonstrates.
+    """
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 1_000_000.0, 6).alias(
+            "p50_sec"
+        ),
+        F.round(F.expr("percentile(gap_us, 0.95)") / 1_000_000.0, 6).alias(
+            "p95_sec"
+        ),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1_000_000.0,
+            6,
+        ).alias("mean_sec"),
+    )
