@@ -601,3 +601,32 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_ltv"
         ),
     )
+
+
+@query(
+    "events_heatmap",
+    """
+SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
+  count(*) AS n,
+  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix (counts + decimal
+    value sums) — the seasonality heatmap behind every ops dashboard
+    and the feature grid for time-of-day models. One fully
+    partial-aggregatable pass; the only cross-engine trap is the
+    day-numbering convention (Spark dayofweek is 1=Sunday, DuckDB
+    0=Sunday — mapped explicitly, the same offset fn_datetime pins).
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
