@@ -302,3 +302,37 @@ def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("encoded"),
     )
+
+
+@query(
+    "feat_minmax",
+    """
+SELECT event_id, event_type,
+  CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5
+       ELSE round((value - min(value) OVER w)
+                  / (max(value) OVER w - min(value) OVER w), 6)
+  END AS value_scaled
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+""",
+)
+def feat_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max scaling to [0,1] — feat_zscore's sibling for
+    bounded-range features (embedding inputs, pixel-like signals),
+    with the degenerate constant-group case pinned to 0.5 explicitly
+    (an unguarded formula is 0/0 → NULL/NaN divergence between
+    engines). Same single entity-keyed window pass as zscore; at
+    100 TB the same two-job groupBy-stats + broadcast-back rewrite
+    applies. min/max are exact (no summation), so the one division is
+    on identical doubles — 6dp round is belt-and-braces.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.when(hi == lo, 0.5)
+        .otherwise(F.round((F.col("value") - lo) / (hi - lo), 6))
+        .alias("value_scaled"),
+    )
