@@ -424,3 +424,27 @@ def test_ewma_fold_stays_in_codegen(spark):
     plan = _plan(spark, "feat_ewma")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" in plan
+
+
+def test_band_lookup_broadcasts_intervals(spark):
+    # the pure range join must broadcast the 10-row band table and keep
+    # the fact map-side: BroadcastNestedLoopJoin, never a sort-merge
+    plan = _plan(spark, "join_band_lookup")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_relational_division_partial_aggregates(spark):
+    # the counting rewrite must partial-aggregate the distinct and the
+    # per-customer count; the year filter must reach the orders scan
+    plan = _plan(spark, "join_relational_division")
+    assert "partial_count" in plan
+    assert "PushedFilters" in plan and "1995" in plan
+
+
+def test_dedup_first_in_window_is_one_aggregation(spark):
+    # windowed debounce must plan as a single groupBy (no Window/Sort
+    # operator at all) — it is an aggregation, not an ordering problem
+    plan = _plan(spark, "events_dedup_first_in_window")
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
