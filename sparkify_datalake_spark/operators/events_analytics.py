@@ -630,3 +630,53 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@query(
+    "events_wau_trend",
+    """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+    count(DISTINCT user_id) AS wau
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT wau,
+    date_diff('week', (SELECT min(wk) FROM weekly), wk) AS week_idx
+  FROM weekly
+)
+SELECT count(*) AS n_weeks,
+  round(regr_slope(wau, week_idx), 6) AS slope_per_week,
+  round(regr_intercept(wau, week_idx), 6) AS intercept,
+  round(regr_r2(wau, week_idx), 6) AS r2
+FROM idx
+""",
+)
+def events_wau_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement trend in one number: OLS slope of weekly active
+    users over the week index (plus intercept/R²) — the "is usage
+    growing" KPI, composed from the distinct-actives machinery
+    (events_dau_wau) and the moment-based regression aggregates
+    (agg_linreg).
+
+    The only pass over raw events is the weekly count-distinct; the
+    regression consumes the |weeks|-row frame, where the week index is
+    an exact integer offset from the earliest week (broadcast 1-row
+    scalar). Moment arithmetic on integer inputs → 6dp engine-exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).agg(F.count_distinct("user_id").alias("wau"))
+    min_wk = weekly.agg(F.min("wk").alias("wk0"))
+    idx = weekly.crossJoin(F.broadcast(min_wk)).select(
+        "wau",
+        (F.datediff("wk", "wk0") / 7).cast("long").alias("week_idx"),
+    )
+    y, x = F.col("wau"), F.col("week_idx")
+    return idx.agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.round(F.regr_slope(y, x), 6).alias("slope_per_week"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

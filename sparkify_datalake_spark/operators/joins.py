@@ -584,3 +584,51 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_quarters") == 4)
         .select(F.col("o_custkey").alias("custkey"), "n_quarters")
     )
+
+
+@query(
+    "join_lead_time",
+    """
+SELECT l.l_suppkey AS suppkey,
+  count(*) AS n_lines,
+  round(CAST(sum(date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+        / count(*), 4) AS avg_lead_days,
+  min(date_diff('day', CAST(o.o_orderdate AS DATE),
+                CAST(l.l_shipdate AS DATE))) AS min_lead_days,
+  max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                CAST(l.l_shipdate AS DATE))) AS max_lead_days
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_suppkey
+""",
+)
+def join_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfillment lead time (order date → ship date):
+    mean/min/max days — the SLA/operations metric every supply chain
+    tracks, and a fact-to-fact join whose aggregate rides the join
+    output without a second shuffle (the groupBy key is a join-side
+    column, so Catalyst reuses the exchange where partitioning allows;
+    at fixture scale orders broadcasts and the whole query is
+    scan → broadcast-join → partial agg).
+
+    Day gaps are exact integers (datediff on DATE casts — the same
+    cross-engine contract win_lag_lead pinned), so the mean is an
+    integer-sum ratio: 4dp rounding divides identical operands.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    lead = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(lead).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_lead_days"),
+            F.min(lead).alias("min_lead_days"),
+            F.max(lead).alias("max_lead_days"),
+        )
+    )
