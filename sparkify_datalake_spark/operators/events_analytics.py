@@ -264,6 +264,7 @@ SELECT day,
   count(DISTINCT user_id) AS wau
 FROM cover
 WHERE day <= (SELECT max(d) FROM du)
+  AND day >= (SELECT min(d) + INTERVAL 6 DAY FROM du)
 GROUP BY day
 """,
 )
@@ -280,14 +281,18 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct over the cover) together. Cost: one distinct shuffle over
     (user, day) — bounded by users × days, not events — plus a 7×
     fan-out of that bounded frame; contrast the naive 7-way self-join
-    of daily cohorts. Report days past the observed horizon are cut so
-    every WAU is a full trailing window over real data.
+    of daily cohorts. Report days past the observed horizon AND the
+    first six days (whose trailing windows would be partial) are cut,
+    so every reported WAU is a full trailing window over real data.
     """
     ev = load(spark, sf_dir, "events")
     du = ev.select(
         F.date_trunc("day", "ts").alias("d"), "user_id"
     ).distinct()
-    maxd = du.agg(F.max("d").alias("maxd"))
+    bounds = du.agg(
+        F.max("d").alias("maxd"),
+        (F.min("d") + F.expr("INTERVAL 6 DAYS")).alias("mind6"),
+    )
     cover = du.select(
         "user_id",
         "d",
@@ -299,7 +304,11 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day"),
     )
     return (
-        cover.join(F.broadcast(maxd), F.col("day") <= F.col("maxd"))
+        cover.join(
+            F.broadcast(bounds),
+            (F.col("day") <= F.col("maxd"))
+            & (F.col("day") >= F.col("mind6")),
+        )
         .groupBy("day")
         .agg(
             F.count_distinct(

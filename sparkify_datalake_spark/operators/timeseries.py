@@ -436,7 +436,7 @@ WITH w AS (
 SELECT user_id, event_type, win_start,
   min(ts) AS first_ts,
   arg_min(event_id, ts) AS first_event_id,
-  count(*) AS n_suppressed
+  count(*) - 1 AS n_suppressed
 FROM w GROUP BY user_id, event_type, win_start
 """,
 )
@@ -471,7 +471,7 @@ def events_dedup_first_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("ts").alias("first_ts"),
             F.expr("min_by(event_id, ts)").alias("first_event_id"),
-            F.count(F.lit(1)).alias("n_suppressed"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_suppressed"),
         )
     )
 

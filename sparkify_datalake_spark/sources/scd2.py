@@ -70,8 +70,24 @@ def scd2_apply(
     upsert_by_key: one row per key per batch (dedupe to latest
     upstream), and batch timestamps move forward — an effective_ts at
     or before the key's current valid_from would create a zero- or
-    negative-length version, so it is rejected loudly.
+    negative-length version, so it is rejected loudly. Both
+    preconditions are ENFORCED here, not just documented: a duplicate
+    key would close the current version once but open several
+    is_current rows, silently breaking the exactly-one-current
+    invariant downstream as-of joins rely on.
     """
+    dup = (
+        updates.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+    )
+    if not dup.isEmpty():
+        k = dup.select(key).limit(5).collect()
+        raise ValueError(
+            f"scd2_apply: duplicate keys in update batch "
+            f"{[r[0] for r in k]} — dedupe to the latest row per key "
+            f"upstream before applying"
+        )
     hist = dim.filter(~F.col("is_current"))
     cur = dim.filter(F.col("is_current"))
     u, c = updates.alias("u"), cur.alias("c")

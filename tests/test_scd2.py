@@ -116,6 +116,14 @@ def test_backdated_update_rejected(spark):
         )
 
 
+def test_duplicate_key_batch_rejected(spark):
+    # two rows for key 1 in one batch would open two is_current
+    # versions; the guard must refuse before any merge happens
+    upd = _snap(spark, [(1, "FURNITURE"), (1, "AUTOMOBILE")], T1)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        scd2_apply(_dim0(spark), upd, "custkey", ["segment"], "eff")
+
+
 def test_asof_lookup_picks_contemporary_version(spark):
     dim1 = scd2_apply(
         _dim0(spark), _snap(spark, [(1, "FURNITURE")], T1),
