@@ -331,50 +331,144 @@ def _hyperplanes(n_planes: int = 4, dim: int = _DIM) -> list[list[float]]:
     ]
 
 
-@query("sim_ann_lsh")
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 for vec_id=0 via random-hyperplane LSH with multi-probe.
+# Banded-LSH index shape: 24 planes → 4 bands × 6 bits. A 6-bit band
+# has 64 values, so a random (p=0.5 per bit) pair collides on one band
+# with prob 1/64 and on ANY of 4 bands with prob ≈ 6% — the candidate
+# fraction; a genuine near-duplicate (cos ≈ 0.95 ⇒ per-bit agreement
+# p = 1 − θ/π ≈ 0.90) collides per band with p⁶ ≈ 0.53 and on any band
+# with ≈ 0.95 — the recall. Both are MEASURED (not just derived) in
+# tests/test_ann_lsh.py on a planted-neighbor corpus.
+_ANN_PLANES = 24
+_ANN_BANDS = 4
 
-    Each vector gets a 4-bit signature (sign of dot with 4 fixed
-    hyperplanes); the probe scans its own bucket plus all buckets at
-    hamming distance 1 (multi-probe LSH), then ranks candidates by exact
-    cosine. Rows-only: recall is probabilistic by design — the
-    brute-force twin (sim_cosine_topk) is the hash-checked anchor.
-    """
-    emb = load(spark, sf_dir, "embeddings")
-    bucket = F.lit(0)
-    n_planes = len(_hyperplanes())
-    for p, plane in enumerate(_hyperplanes()):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        bit = (_dot("embedding", plane_col) > 0).cast("int")
-        bucket = bucket + F.shiftleft(bit, p)
-    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    # Multi-probe: the target row fans out to its bucket + the n one-bit
-    # flips, then a broadcast equi-join picks up all candidate vectors.
-    probes = F.array(
-        F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << p))
-            for p in range(n_planes)
-        ],
-    )
-    target = (
-        bucketed.filter(F.col("vec_id") == 0)
-        .select(
-            F.col("embedding").alias("t_embedding"),
-            F.explode(probes).alias("t_bucket"),
+
+def _band_values(n_planes: int, n_bands: int) -> list[Column]:
+    """One small-int column per band: the band's bit-slice of the
+    sign-signature, computed JVM-side (no Python per row)."""
+    bits_per_band = n_planes // n_bands
+    planes = _hyperplanes(n_planes)
+    bits = [
+        (_dot("embedding", F.array(*[F.lit(v) for v in plane])) > 0).cast(
+            "int"
         )
+        for plane in planes
+    ]
+    vals = []
+    for band in range(n_bands):
+        val = F.lit(0)
+        for j in range(bits_per_band):
+            val = val + F.shiftleft(bits[band * bits_per_band + j], j)
+        vals.append(val)
+    return vals
+
+
+def ann_lsh_index(
+    emb: DataFrame,
+    n_planes: int = _ANN_PLANES,
+    n_bands: int = _ANN_BANDS,
+) -> DataFrame:
+    """(vec_id, embedding, band_id, band_val) posting list — the index.
+
+    At 100 TB this table is written ONCE, partitioned/bucketed by
+    (band_id, band_val); a probe then reads only its matching buckets
+    (same persisted-index discipline as ivf_build/pq_build). Here it
+    stays a lazy frame so the operator composes with any corpus.
+    """
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(F.array(*_band_values(n_planes, n_bands))).alias(
+            "band_id", "band_val"
+        ),
+    )
+
+
+def ann_lsh_candidates(
+    emb: DataFrame,
+    target_id: int,
+    n_planes: int = _ANN_PLANES,
+    n_bands: int = _ANN_BANDS,
+    multi_probe_bits: int = 0,
+) -> DataFrame:
+    """Distinct candidate set for one probe: vectors sharing ≥1 band
+    value with the target (banded LSH — the signature-space analogue of
+    MinHash banding).
+
+    ``multi_probe_bits=1`` additionally probes every band value at
+    hamming distance 1 (bits_per_band extra probes per band) — trades
+    candidate volume for recall when neighbors sit near a bit boundary;
+    OFF by default because banding across 4 independent bands already
+    gives the recall (measured in tests/test_ann_lsh.py), while
+    hamming-1 fan-out multiplies the noise floor ~7×.
+    """
+    idx = ann_lsh_index(emb, n_planes, n_bands)
+    bits_per_band = n_planes // n_bands
+    t = idx.filter(F.col("vec_id") == target_id)
+    if multi_probe_bits:
+        probes = t.select(
+            "band_id",
+            F.explode(
+                F.array(
+                    F.col("band_val"),
+                    *[
+                        F.col("band_val").bitwiseXOR(F.lit(1 << j))
+                        for j in range(bits_per_band)
+                    ],
+                )
+            ).alias("band_val"),
+        ).distinct()
+    else:
+        probes = t.select("band_id", "band_val")
+    return (
+        idx.filter(F.col("vec_id") != target_id)
+        .join(F.broadcast(probes), ["band_id", "band_val"])
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    target_id: int,
+    k: int = 10,
+    n_planes: int = _ANN_PLANES,
+    n_bands: int = _ANN_BANDS,
+    multi_probe_bits: int = 0,
+) -> DataFrame:
+    """ANN top-k for one probe: banded-LSH candidates → exact cosine
+    re-rank → bounded-heap top-k. Deterministic for a fixed corpus
+    (seed-pinned planes, rounded-cosine + vec_id total order)."""
+    target = emb.filter(F.col("vec_id") == target_id).select(
+        F.col("embedding").alias("t_embedding")
     )
     cos = _dot("embedding", "t_embedding") / (
         _norm("embedding") * _norm("t_embedding")
     )
     return (
-        bucketed.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(target), F.col("bucket") == F.col("t_bucket"))
+        ann_lsh_candidates(emb, target_id, n_planes, n_bands, multi_probe_bits)
+        .crossJoin(F.broadcast(target))
         .select("vec_id", F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-        .limit(10)
+        .limit(k)
     )
+
+
+@query("sim_ann_lsh")
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for vec_id=0 via banded random-hyperplane LSH.
+
+    24 sign-bits in 4 bands of 6; candidates share at least one full
+    band with the probe, then exact cosine re-ranks them (ann_lsh_topk).
+    Candidate fraction ≈ 6% of the corpus vs the old 4-plane/16-bucket
+    demo's ~31% — measured, with recall, on a planted-neighbor corpus
+    in tests/test_ann_lsh.py. Rows-only: recall on the *driver fixture*
+    is structurally low because its embeddings are near-isotropic (top-10
+    cosines 0.31–0.41 vs a 0.285 99th-percentile background — there are
+    no true near-neighbors to find), which no hash index can beat;
+    sim_cosine_topk is the exact hash-checked anchor, IVF/PQ the tuned
+    scale paths.
+    """
+    return ann_lsh_topk(load(spark, sf_dir, "embeddings"), target_id=0)
 
 
 _EMBED_DUP_TAU = 0.4

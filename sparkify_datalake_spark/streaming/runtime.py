@@ -9,6 +9,12 @@ Scale notes (100 TB stream): the same topology runs against Kafka by
 swapping the source; watermark delay bounds state size (windows/dedup
 keys older than watermark are evicted), and ``dropDuplicatesWithinWatermark``
 keeps one state entry per key within the horizon instead of forever.
+
+Source seam: every topology takes ``src: SourceLike`` — a path (file
+replay, backward compatible) OR a source provider from
+``streaming/sources.py`` (rate, Kafka). The topology code never names
+a transport; tests/test_streaming.py proves the same topology runs
+unchanged on file replay and on the rate source.
 """
 
 from __future__ import annotations
@@ -17,21 +23,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-    ]
+from sparkify_datalake_spark.streaming.sources import (
+    EVENT_SCHEMA,
+    SourceLike,
+    resolve_source,
 )
 
 
@@ -47,14 +43,10 @@ def write_replay_batch(
 
 
 def windowed_counts_stream(
-    spark: SparkSession, src_path: str, watermark: str = "10 minutes"
+    spark: SparkSession, src: SourceLike, watermark: str = "10 minutes"
 ) -> DataFrame:
-    """Watermarked 10-minute tumbling counts over a file-source replay."""
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_path)
-    )
+    """Watermarked 10-minute tumbling counts over any event source."""
+    stream = resolve_source(src, spark)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes").alias("w"))
@@ -64,20 +56,16 @@ def windowed_counts_stream(
 
 
 def dedup_stream(
-    spark: SparkSession, src_path: str, watermark: str = "30 minutes"
+    spark: SparkSession, src: SourceLike, watermark: str = "30 minutes"
 ) -> DataFrame:
     """Stateful streaming dedup on event_id within the watermark horizon."""
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_path)
-    )
+    stream = resolve_source(src, spark)
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
 
 
-def running_counts_stream(spark: SparkSession, src_path: str) -> DataFrame:
+def running_counts_stream(spark: SparkSession, src: SourceLike) -> DataFrame:
     """Custom stateful operator: per-event_type running count + last seen id.
 
     ``applyInPandasWithState`` — the escape hatch when built-in streaming
@@ -103,11 +91,7 @@ def running_counts_stream(spark: SparkSession, src_path: str) -> DataFrame:
             {"event_type": [key[0]], "n_events": [n], "max_event_id": [max_id]}
         )
 
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_path)
-    )
+    stream = resolve_source(src, spark)
     return stream.groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=out_schema,
@@ -131,7 +115,7 @@ def run_to_memory(
 
 
 def click_purchase_join_stream(
-    spark: SparkSession, clicks_path: str, purchases_path: str
+    spark: SparkSession, clicks_src: SourceLike, purchases_src: SourceLike
 ) -> DataFrame:
     """Stream-stream inner join: purchases matched to recent clicks.
 
@@ -143,9 +127,7 @@ def click_purchase_join_stream(
     partition, watermark delay bounds its size.
     """
     clicks = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(clicks_path)
+        resolve_source(clicks_src, spark)
         .withWatermark("ts", "1 hour")
         .select(
             F.col("user_id").alias("c_user"),
@@ -154,9 +136,7 @@ def click_purchase_join_stream(
         )
     )
     purchases = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(purchases_path)
+        resolve_source(purchases_src, spark)
         .withWatermark("ts", "1 hour")
         .select(
             F.col("user_id").alias("p_user"),
@@ -176,7 +156,7 @@ def click_purchase_join_stream(
 
 
 def stream_static_enrich(
-    spark: SparkSession, src_path: str, dim: DataFrame
+    spark: SparkSession, src: SourceLike, dim: DataFrame
 ) -> DataFrame:
     """Stream ⋈ static-dimension enrichment via broadcast hash join.
 
@@ -189,11 +169,7 @@ def stream_static_enrich(
     same plan holds as long as the dimension fits the broadcast
     threshold; beyond that it becomes a stream-static shuffled join.
     """
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_path)
-    )
+    stream = resolve_source(src, spark)
     return stream.join(F.broadcast(dim), "user_id").select(
         "event_id", "user_id", "event_type", "segment"
     )

@@ -280,3 +280,51 @@ def test_transform_with_state_gate_reports_clearly():
         pytest.skip("protobuf present — gate path not reachable")
     with pytest.raises(ImportError, match="protobuf"):
         transform_state.per_type_running_stats_stream(None, "/nonexistent")
+
+
+def test_topology_runs_on_rate_source(spark, tmp_path):
+    """Source seam (streaming/sources.py): the SAME windowed-counts
+    topology that the replay tests drive also runs on the built-in rate
+    source — proving the operators are transport-agnostic (production
+    swaps in kafka_events_source the same way)."""
+    import time
+
+    from sparkify_datalake_spark.streaming.sources import rate_events_source
+
+    chk = str(tmp_path / "chk_rate")
+    df = runtime.windowed_counts_stream(
+        spark, rate_events_source(rows_per_second=500)
+    )
+    assert [f.name for f in df.schema.fields] == ["window_start", "n_events"]
+    query = runtime.run_to_memory(df, "rate_counts", "update", chk)
+    try:
+        # NOTE: never processAllAvailable() on a rate source — it only
+        # returns when no new data is available, which an unbounded
+        # generator never satisfies. Poll the sink instead.
+        deadline = time.monotonic() + 60
+        rows = []
+        while time.monotonic() < deadline:
+            rows = spark.sql("SELECT * FROM rate_counts").collect()
+            if rows and sum(r["n_events"] for r in rows) >= 100:
+                break
+            time.sleep(0.5)
+        assert rows, "rate source produced no windowed counts in 60s"
+        assert all(r["n_events"] > 0 for r in rows)
+        assert all(r["window_start"] is not None for r in rows)
+    finally:
+        query.stop()
+
+
+def test_kafka_source_adapter_shape():
+    """kafka_events_source is the documented production adapter; without
+    the kafka package on the classpath, constructing the plan must fail
+    at the source boundary (AnalysisException naming the data source),
+    never partially run."""
+    from pyspark.errors import AnalysisException
+
+    from sparkify_datalake_spark.session import get_spark
+    from sparkify_datalake_spark.streaming.sources import kafka_events_source
+
+    provider = kafka_events_source("broker:9092", "events")
+    with pytest.raises(AnalysisException):
+        provider(get_spark("kafka-gate"))
