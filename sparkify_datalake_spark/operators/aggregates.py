@@ -14,7 +14,7 @@ skew-join/agg splitting, no manual salting needed for these shapes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkify_datalake_spark.functions.determinism import (
@@ -32,20 +32,49 @@ from sparkify_datalake_spark.sources.load import load
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: TPC-H-Q1-style pricing summary by (returnflag, linestatus)."""
+    """Flagship: TPC-H-Q1-style pricing summary by (returnflag, linestatus).
+
+    The two product sums (disc_price, charge) run in exact integer
+    CENTS: every money/rate column is a 2dp decimal stored as double
+    (FIXTURES.md invariant), so round(x·100) is an exact long and the
+    per-row products are pure long arithmetic — Spark's Decimal multiply
+    always goes through java.math.BigDecimal (no compact fast path, ~2
+    BigDecimal multiplies/row ≈ 0.9 s at sf0.1 measured), while the
+    long form codegens to two imuls. Accumulation is decimal(28,0)
+    (order-independent, compact-long adds until ~1e18, exact at any
+    scale — a pure BIGINT sum would overflow at ~1e19, i.e. within a
+    100 TB year of charges), and the ÷10⁴/÷10⁶ rescale happens once per
+    GROUP on the final 4-row result, not per row.
+    """
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz")
     )
-    one = F.lit(1).cast("decimal(3,2)")
-    disc_price = dec2("l_extendedprice") * (one - dec2("l_discount", 4))
-    charge = disc_price * (one + dec2("l_tax", 4))
+
+    def cents(col: str) -> Column:
+        return F.round(F.col(col) * 100).cast("long")
+
+    disc4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    charge6 = disc4 * (F.lit(100) + cents("l_tax"))
+
+    def scaled_sum(col: Column, pow10: int, alias: str) -> Column:
+        # exact decimal accumulation of integer units, one rescale per group
+        return (
+            F.round(
+                F.sum(col.cast("decimal(28,0)")).cast("decimal(38,6)")
+                / F.lit(10**pow10),
+                2,
+            )
+            .cast("double")
+            .alias(alias)
+        )
+
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum("l_quantity", "sum_qty"),
             dec_sum("l_extendedprice", "sum_base_price"),
-            dec_sum_exact(disc_price, "sum_disc_price"),
-            dec_sum_exact(charge, "sum_charge"),
+            scaled_sum(disc4, 4, "sum_disc_price"),
+            scaled_sum(charge6, 6, "sum_charge"),
             dec_avg("l_quantity", "avg_qty"),
             dec_avg("l_extendedprice", "avg_price"),
             dec_avg("l_discount", "avg_disc"),
