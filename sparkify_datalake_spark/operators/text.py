@@ -1168,3 +1168,64 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vocab"),
         F.round(F.sum(term0 + term1), 6).alias("js_bits"),
     )
+
+
+@query(
+    "text_repetition",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(toks), 1)),
+                   i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+  FROM t
+)
+SELECT doc_id,
+  len(bigrams) AS n_bigrams,
+  len(list_distinct(bigrams)) AS n_unique,
+  round(CASE WHEN len(bigrams) = 0 THEN 0.0
+        ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                   / len(bigrams) END, 6) AS dup_frac,
+  (CASE WHEN len(bigrams) = 0 THEN 0.0
+        ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                   / len(bigrams) END) <= 0.2 AS keep
+FROM b
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition gate: duplicate-bigram fraction per
+    doc (Gopher's repetition family — high duplicate-n-gram mass marks
+    boilerplate/spam that per-corpus dedup can't see because it never
+    leaves the document).
+
+    Pure per-row array expressions — bigram construction is a JVM
+    transform over the token array, the dup fraction is
+    1 − distinct/total, and the keep flag applies the published ≤0.2
+    duplicate-fraction threshold. Whole-stage codegen, zero shuffles at
+    any scale; composes with text_gopher_rules (shape gates) and
+    dedup_* (cross-doc gates) into the full corpus-quality pipeline.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    b = base.select("doc_id", bigrams.alias("bigrams"))
+    nb = F.size("bigrams")
+    nu = F.size(F.array_distinct("bigrams"))
+    dup = F.when(nb == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - nu.cast("double") / nb
+    )
+    return b.select(
+        "doc_id",
+        nb.cast("bigint").alias("n_bigrams"),
+        nu.cast("bigint").alias("n_unique"),
+        F.round(dup, 6).alias("dup_frac"),
+        (dup <= 0.2).alias("keep"),
+    )

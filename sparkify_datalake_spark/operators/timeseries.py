@@ -529,3 +529,65 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_sec"),
     )
+
+
+@query(
+    "events_concurrency",
+    """
+WITH spans AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    min(ts) AS t0, max(ts) AS t1
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT day, t0 AS t, 1 AS delta FROM spans
+  UNION ALL SELECT day, t1 AS t, -1 AS delta FROM spans
+), run AS (
+  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM pts
+)
+SELECT day, CAST(max(c) AS BIGINT) AS max_concurrent,
+  CAST(count(*) / 2 AS BIGINT) AS n_spans
+FROM run GROUP BY day
+""",
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day: the max number of simultaneously
+    active users, where a user's activity span is [first event, last
+    event] of the day — the classic interval sweep-line (capacity
+    planning, license seats, connection-pool sizing).
+
+    Sweep-line as ONE window pass: each span contributes a +1 point at
+    its start and a −1 at its end; the running sum of deltas in time
+    order is the live concurrency and its per-day max is the answer.
+    Tie rule pinned in both engines (ORDER BY t, delta puts −1 first):
+    spans touching at a boundary — including single-event zero-length
+    spans — do NOT count as overlapping. Scale: the sort is
+    PARTITIONED by day (bounded state, no global order), the span
+    reduction is a partial-agg groupBy over (user, day), and the sweep
+    carries 2 rows per user-day — at 100 TB this is two shuffles of a
+    frame bounded by users × days, never by raw events.
+    """
+    ev = load(spark, sf_dir, "events")
+    spans = (
+        ev.select(
+            "user_id", F.date_trunc("day", "ts").alias("day"), "ts"
+        )
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    pts = spans.select(
+        "day", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select("day", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", F.sum("delta").over(w).alias("c"))
+    return run.groupBy("day").agg(
+        F.max("c").cast("bigint").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_spans"),
+    )
