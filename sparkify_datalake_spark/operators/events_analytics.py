@@ -689,3 +689,67 @@ def events_wau_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+@query(
+    "events_sequence_match",
+    """
+WITH seq AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s,
+    count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, s AS seq,
+  regexp_matches(s, 's.*p') AS converted,
+  coalesce(list_max(list_transform(regexp_extract_all(s, 'c+'),
+                                   x -> len(x))), 0) AS max_click_run
+FROM seq
+""",
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence pattern matching: each user's full event
+    history collapses to an ordered type-initial string (c/e/p/s/v) and
+    regexes ask ordered-funnel questions no groupBy can — here
+    "signup then EVENTUALLY purchase" (converted) and the longest
+    uninterrupted click run (rage-click detector).
+
+    The sequence-as-string trick turns MATCH_RECOGNIZE-class queries
+    into one entity-keyed aggregation + per-row regex: collect_list of
+    (ts, event_id, char) structs merges map-side, array_sort imposes
+    the unique total order INSIDE the group (no window, no global
+    sort), and the regexes run on |users| short strings, not |events|
+    rows. Scale: state per user is its event count (same bound as any
+    sessionization); a 100 TB run caps the string with a slice, exactly
+    like production funnel engines window their lookback.
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda x: x["c"]
+                ),
+                "",
+            ).alias("seq"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    runs = F.expr("regexp_extract_all(seq, 'c+', 0)")
+    return seq.select(
+        "user_id",
+        "n_events",
+        "seq",
+        F.col("seq").rlike("s.*p").alias("converted"),
+        F.coalesce(
+            F.array_max(F.transform(runs, lambda x: F.length(x))),
+            F.lit(0),
+        ).cast("bigint").alias("max_click_run"),
+    )

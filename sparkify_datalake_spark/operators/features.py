@@ -336,3 +336,51 @@ def feat_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((F.col("value") - lo) / (hi - lo), 6))
         .alias("value_scaled"),
     )
+
+
+_HASH_BUCKETS = 64
+
+
+@query(
+    "feat_hashing_trick",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(('0x' || substring(md5(t), 1, 4))::BIGINT % {_HASH_BUCKETS}
+       AS BIGINT) AS bucket,
+  count(*) AS n
+FROM tok GROUP BY 1, 2
+""",
+)
+def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the 'hashing trick'): tokens hash into a fixed
+    {_HASH_BUCKETS}-bucket vocabulary-free feature space, emitted as
+    COO-form (doc_id, bucket, count) sparse rows — the ML-ingest shape
+    that needs no vocabulary build, no broadcast dictionary, and no
+    second pass, which is why it is the default featurizer at corpus
+    scale.
+
+    Bucket = md5 of the token (engine-portable, unlike xxhash64 which
+    DuckDB lacks) truncated to 16 bits mod buckets — Spark computes it
+    with conv(hex,16,10), the oracle with a 0x-literal cast, same
+    integer either way (the fn_surrogate_key discipline). One explode +
+    one partial-aggregatable groupBy; output is bounded by
+    docs × buckets regardless of corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("bigint"),
+        F.lit(_HASH_BUCKETS),
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
