@@ -591,3 +591,73 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("bigint").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_spans"),
     )
+
+
+@query(
+    "ts_changepoint",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    count(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, avg(n) AS mu FROM daily GROUP BY 1
+), cusum AS (
+  SELECT d.event_type, d.day,
+    sum(d.n - s.mu) OVER (PARTITION BY d.event_type ORDER BY d.day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM daily d JOIN stats s ON d.event_type = s.event_type
+), mx AS (
+  SELECT event_type, day, abs(c) AS a,
+    max(abs(c)) OVER (PARTITION BY event_type) AS ma
+  FROM cusum
+)
+SELECT event_type,
+  min(CASE WHEN a = ma THEN day END) AS changepoint_day,
+  round(max(a), 6) AS max_cusum,
+  count(*) AS n_days
+FROM mx GROUP BY event_type
+""",
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event-type daily series: the day where
+    the cumulative deviation from the series mean peaks — the classic
+    level-shift locator behind deploy-regression and drift monitors.
+
+    One partial-agg pass builds the daily series; then THREE window
+    expressions share a single event_type hash partitioning (mean,
+    ordered prefix-sum of deviations, partition max of |cusum|) — one
+    shuffle total, state bounded by |types| × |days|. The prefix sum is
+    an ORDERED window, so both engines add identical doubles in
+    identical order (exact integer counts minus an identically-derived
+    mean) — bit-equal cusums; the argmax is tie-pinned to the earliest
+    day (min day among maxima) rather than trusting either engine's
+    arg_max tie order.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_part = Window.partitionBy("event_type")
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mu = F.avg("n").over(w_part)
+    c = F.sum(F.col("n") - mu).over(w_ord)
+    a = F.abs(c)
+    mx = daily.select(
+        "event_type",
+        "day",
+        a.alias("a"),
+    ).withColumn("ma", F.max("a").over(w_part))
+    return mx.groupBy("event_type").agg(
+        F.min(F.when(F.col("a") == F.col("ma"), F.col("day"))).alias(
+            "changepoint_day"
+        ),
+        F.round(F.max("a"), 6).alias("max_cusum"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
