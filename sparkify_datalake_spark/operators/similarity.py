@@ -1159,3 +1159,73 @@ def sim_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("n") / F.avg("n"), 4).alias("imbalance"),
         F.lit(round(recall, 4)).alias("recall_at_10"),
     )
+
+
+@query("embed_pca")
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum of the embedding corpus: top-8 explained-variance
+    ratios from the covariance eigendecomposition — the dimensionality
+    audit behind whitening, PQ subspace design and "are my embeddings
+    collapsed?" drift checks.
+
+    The distributed part is the only part that scales with n: one pass
+    computes per-dimension means (posexplode + partial agg), a second
+    streams Arrow batches through a NumPy kernel emitting each batch's
+    centered Gram contribution Xᶜᵀ·Xᶜ as COO rows, and a groupBy(i,j)
+    sums them — 64×64 co-moments regardless of corpus size (the exact
+    mergeable-moment shape agg_stats uses, lifted to a matrix). The
+    64×64 eigensolve is driver-side NumPy, like the IVF/PQ codebooks
+    (O(d³) work has no business on executors). Rows-only: no SQL oracle
+    does eigendecomposition; tests/test_pca.py cross-checks the whole
+    pipeline against direct NumPy PCA at 1e-6 and pins spectrum shape
+    invariants (ratios sorted, ≤1, sum ≤1).
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = 64
+    mean_rows = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in mean_rows:
+        mu[r["i"]] = r["mu"]
+    n_vecs = mean_rows[0]["n"]
+    mu_list = [float(v) for v in mu]  # plain list: pickles by value
+
+    def gram_batches(batches):
+        import numpy as np  # self-contained closure (foreign-cwd workers)
+        import pandas as pd
+
+        m = np.array(mu_list)
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) - m
+            g = x.T @ x
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "v": g.ravel()}
+            )
+
+    coo = (
+        emb.select("embedding")
+        .mapInPandas(gram_batches, "i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    cov = np.zeros((dim, dim))
+    for r in coo:
+        cov[r["i"], r["j"]] = r["v"]
+    cov /= max(n_vecs - 1, 1)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    out = [
+        (int(k), round(float(evals[k] / total), 6))
+        for k in range(8)
+    ]
+    return spark.createDataFrame(out, "component int, explained_var double")
