@@ -836,3 +836,41 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
         ).alias("n_urgent"),
     )
+
+
+@query(
+    "agg_geomean_harmonic",
+    """
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  round(exp(avg(ln(o_totalprice))), 2) AS geo_mean_price,
+  round(count(*) / sum(1.0 / o_totalprice), 2) AS harm_mean_price,
+  round(avg(o_totalprice), 2) AS arith_mean_price
+FROM orders
+WHERE o_totalprice > 0
+GROUP BY o_orderpriority
+""",
+)
+def agg_geomean_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means per group — the multiplicative-rate
+    aggregates (growth factors, price indices, avg-of-ratios) that a
+    plain AVG silently gets wrong. Both reduce to ordinary partial
+    aggregation: geo = exp(avg(ln x)) is one sum of logs, harm =
+    n/sum(1/x) one sum of reciprocals — shuffle carries one partial per
+    (task, group) exactly like SUM, so the 100 TB cost profile equals
+    agg_groupby. The arithmetic mean rides along to exhibit the
+    AM >= GM >= HM ordering on real data. Rounded to 2dp: the log-sum
+    reassociation across partitions perturbs ~1e-13 relative, far
+    below the rounding grain.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.exp(F.avg(F.log(F.col("o_totalprice")))), 2).alias(
+            "geo_mean_price"
+        ),
+        F.round(
+            F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("o_totalprice")), 2
+        ).alias("harm_mean_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("arith_mean_price"),
+    )

@@ -753,3 +753,68 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("bigint").alias("max_click_run"),
     )
+
+
+@query(
+    "events_time_to_convert",
+    """
+WITH fv AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, f.first_view, min(e.ts) AS first_purchase
+  FROM events e JOIN fv f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= f.first_view
+  GROUP BY 1, 2
+)
+SELECT
+  CAST(floor((epoch_us(first_purchase) - epoch_us(first_view))
+             / 86400000000.0) AS BIGINT) AS latency_days,
+  count(*) AS n_users,
+  round(avg((epoch_us(first_purchase) - epoch_us(first_view))
+            / 3600000000.0), 4) AS avg_latency_hours
+FROM fp
+GROUP BY 1
+""",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for every user, the gap between
+    their first 'view' and the first 'purchase' at-or-after it,
+    bucketed into whole days. Two aggregation passes and one join, all
+    keyed on user_id — at 100 TB the first-view aggregate reduces the
+    event stream to one row per user map-side, the purchase scan
+    re-joins on the same key (co-partitioned shuffle, no broadcast
+    needed since both sides are user-keyed), and the final histogram
+    groupBy lands on ~dozens of day buckets. Microsecond-granularity
+    arithmetic is exact integer math in both engines (unix_micros <->
+    epoch_us, the repo-wide convention); only the
+    avg-hours column is float, rounded to 4dp.
+    """
+    ev = load(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    us = F.unix_micros(
+        F.col("first_purchase").cast("timestamp")
+    ) - F.unix_micros(F.col("first_view").cast("timestamp"))
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        fp.groupBy(
+            F.floor(us / 86400000000.0).cast("long").alias("latency_days")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg(us / 3600000000.0), 4).alias(
+                "avg_latency_hours"
+            ),
+        )
+    )

@@ -191,3 +191,107 @@ def mine_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "events_cooccurrence_pmi",
+    """
+WITH txn AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+         event_type
+  FROM events
+),
+n_txn AS (
+  SELECT count(*) AS n FROM (SELECT DISTINCT user_id, d FROM txn) t
+),
+singles AS (
+  SELECT event_type, count(*) AS n FROM txn GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_ab
+  FROM txn a JOIN txn b
+    ON a.user_id = b.user_id AND a.d = b.d
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab,
+  round(ln((n_ab * CAST(t.n AS DOUBLE)) / (sa.n * CAST(sb.n AS DOUBLE))),
+        6) AS pmi,
+  round(n_ab / CAST(sa.n + sb.n - n_ab AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN singles sa ON sa.event_type = type_a
+JOIN singles sb ON sb.event_type = type_b
+CROSS JOIN n_txn t
+""",
+)
+def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    the same (user, day) session-unit — the signal behind "users who do
+    A also do B" features. Same candidate-generation skeleton as
+    mine_basket_pairs (DISTINCT to presence grain, ordered self-join on
+    the transaction key, broadcast-joined marginals) but over behavioral
+    sessions: the self-join output is bounded by sum over txns of
+    (types-per-txn choose 2) <= 10 pairs/txn with a 5-type vocabulary,
+    so the shuffle is O(transactions), never O(users^2). PMI > 0 means
+    the pair co-occurs more than independence predicts; jaccard rides
+    along as the set-overlap twin. Counts are exact ints; the two float
+    columns round at 6dp.
+    """
+    ev = load(spark, sf_dir, "events")
+    txn = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        "event_type",
+    ).distinct()
+    # 1-row scalar, broadcast-joined below (no driver-side action).
+    n_txn = (
+        txn.select("user_id", "d")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n_txn"))
+    )
+    singles = txn.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = txn.alias("a"), txn.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_txn))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n_txn"))
+                    / (F.col("n_a") * F.col("n_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+            F.round(
+                F.col("n_ab")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_ab")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -423,3 +423,58 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(F.expr(_MD5_BUCKET_SPARK) <= bound).select(
         "doc_id", "lang"
     )
+
+
+def _md5_u01(key_sql: str) -> str:
+    """Uniform(0,1) derived from the first 8 hex chars of md5(key) —
+    bit-identical in Spark SQL and DuckDB (both emit lowercase hex and
+    share instr/substring semantics), so weighted sampling is a pure
+    function of the key: stable across engines, reruns, repartitioning.
+    """
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5({key_sql}), {i + 1}, 1))"
+        f" - 1) * {16 ** (7 - i)}.0"
+        for i in range(8)
+    )
+    return f"(({terms}) + 0.5) / 4294967296.0"
+
+
+_W_KEY_SPARK = (
+    f"-ln({_md5_u01('cast(doc_id AS string)')}) / greatest(n_chars, 1)"
+)
+_W_KEY_SQL = (
+    f"-ln({_md5_u01('CAST(doc_id AS VARCHAR)')}) / greatest(n_chars, 1)"
+)
+
+
+@query(
+    "sample_weighted",
+    f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+ORDER BY {_W_KEY_SQL}, doc_id
+LIMIT 200
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample (Efraimidis–Spirakis
+    exponential race): each doc draws key = -ln(u)/w with u a pure
+    function of doc_id (md5-derived) and w = n_chars; the 200 smallest
+    keys are an exact weighted-without-replacement sample. Unlike
+    df.sample(seed), membership survives engine swaps, repartitioning
+    and AQE re-plans — the property a 100 TB pipeline needs so a
+    training subset is reproducible from the catalog alone. Plan: one
+    scan + TakeOrderedAndProject (per-partition top-200 heaps, then a
+    200·P-row driver merge — no full sort, no full shuffle). Ordering
+    gap between adjacent keys (~1e-6 at n=10k) is ~10 orders of
+    magnitude above cross-engine libm ulp differences in ln().
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", F.expr(_W_KEY_SPARK).alias("_k")
+        )
+        .orderBy("_k", "doc_id")
+        .limit(200)
+        .drop("_k")
+    )

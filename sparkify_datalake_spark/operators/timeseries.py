@@ -661,3 +661,173 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("a"), 6).alias("max_cusum"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@query(
+    "ts_autocorr",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, cnt,
+    lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY d) AS lag1,
+    lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY d) AS lag7
+  FROM daily
+)
+SELECT event_type, lag, round(autocorr, 6) AS autocorr, n_days
+FROM (
+  SELECT event_type, 1 AS lag, corr(cnt, lag1) AS autocorr,
+         count(lag1) AS n_days
+  FROM lagged GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 7 AS lag, corr(cnt, lag7) AS autocorr,
+         count(lag7) AS n_days
+  FROM lagged GROUP BY event_type
+) t
+""",
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the per-type daily event
+    series — the seasonality probe (is there a weekly cycle?) run
+    before any forecasting model. Plan: one groupBy to the daily grain
+    (the only shuffle that sees raw rows), then a per-type window lag
+    (5 types x ~90 days — the windowed data is already thousands of
+    times smaller than the input) and a COUNT/CORR re-aggregate. At
+    100 TB the daily-grain reduction happens map-side, so the window
+    stage is always tiny; this "aggregate to grain, then window the
+    grain" shape is the scalable form of every seasonality/trend scan.
+    Pearson corr is reassociation-stable to ~1e-12 here; rounded to
+    6dp.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("lag1"),
+        F.lag("cnt", 7).over(w).alias("lag7"),
+    )
+    out = None
+    for k in (1, 7):
+        part = lagged.groupBy("event_type").agg(
+            F.lit(k).alias("lag"),
+            F.round(F.corr("cnt", f"lag{k}"), 6).alias("autocorr"),
+            F.count(f"lag{k}").alias("n_days"),
+        ).select("event_type", "lag", "autocorr", "n_days")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@query(
+    "orders_backlog",
+    """
+WITH span AS (
+  SELECT o.o_orderkey,
+    CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m_open,
+    CAST(date_trunc('month', max(l.l_shipdate)) AS DATE)
+      + INTERVAL 1 MONTH AS m_after_close
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+deltas AS (
+  SELECT m_open AS m, 1 AS delta, 1 AS opened, 0 AS closed FROM span
+  UNION ALL
+  SELECT CAST(m_after_close AS DATE), -1, 0, 1 FROM span
+),
+grid AS (
+  SELECT unnest(generate_series(
+    (SELECT min(m_open) FROM span),
+    (SELECT max(CAST(m_after_close AS DATE)) FROM span),
+    INTERVAL 1 MONTH)) AS m
+),
+monthly AS (
+  SELECT g.m AS month,
+    coalesce(sum(d.delta), 0) AS delta,
+    coalesce(sum(d.opened), 0) AS n_opened,
+    coalesce(sum(d.closed), 0) AS n_closed
+  FROM grid g LEFT JOIN deltas d ON d.m = g.m
+  GROUP BY 1
+)
+SELECT CAST(month AS DATE) AS month,
+  CAST(sum(delta) OVER (ORDER BY month
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_open,
+  CAST(n_opened AS BIGINT) AS n_opened,
+  CAST(n_closed AS BIGINT) AS n_closed
+FROM monthly
+""",
+)
+def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly open-order backlog via interval sweep-line: an order is
+    open from its order month until the month its last lineitem ships.
+    The naive form joins every order to every month it spans (rows x
+    span-length blowup); the sweep emits exactly TWO +-1 deltas per
+    order, aggregates them to month grain map-side, and takes one
+    cumulative sum over the ~30-row month grid. At 100 TB the shuffle
+    carries 2 rows/order pre-aggregated to ~dozens of month rows — the
+    unbounded-window cumsum runs on the month grain, never the raw
+    data, so the single-partition window stage is O(months), not
+    O(orders). Month grid is materialized with sequence() so
+    zero-delta months still report their carried backlog.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    span = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("m_open"),
+        )
+        .agg(
+            F.add_months(
+                F.to_date(F.date_trunc("month", F.max("l_shipdate"))), 1
+            ).alias("m_after_close")
+        )
+    )
+    deltas = span.select(
+        F.col("m_open").alias("m"),
+        F.lit(1).alias("delta"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).unionByName(
+        span.select(
+            F.col("m_after_close").alias("m"),
+            F.lit(-1).alias("delta"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    bounds = span.agg(
+        F.min("m_open").alias("lo"), F.max("m_after_close").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 month)")
+        ).alias("month")
+    )
+    monthly = (
+        grid.join(deltas, grid.month == deltas.m, "left")
+        .groupBy("month")
+        .agg(
+            F.coalesce(F.sum("delta"), F.lit(0)).alias("delta"),
+            F.coalesce(F.sum("opened"), F.lit(0)).cast("long").alias(
+                "n_opened"
+            ),
+            F.coalesce(F.sum("closed"), F.lit(0)).cast("long").alias(
+                "n_closed"
+            ),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        F.sum("delta").over(w).cast("long").alias("n_open"),
+        "n_opened",
+        "n_closed",
+    )
