@@ -818,3 +818,59 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_streaks",
+    """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+grouped AS (
+  SELECT user_id, d,
+    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+             AS INTEGER) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len
+  FROM grouped GROUP BY 1, 2
+)
+SELECT user_id,
+  CAST(max(len) AS BIGINT) AS longest_streak,
+  CAST(count(*) AS BIGINT) AS n_streaks,
+  CAST(sum(len) AS BIGINT) AS n_active_days
+FROM streaks
+GROUP BY user_id
+""",
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands rewrite: distinct active days, then (day −
+    row_number) is constant exactly along a consecutive run, so one
+    groupBy on that anchor yields streak lengths without any
+    self-join or iterative pass. All three shuffles key on user_id
+    (distinct, window, final agg) — Catalyst reuses one hash
+    partitioning, and at 100 TB each user's day list is tiny (bounded
+    by days in the retention window), so the window stage has no skew
+    exposure. Pure integer/date arithmetic: engine-exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )

@@ -831,3 +831,56 @@ def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_opened",
         "n_closed",
     )
+
+
+@query(
+    "ts_weekday_seasonality",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+typed AS (
+  SELECT event_type, isodow(d) AS dow, cnt,
+    avg(cnt) OVER (PARTITION BY event_type) AS type_avg
+  FROM daily
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow,
+  CAST(count(*) AS BIGINT) AS n_days,
+  CAST(sum(cnt) AS BIGINT) AS n_events,
+  round(avg(cnt / type_avg), 6) AS seasonal_index
+FROM typed
+GROUP BY event_type, dow
+""",
+)
+def ts_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type (avg daily count on
+    that weekday relative to the type's overall daily average) — the
+    multiplicative seasonality table a forecaster divides out before
+    trend fitting, and the complement of ts_autocorr's lag-7 signal.
+    Same scalable skeleton: one raw-row shuffle down to the daily
+    grain, then an unpartitioned-safe window (partitioned BY type, ~90
+    rows each) and a 35-row final aggregate. ISO weekday (Mon=1..7)
+    via Spark's weekday()+1 ≡ DuckDB's isodow. The index divides two
+    averages of the same integer counts; rounded at 6dp.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    typed = daily.select(
+        "event_type",
+        (F.weekday("d") + 1).cast("long").alias("dow"),
+        "cnt",
+        F.avg("cnt")
+        .over(Window.partitionBy("event_type"))
+        .alias("type_avg"),
+    )
+    return typed.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("n_events"),
+        F.round(F.avg(F.col("cnt") / F.col("type_avg")), 6).alias(
+            "seasonal_index"
+        ),
+    )
