@@ -384,3 +384,134 @@ def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "stat_chi2_independence",
+    """
+WITH obs AS (
+  SELECT lang, source, count(*) AS o
+  FROM documents GROUP BY 1, 2
+),
+margins AS (
+  SELECT lang, source, o,
+    sum(o) OVER (PARTITION BY lang) AS row_n,
+    sum(o) OVER (PARTITION BY source) AS col_n,
+    sum(o) OVER () AS n
+  FROM obs
+)
+SELECT
+  CAST(sum(o) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_cells,
+  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+       AS BIGINT) AS dof,
+  round(sum(
+    (o - row_n * col_n / CAST(n AS DOUBLE))
+    * (o - row_n * col_n / CAST(n AS DOUBLE))
+    / (row_n * col_n / CAST(n AS DOUBLE))
+  ), 6) AS chi2
+FROM margins
+""",
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of lang × source over documents —
+    the categorical-drift / sampling-bias audit (is language mix
+    independent of ingestion source?). Contingency counts are one
+    groupBy (5×20 cells); the margins are windows over that tiny cell
+    frame, so raw rows are touched exactly once and the statistic is a
+    35-cell sum. Computed from raw co-counts identically in both
+    engines (no library chi2 with differing continuity corrections);
+    the dof column lets a caller look up the p-value. Rounded at 6dp —
+    the cell frame is small enough that summation order effects are
+    below 1e-10.
+    """
+    docs = load(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    margins = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_n"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    e = F.col("row_n") * F.col("col_n") / F.col("n").cast("double")
+    return margins.agg(
+        F.sum("o").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.count_distinct("lang") - 1)
+            * (F.count_distinct("source") - 1)
+        ).alias("dof"),
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
+            "chi2"
+        ),
+    )
+
+
+@query(
+    "agg_moments",
+    """
+WITH s AS (
+  SELECT o_orderpriority,
+    count(*) AS n,
+    sum(o_totalprice) AS s1,
+    sum(o_totalprice * o_totalprice) AS s2,
+    sum(o_totalprice * o_totalprice * o_totalprice) AS s3,
+    sum(o_totalprice * o_totalprice * o_totalprice * o_totalprice) AS s4
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+  round(s1 / n, 4) AS mean,
+  round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS std_pop,
+  round(
+    (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+    / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+  round(
+    (s4 / n - 4 * (s1 / n) * (s3 / n)
+     + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+     - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+    / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS excess_kurtosis
+FROM s
+""",
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group from raw power
+    sums — distribution-shape profiling (is revenue per priority
+    heavy-tailed?). Deliberately NOT the built-in skewness()/
+    kurtosis(): engines disagree on bias-correction conventions
+    (sample-G1 vs population-g1), so both sides compute the identical
+    moment formula from s1..s4. The four power sums are one partial
+    aggregation (the mergeable-moment shape, same as agg_stats);
+    shuffle carries 5 groups × 6 numbers. Caveat worth its docstring:
+    raw power sums of large values lose precision (s4 ~ 1e24 eats 30
+    of the double's 53 mantissa bits) — fine at 4-6dp on 1e5-scale
+    prices, and the scale path is Welford/co-moment merging, which
+    agg_stats demonstrates.
+    """
+    orders = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    s = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    var = s2 / n - m * m
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / F.pow(var, 1.5)
+    kurt = (
+        s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
+    ) / F.pow(var, 2) - 3
+    return s.select(
+        "o_orderpriority",
+        n.cast("long").alias("n"),
+        F.round(m, 4).alias("mean"),
+        F.round(F.sqrt(var), 4).alias("std_pop"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )

@@ -1229,3 +1229,65 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup, 6).alias("dup_frac"),
         (dup <= 0.2).alias("keep"),
     )
+
+
+@query(
+    "text_zipf_fit",
+    """
+WITH tok AS (
+  SELECT lower(unnest(string_split_regex(text, '[^a-zA-Z0-9]+'))) AS w
+  FROM documents
+),
+freq AS (
+  SELECT w, count(*) AS f FROM tok WHERE w <> '' GROUP BY w
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+  FROM freq
+),
+top AS (SELECT * FROM ranked WHERE r <= 1000)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_ranks,
+  round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+  round(regr_intercept(ln(f), ln(r)), 6) AS log_c,
+  round(regr_r2(ln(f), ln(r)), 6) AS r2
+FROM top
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log-frequency vs log-rank on the top-1000 tokens (natural text
+    lands near −1; a flat or broken slope flags templated/synthetic
+    corpora — the cheap statistical smell test run alongside
+    text_vocab_growth). Token counting is the standard explode +
+    partial-agg groupBy (the only stage that sees raw text); ranking
+    the top slice is a TakeOrderedAndProject-sized problem (row_number
+    over the 1000-row frequency head), and the regression is one
+    REGR_* aggregate over 1000 (ln r, ln f) points — identical
+    tokenizer regex and tie order (freq desc, token asc) pinned in
+    both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.split(F.lower(F.col("text")), "[^a-zA-Z0-9]+")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    # limit() first so the head is TakeOrderedAndProject (per-partition
+    # heaps over the vocab); the global row_number window then ranks
+    # 1000 rows, never the full vocabulary.
+    head = freq.orderBy(F.col("f").desc(), "w").limit(1000)
+    ranked = head.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), "w"))
+        .alias("r"),
+    )
+    lr, lf = F.log("r"), F.log("f")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("log_c"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )
