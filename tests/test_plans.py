@@ -448,3 +448,62 @@ def test_dedup_first_in_window_is_one_aggregation(spark):
     plan = _plan(spark, "events_dedup_first_in_window")
     assert "Window" not in plan
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_sample_weighted_uses_bounded_heap_and_pruned_scan(spark):
+    plan = _plan(spark, "sample_weighted")
+    assert "TakeOrderedAndProject" in plan, "must be per-partition heaps"
+    assert "Sort " not in plan, "no full sort for a top-k sample"
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan
+
+
+def test_events_streaks_reuses_user_partitioning(spark):
+    # distinct days, the row_number window and both aggregates all key on
+    # user_id: exactly ONE hashpartitioning exchange may touch raw rows
+    # (AQE may add tiny post-window exchanges on the streaks frame).
+    plan = _plan(spark, "events_streaks")
+    assert plan.count("hashpartitioning(user_id") <= 2
+    assert "Window" in plan
+
+
+def test_orders_backlog_windows_on_month_grain(spark):
+    # the cumulative sum must consume the month grid, not raw deltas:
+    # the single-partition window is fed by an aggregate, and no window
+    # sits directly over the order/lineitem join output.
+    plan = _plan(spark, "orders_backlog")
+    w = plan.index("Window")
+    agg_before_window = plan[w:].split("Window", 1)[1]
+    assert "HashAggregate" in agg_before_window, (
+        "cumsum window must sit above the monthly aggregate"
+    )
+
+
+def test_ts_autocorr_single_rawrow_shuffle(spark):
+    # only the daily-grain groupBy shuffles raw events; lag windows and
+    # corr re-aggregates run on the tiny grain (event_type partitioning).
+    plan = _plan(spark, "ts_autocorr")
+    assert plan.count("Scan parquet") <= 2  # union branches may re-scan grain
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_zipf_fit_cuts_head_before_ranking_window(spark):
+    plan = _plan(spark, "text_zipf_fit")
+    assert "TakeOrderedAndProject" in plan, (
+        "vocab head must be a bounded heap, not a global sort of the vocab"
+    )
+
+
+def test_cooccurrence_pmi_broadcasts_marginals(spark):
+    plan = _plan(spark, "events_cooccurrence_pmi")
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "type marginals and the 1-row N must arrive broadcast"
+    )
+
+
+def test_chi2_windows_on_cell_frame(spark):
+    # margins are windows over the contingency cells (post-aggregate),
+    # never over raw documents.
+    plan = _plan(spark, "stat_chi2_independence")
+    first_window = plan.index("Window")
+    below = plan[first_window:]
+    assert "HashAggregate" in below, "margin windows must sit above the cell agg"
