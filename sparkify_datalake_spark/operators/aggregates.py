@@ -874,3 +874,54 @@ def agg_geomean_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("harm_mean_price"),
         F.round(F.avg("o_totalprice"), 2).alias("arith_mean_price"),
     )
+
+
+@query(
+    "agg_mad",
+    """
+WITH med AS (
+  SELECT o_orderpriority,
+    median(o_totalprice) AS med_price
+  FROM orders GROUP BY 1
+),
+dev AS (
+  SELECT o.o_orderpriority, m.med_price,
+    abs(o.o_totalprice - m.med_price) AS adev
+  FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+)
+SELECT o_orderpriority,
+  round(any_value(med_price), 2) AS median_price,
+  round(median(adev), 2) AS mad,
+  round(median(adev) * 1.4826, 2) AS mad_sigma
+FROM dev
+GROUP BY o_orderpriority
+""",
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    estimate outlier-laden money columns need (stddev is unbounded
+    under a single corrupt row; MAD's breakdown point is 50%).
+    mad_sigma = 1.4826·MAD is the consistent normal-σ estimate used in
+    robust z-scoring (the events_anomaly upgrade path). Two exact
+    interpolated medians by necessity (the deviation median depends on
+    the group median); the group medians are a 5-row frame broadcast
+    back onto orders, so raw rows are scanned twice but shuffled
+    once per pass on the same 5-value key — at 100 TB the real cost is
+    the exact-median sort, and the documented scale path is
+    percentile_approx (the sketch family's KLL twin covers the
+    error-bounded version).
+    """
+    orders = load(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med_price")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med_price",
+        F.abs(F.col("o_totalprice") - F.col("med_price")).alias("adev"),
+    )
+    return dev.groupBy("o_orderpriority").agg(
+        F.round(F.any_value("med_price"), 2).alias("median_price"),
+        F.round(F.median("adev"), 2).alias("mad"),
+        F.round(F.median("adev") * 1.4826, 2).alias("mad_sigma"),
+    )

@@ -478,3 +478,103 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .drop("_k")
     )
+
+
+@query(
+    "dq_constraints",
+    """
+WITH base AS (
+  SELECT
+    count(*) AS n_rows,
+    count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+    sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS bad_price,
+    sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)
+      AS bad_status,
+    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_date
+  FROM orders
+),
+fk AS (
+  SELECT count(*) AS orphan FROM orders o
+  WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed
+FROM (
+  SELECT 'o_orderkey_unique' AS check_name, n_rows,
+         CAST(dup_keys AS BIGINT) AS n_violations FROM base
+  UNION ALL
+  SELECT 'o_totalprice_positive', n_rows, CAST(bad_price AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT 'o_orderstatus_in_domain', n_rows, CAST(bad_status AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT 'o_orderdate_not_null', n_rows, CAST(null_date AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT 'o_custkey_fk_customer', b.n_rows, CAST(f.orphan AS BIGINT)
+  FROM base b CROSS JOIN fk f
+) t
+""",
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over orders (the Deequ-shaped
+    contract check run before any table is published): uniqueness,
+    range, domain, completeness and referential integrity, reported as
+    one row per constraint with its violation count. Everything except
+    the FK lands in ONE aggregation pass (conditional sums + one
+    count_distinct share the scan and partial-aggregate); the FK check
+    is a broadcast LEFT ANTI join against the customer key column —
+    never an IN-subquery shuffle. At 100 TB the suite costs one fact
+    scan + one dim-key broadcast, which is why this shape (not
+    per-constraint queries) is the production pattern.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust_keys = load(spark, sf_dir, "customer").select("c_custkey")
+
+    base = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+            "dup_keys"
+        ),
+        F.sum(
+            F.when(F.col("o_totalprice") > 0, 0).otherwise(1)
+        ).alias("bad_price"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").isin("O", "F", "P"), 0
+            ).otherwise(1)
+        ).alias("bad_status"),
+        F.sum(
+            F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)
+        ).alias("null_date"),
+    )
+    orphan = (
+        orders.join(
+            F.broadcast(cust_keys),
+            orders.o_custkey == cust_keys.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphan"))
+    )
+
+    rows = None
+    specs = [
+        ("o_orderkey_unique", "dup_keys"),
+        ("o_totalprice_positive", "bad_price"),
+        ("o_orderstatus_in_domain", "bad_status"),
+        ("o_orderdate_not_null", "null_date"),
+    ]
+    for cname, col in specs:
+        part = base.select(
+            F.lit(cname).alias("check_name"),
+            "n_rows",
+            F.col(col).cast("long").alias("n_violations"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    fk_row = base.crossJoin(F.broadcast(orphan)).select(
+        F.lit("o_custkey_fk_customer").alias("check_name"),
+        "n_rows",
+        F.col("orphan").cast("long").alias("n_violations"),
+    )
+    rows = rows.unionByName(fk_row)
+    return rows.withColumn("passed", F.col("n_violations") == 0)
