@@ -515,3 +515,116 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "stat_abtest_ztest",
+    """
+WITH assigned AS (
+  SELECT user_id,
+    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+         <= '7' THEN 'A' ELSE 'B' END AS variant,
+    max(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1
+        ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+),
+arms AS (
+  SELECT variant, count(*) AS n, sum(converted) AS x,
+    sum(converted) / CAST(count(*) AS DOUBLE) AS rate
+  FROM assigned GROUP BY 1
+),
+wide AS (
+  SELECT
+    max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+    max(CASE WHEN variant = 'A' THEN x END) AS x_a,
+    max(CASE WHEN variant = 'A' THEN rate END) AS rate_a,
+    max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+    max(CASE WHEN variant = 'B' THEN x END) AS x_b,
+    max(CASE WHEN variant = 'B' THEN rate END) AS rate_b
+  FROM arms
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+  round(rate_a, 6) AS rate_a,
+  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+  round(rate_b, 6) AS rate_b,
+  round(rate_b - rate_a, 6) AS lift_abs,
+  round((rate_b - rate_a) / sqrt(
+    ((x_a + x_b) / CAST(n_a + n_b AS DOUBLE))
+    * (1 - (x_a + x_b) / CAST(n_a + n_b AS DOUBLE))
+    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+FROM wide
+""",
+)
+def stat_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users assigned to
+    arms by a deterministic md5 split (the same stable-bucketing
+    discipline as sample_hash_pct — assignment survives reruns and
+    engine swaps, which real experiment pipelines require), conversion
+    = any purchase over 100 (every fixture user makes SOME purchase,
+    so a value gate keeps both rates interior and the pooled variance
+    nonzero). The per-user reduce is one user-keyed aggregate,
+    the arms table is 2 rows, and the pooled-variance z statistic is
+    closed-form arithmetic on 6 numbers — so the whole test costs one
+    shuffle of events at any scale. z > 1.96 ⇒ 95% two-sided
+    significance; the statistic is emitted rather than a p-value so
+    callers choose their own threshold.
+    """
+    ev = load(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 100),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+            <= "7",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("x"),
+        (F.sum("converted") / F.count(F.lit(1)).cast("double")).alias(
+            "rate"
+        ),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("rate"))).alias(
+            "rate_a"
+        ),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("x"))).alias("x_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("rate"))).alias(
+            "rate_b"
+        ),
+    )
+    pooled = (F.col("x_a") + F.col("x_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("x_a").cast("long").alias("x_a"),
+        F.round("rate_a", 6).alias("rate_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("x_b").cast("long").alias("x_b"),
+        F.round("rate_b", 6).alias("rate_b"),
+        F.round(F.col("rate_b") - F.col("rate_a"), 6).alias("lift_abs"),
+        F.round(
+            (F.col("rate_b") - F.col("rate_a"))
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            6,
+        ).alias("z_stat"),
+    )
