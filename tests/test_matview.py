@@ -121,3 +121,50 @@ def test_maintenance_reads_only_affected_slice(spark, orders, tmp_path):
     assert "day#" in plan.split("PartitionFilters:")[1][:200], (
         "day filter must reach the scan's partition filters"
     )
+
+
+def test_streaming_foreachbatch_maintenance(spark, orders, tmp_path):
+    """Streaming IVM: an orders stream drives matview_apply through
+    foreachBatch, and the maintained view converges to the batch
+    recompute — the production topology (CDC feed → incremental rollup)
+    with the maintenance algebra doing exactly-once-per-batch merges
+    against only the touched partitions."""
+    src = str(tmp_path / "stream_src")
+    chk = str(tmp_path / "chk")
+    mv = str(tmp_path / "mv")
+
+    cutoff = "1998-01-01"
+    matview_init(spark, orders.filter(F.col("o_orderdate") < cutoff), mv)
+
+    rest = orders.filter(F.col("o_orderdate") >= cutoff)
+    # Two replay files → two micro-batches of the "CDC" delta stream.
+    half = rest.filter(F.col("o_orderkey") % 2 == 0)
+    other = rest.filter(F.col("o_orderkey") % 2 == 1)
+    half.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(rest.schema).parquet(src)
+    applied_batches = []
+
+    def apply_batch(batch_df, batch_id):
+        affected = matview_apply(spark, mv, batch_df)
+        applied_batches.append((batch_id, len(affected)))
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        other.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(applied_batches) >= 2, applied_batches
+
+    recomputed = str(tmp_path / "mv_full")
+    matview_init(spark, orders, recomputed)
+    assert _rows(matview_read(spark, mv)) == _rows(
+        matview_read(spark, recomputed)
+    )
