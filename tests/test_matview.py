@@ -30,7 +30,12 @@ def _rows(df):
 
 @pytest.fixture()
 def orders(spark):
-    return load(spark, SF_DIR, "orders").cache()
+    # Unpersist on teardown: the session is shared across test files, and
+    # a lingering cache turns later plan-shape tests' parquet scans into
+    # InMemoryTableScan.
+    df = load(spark, SF_DIR, "orders").cache()
+    yield df
+    df.unpersist()
 
 
 def test_incremental_equals_recompute(spark, orders, tmp_path):
