@@ -874,3 +874,114 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.sum("len").alias("n_active_days"),
     )
+
+
+@query(
+    "events_new_vs_returning",
+    """
+WITH firsts AS (
+  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT DISTINCT e.user_id, CAST(date_trunc('day', e.ts) AS DATE) AS d,
+    f.first_day
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT d,
+  CAST(sum(CASE WHEN d = first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new,
+  CAST(sum(CASE WHEN d > first_day THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_returning,
+  round(sum(CASE WHEN d > first_day THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS returning_share
+FROM daily
+GROUP BY d
+""",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new vs returning — the growth
+    dashboard's first chart. The first-seen frame is one user-keyed
+    aggregate joined back onto the distinct (user, day) activity grain
+    (both shuffles on user_id, so Catalyst reuses the partitioning);
+    the final day-grain rollup is conditional counting. At 100 TB the
+    activity grain is bounded by users × active days, and the
+    first-seen join is the same co-partitioned shape as
+    events_retention's cohort join.
+    """
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("day", "ts"))).alias("first_day")
+    )
+    daily = (
+        ev.select(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+        )
+        .distinct()
+        .join(firsts, "user_id")
+    )
+    is_new = F.when(F.col("d") == F.col("first_day"), 1).otherwise(0)
+    is_ret = F.when(F.col("d") > F.col("first_day"), 1).otherwise(0)
+    return daily.groupBy("d").agg(
+        F.sum(is_new).cast("long").alias("n_new"),
+        F.sum(is_ret).cast("long").alias("n_returning"),
+        F.round(
+            F.sum(is_ret) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("returning_share"),
+    )
+
+
+@query(
+    "events_gini",
+    """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT n,
+    row_number() OVER (ORDER BY n, user_id) AS r,
+    count(*) OVER () AS n_users,
+    sum(n) OVER () AS total
+  FROM per_user
+)
+SELECT
+  CAST(max(n_users) AS BIGINT) AS n_users,
+  CAST(max(total) AS BIGINT) AS n_events,
+  round(2.0 * sum(CAST(r AS DOUBLE) * n) / (max(n_users) * max(total))
+        - (max(n_users) + 1.0) / max(n_users), 6) AS gini
+FROM ranked
+""",
+)
+def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event-volume concentration across users —
+    the inequality number behind "1% of users generate X% of traffic"
+    (power-user skew is also the shuffle-skew early-warning signal:
+    a high Gini on the partition key predicts straggler tasks). Exact
+    rank formulation G = 2·Σ(r·x)/(n·Σx) − (n+1)/n over the per-user
+    aggregate (users-sized, thousands of times smaller than events);
+    rank ties broken by user_id so both engines rank identically —
+    with the tiebreak the statistic is exact, not an approximation.
+    The global window ranks the user frame, not raw events; at larger
+    user counts the same statistic comes from the two-phase ranking
+    pattern (win_ntile_twophase demonstrates it).
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "user_id")
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_users"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n_users").cast("long").alias("n_users"),
+        F.max("total").cast("long").alias("n_events"),
+        F.round(
+            2.0
+            * F.sum(F.col("r").cast("double") * F.col("n"))
+            / (F.max("n_users") * F.max("total"))
+            - (F.max("n_users") + 1.0) / F.max("n_users"),
+            6,
+        ).alias("gini"),
+    )
