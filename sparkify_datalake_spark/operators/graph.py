@@ -332,3 +332,72 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query("graph_kcore")
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the user-interaction graph: iteratively peel nodes
+    with degree < 3 until the fixpoint — the density filter that
+    separates a cohesive community from hairball periphery (spam-ring
+    and bot-cluster detection run on cores, not raw graphs). The
+    k-core is the unique maximal subgraph with min degree ≥ k, so the
+    peel order doesn't matter and reruns are deterministic
+    (tests/test_graph.py cross-checks against a pure-Python peeler).
+
+    Plan per iteration: one degree aggregate over the current edge
+    list + two semi-joins to drop edges touching peeled nodes — all
+    keyed on node ids, localCheckpointed so the loop's lineage stays
+    flat (the iterative-algorithm discipline shared with
+    _propagate_min_labels). Iterations are bounded by the peel depth
+    (≤ max degree, in practice a handful); each pass shrinks the edge
+    list monotonically. Not SQL-expressible (recursive CTEs are
+    append-only; peeling is a shrinking fixpoint) → rows-only check.
+
+    Returns (user_id, core_degree) for members of the 3-core, with
+    core_degree the node's degree INSIDE the core.
+    """
+    from pyspark.sql import Window
+
+    k = 3
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
+        .filter(
+            F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+        .select(
+            F.least("user_id", "next_user").alias("a"),
+            F.greatest("user_id", "next_user").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(30):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
+        pruned = (
+            edges.join(
+                keep.withColumnRenamed("node", "a"), "a", "left_semi"
+            )
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        # One action per iteration: did the edge list shrink?
+        n_edges, n_pruned = edges.count(), pruned.count()
+        edges = pruned
+        if n_pruned == n_edges:
+            break
+    return (
+        edges.select(F.col("a").alias("user_id"))
+        .unionAll(edges.select(F.col("b").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

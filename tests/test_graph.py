@@ -126,3 +126,48 @@ def test_pagerank_ranks_hub_highest(spark):
     got = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
     assert got[99] == max(got.values())
     assert got[99] > 3 * got[2]
+
+
+def test_kcore_matches_python_peeler(spark):
+    """graph_kcore vs a pure-Python reference peel on the same edges."""
+    from sparkify_datalake_spark.operators.graph import graph_kcore
+    from sparkify_datalake_spark.registry import queries
+    from sparkify_datalake_spark.sources.load import load
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["core_degree"])
+        for r in queries()["graph_kcore"](spark, sf_dir).collect()
+    }
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = {
+        (min(r["user_id"], r["next_user"]), max(r["user_id"], r["next_user"]))
+        for r in ev.select(
+            "user_id", F.lead("user_id").over(w).alias("next_user")
+        )
+        .filter(
+            F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+        .collect()
+    }
+    # Reference peel: drop degree<3 nodes until fixpoint.
+    k = 3
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        doomed = {n for n, d in deg.items() if d < k}
+        if not doomed:
+            break
+        edges = {(a, b) for a, b in edges if a not in doomed and b not in doomed}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert got == set(deg.items())
