@@ -124,6 +124,10 @@ HEADLINE = [
     "events_funnel",
     "ts_sessionize",
     "embed_pca",
+    "dq_constraints",
+    "sample_weighted",
+    "orders_backlog",
+    "stat_abtest_ztest",
 ]
 
 
