@@ -173,3 +173,48 @@ def stream_static_enrich(
     return stream.join(F.broadcast(dim), "user_id").select(
         "event_id", "user_id", "event_type", "segment"
     )
+
+
+def click_purchase_left_outer_stream(
+    spark: SparkSession, clicks_src: SourceLike, purchases_src: SourceLike
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, with its purchase if
+    one lands within 30 minutes, else NULL-padded once the watermark
+    proves no match can still arrive.
+
+    The semantics the inner join can't show: an unmatched left row is
+    held in state until BOTH watermarks pass its join-condition bound,
+    then emitted with nulls — so "click without conversion" rows appear
+    exactly once, late, and deterministically. State size is identical
+    to the inner join (both sides buffer inside the time bound); the
+    null-padding decision costs nothing extra. Production telemetry
+    uses exactly this shape for abandonment/non-conversion feeds.
+    """
+    clicks = (
+        resolve_source(clicks_src, spark)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        resolve_source(purchases_src, spark)
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    ).select("c_user", "click_id", "purchase_id", "click_ts", "purchase_ts")

@@ -328,3 +328,64 @@ def test_kafka_source_adapter_shape():
     provider = kafka_events_source("broker:9092", "events")
     with pytest.raises(AnalysisException):
         provider(get_spark("kafka-gate"))
+
+
+def test_stream_stream_left_outer_null_pads_after_watermark(spark, tmp_path):
+    """Unmatched clicks are emitted null-padded once the watermark
+    passes their match bound — exactly once, not before."""
+    clicks_src = str(tmp_path / "clicks")
+    purchases_src = str(tmp_path / "purchases")
+    chk = str(tmp_path / "chk")
+
+    runtime.write_replay_batch(
+        spark,
+        clicks_src,
+        [
+            (1, _ts(0), 7, "click"),   # converts at 12:10
+            (2, _ts(0), 8, "click"),   # never converts → null-padded
+        ],
+        "c1",
+    )
+    runtime.write_replay_batch(
+        spark,
+        purchases_src,
+        [(100, _ts(10), 7, "purchase")],
+        "p1",
+    )
+    query = runtime.run_to_memory(
+        runtime.click_purchase_left_outer_stream(
+            spark, clicks_src, purchases_src
+        ),
+        "ss_left",
+        "append",
+        chk,
+    )
+    try:
+        query.processAllAvailable()
+        early = {
+            (r["click_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM ss_left").collect()
+        }
+        # Matched pair may emit immediately; the unmatched click must NOT
+        # be null-padded yet (watermark hasn't passed its bound).
+        assert (2, None) not in early, f"null pad leaked early: {early}"
+
+        # Advance both watermarks far past click 2's 30-min bound.
+        runtime.write_replay_batch(
+            spark, clicks_src, [(3, _ts(55), 9, "click")], "c2"
+        )
+        runtime.write_replay_batch(
+            spark, purchases_src, [(101, _ts(55), 9, "purchase")], "p2"
+        )
+        query.processAllAvailable()
+
+        rows = [
+            (r["click_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM ss_left").collect()
+        ]
+        assert sorted(
+            (c, p) for c, p in rows if c in (1, 2)
+        ) == [(1, 100), (2, None)], f"wrong outer result: {rows}"
+        assert rows.count((2, None)) == 1, "null pad must emit exactly once"
+    finally:
+        query.stop()
