@@ -646,3 +646,54 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sk_int"),
     )
+
+
+@query(
+    "fn_try_arith",
+    """
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_discount = 0 THEN NULL
+       ELSE round(l_extendedprice / l_discount, 2) END AS price_per_disc,
+  CASE WHEN l_quantity = 0 THEN NULL
+       ELSE CAST(floor(l_extendedprice / l_quantity) AS BIGINT) END
+    AS unit_floor,
+  CASE WHEN l_quantity = 0 THEN NULL
+       ELSE CAST(CAST(floor(l_extendedprice) AS BIGINT)
+            % CAST(floor(l_quantity) AS BIGINT) AS BIGINT) END
+    AS price_mod_qty
+FROM lineitem
+WHERE l_orderkey < 1000
+""",
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface: Spark 4 runs ANSI mode by default,
+    so x/0 THROWS mid-job instead of returning NULL-or-Inf — on 100 TB
+    one dirty row kills a 6-hour job at stage 40. ``try_divide`` /
+    ``try_mod`` convert the poison row to NULL and keep the pipeline
+    total (the fn_cast lesson applied to arithmetic; like there, try_*
+    belongs on *occasionally*-dirty columns — an always-zero divisor
+    would pay exception costs per row, and a CASE guard is the hot-path
+    form). The oracle expresses the identical semantics with explicit
+    zero guards since DuckDB's / is non-ANSI (returns inf).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 2
+        ).alias("price_per_disc"),
+        F.floor(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+        )
+        .cast("long")
+        .alias("unit_floor"),
+        # floor() before the long cast: Spark's double→long truncates,
+        # DuckDB's rounds — floor pins both (the fn_cast discipline).
+        F.try_mod(
+            F.floor("l_extendedprice").cast("long"),
+            F.floor("l_quantity").cast("long"),
+        )
+        .cast("long")
+        .alias("price_mod_qty"),
+    )

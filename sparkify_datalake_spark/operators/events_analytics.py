@@ -985,3 +985,73 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "events_error_budget",
+    """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    count(*) AS n_events,
+    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+  FROM events GROUP BY 1
+),
+burn AS (
+  SELECT d, n_events, n_errors,
+    round(n_errors / CAST(n_events AS DOUBLE), 6) AS error_rate,
+    sum(n_errors) OVER (ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_errors,
+    sum(n_events) OVER (ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events
+  FROM daily
+)
+SELECT d, CAST(n_events AS BIGINT) AS n_events,
+  CAST(n_errors AS BIGINT) AS n_errors, error_rate,
+  round(cum_errors / CAST(cum_events AS DOUBLE), 6) AS cum_error_rate,
+  round(1.0 - (cum_errors / CAST(cum_events AS DOUBLE)) / 0.25, 6)
+    AS budget_remaining_frac,
+  cum_errors / CAST(cum_events AS DOUBLE) > 0.25 AS slo_breached
+FROM burn
+""",
+)
+def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-down: daily error rate plus the cumulative
+    rate tracked against a 25% SLO (the fixture's error share is ~20%,
+    so the budget hovers near exhaustion — breach days are data-driven,
+    not vacuous). The raw stream reduces to the ~90-row daily grain in
+    one conditional aggregation; cumulative sums are windows ON THE
+    GRAIN (single-partition over dozens of rows — the
+    aggregate-then-window discipline), so the query costs one shuffle
+    at any scale. Integer cumulative sums divide once per output row;
+    6dp rounding.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    burn = daily.select(
+        "d",
+        "n_events",
+        "n_errors",
+        F.round(
+            F.col("n_errors") / F.col("n_events").cast("double"), 6
+        ).alias("error_rate"),
+        F.sum("n_errors").over(w).alias("cum_errors"),
+        F.sum("n_events").over(w).alias("cum_events"),
+    )
+    cum_rate = F.col("cum_errors") / F.col("cum_events").cast("double")
+    return burn.select(
+        "d",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_errors").cast("long").alias("n_errors"),
+        "error_rate",
+        F.round(cum_rate, 6).alias("cum_error_rate"),
+        F.round(1.0 - cum_rate / 0.25, 6).alias("budget_remaining_frac"),
+        (cum_rate > 0.25).alias("slo_breached"),
+    )
