@@ -295,3 +295,78 @@ def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "mine_xyz_variability",
+    """
+WITH monthly AS (
+  SELECT l_partkey, CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+    sum(l_quantity) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+stats AS (
+  SELECT l_partkey,
+    count(*) AS n_months,
+    avg(qty) AS mean_qty,
+    CASE WHEN avg(qty) = 0 THEN NULL
+         ELSE stddev_pop(qty) / avg(qty) END AS cv
+  FROM monthly GROUP BY 1
+),
+classed AS (
+  SELECT CASE WHEN cv < 0.5 THEN 'X'
+              WHEN cv < 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz_class,
+         n_months, cv
+  FROM stats WHERE n_months >= 3
+)
+SELECT xyz_class,
+  CAST(count(*) AS BIGINT) AS n_parts,
+  round(avg(cv), 6) AS avg_cv,
+  round(min(cv), 6) AS min_cv,
+  round(max(cv), 6) AS max_cv,
+  round(avg(n_months), 4) AS avg_months_active
+FROM classed
+GROUP BY xyz_class
+""",
+)
+def mine_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (the companion axis to
+    mine_abc_pareto's ABC value ranking — together they drive
+    stocking/forecasting policy): per-part coefficient of variation of
+    monthly shipped quantity, classed X (steady, CV<0.5) / Y / Z
+    (erratic, CV≥1). Two aggregations, both partial-map-side: raw rows
+    reduce to (part, month) grain in the only big shuffle, then the
+    per-part CV and the 3-row class summary ride the grain. Parts
+    active under 3 months are excluded (a CV over 1-2 points is
+    noise, and both engines would otherwise emit NULL stddev rows for
+    single-month parts). stddev_pop avoids Bessel-convention drift and
+    matches agg_moments' population discipline; 6dp rounding.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey",
+        F.to_date(F.date_trunc("month", "l_shipdate")).alias("m"),
+    ).agg(F.sum("l_quantity").alias("qty"))
+    stats = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.avg("qty").alias("mean_qty"),
+        F.when(F.avg("qty") == 0, None)
+        .otherwise(F.stddev_pop("qty") / F.avg("qty"))
+        .alias("cv"),
+    )
+    classed = stats.filter(F.col("n_months") >= 3).select(
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        "n_months",
+        "cv",
+    )
+    return classed.groupBy("xyz_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("cv"), 6).alias("avg_cv"),
+        F.round(F.min("cv"), 6).alias("min_cv"),
+        F.round(F.max("cv"), 6).alias("max_cv"),
+        F.round(F.avg("n_months"), 4).alias("avg_months_active"),
+    )
