@@ -628,3 +628,61 @@ def stat_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+@query(
+    "stat_iqr_outliers",
+    """
+WITH q AS (
+  SELECT o_orderpriority,
+    quantile_cont(o_totalprice, 0.25) AS q1,
+    quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(any_value(q.q1), 2) AS q1,
+  round(any_value(q.q3), 2) AS q3,
+  CAST(sum(CASE WHEN o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                  OR o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  round(sum(CASE WHEN o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                   OR o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+             THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+    AS outlier_frac
+FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+GROUP BY o.o_orderpriority
+""",
+)
+def stat_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per group: counts outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the box-plot rule, the
+    quartile-based sibling of agg_mad's median-based robust screen.
+    Exact interpolated quartiles (percentile ≍ quantile_cont, the
+    agg_percentile discipline) on the 5-group frame broadcast back
+    onto orders; fences compare on UNROUNDED quartiles so a display
+    round can't flip a boundary row. Two passes over orders by
+    necessity (fences depend on the group quartiles); both shuffles
+    ride the same 5-value key, and at 100 TB percentile_approx makes
+    pass one sketch-mergeable.
+    """
+    orders = load(spark, sf_dir, "orders")
+    q = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    joined = orders.join(F.broadcast(q), "o_orderpriority")
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (
+        (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr)
+        | (F.col("o_totalprice") > F.col("q3") + 1.5 * iqr)
+    ).cast("int")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.any_value("q1"), 2).alias("q1"),
+        F.round(F.any_value("q3"), 2).alias("q3"),
+        F.sum(is_out).cast("long").alias("n_outliers"),
+        F.round(
+            F.sum(is_out) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("outlier_frac"),
+    )

@@ -884,3 +884,56 @@ def ts_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_index"
         ),
     )
+
+
+@query(
+    "events_velocity_rule",
+    """
+WITH counted AS (
+  SELECT user_id, ts,
+    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS n_5min
+  FROM events
+),
+per_user AS (
+  SELECT user_id, max(n_5min) AS peak_5min, count(*) AS n_events
+  FROM counted GROUP BY 1
+)
+SELECT user_id, CAST(peak_5min AS BIGINT) AS peak_5min,
+  CAST(n_events AS BIGINT) AS n_events,
+  peak_5min >= 10 AS flagged
+FROM per_user
+""",
+)
+def events_velocity_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity rule — the first fraud/abuse heuristic every risk
+    pipeline ships: a user's peak event count inside any trailing
+    5-minute window, flagged at ≥10 (burst = scripted client,
+    credential stuffing, scraper). The trailing count is ONE
+    event-time RANGE window per user over integer epoch-µs (the
+    win_trailing_1h machinery pointed at risk), then a per-user max —
+    both stages share the user_id partitioning, so the rule costs one
+    shuffle and state bounded by each user's 5-minute neighborhood.
+    The flag threshold is emitted as data (peak_5min) so policy tuning
+    is a filter, not a recompute.
+    """
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-300_000_000, 0)
+    )
+    counted = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("n_5min")
+    )
+    per_user = counted.groupBy("user_id").agg(
+        F.max("n_5min").alias("peak_5min"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_user.select(
+        "user_id",
+        F.col("peak_5min").cast("long").alias("peak_5min"),
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("peak_5min") >= 10).alias("flagged"),
+    )
