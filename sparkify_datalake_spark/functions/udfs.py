@@ -259,3 +259,63 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         priority_word("o_orderpriority").alias("priority_word"),
         word_len("o_orderpriority").alias("word_len"),
     )
+
+
+@query(
+    "udaf_grouped_arrow",
+    """
+WITH ranked AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)
+      AS r,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+  CAST(max(n) AS BIGINT) AS n,
+  round(avg(CASE WHEN r > CAST(floor(n * 0.1) AS BIGINT)
+                  AND r <= n - CAST(floor(n * 0.1) AS BIGINT)
+            THEN value END), 6) AS trimmed_mean
+FROM ranked
+GROUP BY event_type
+""",
+)
+def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native grouped UDAF via Spark 4's ``applyInArrow``: 10%
+    two-sided trimmed mean of `value` per event type. Completes the
+    Python-boundary matrix (§2-K): row-UDF → pandas-UDF → grouped
+    pandas → UDTF → mapInArrow → **applyInArrow**, the zero-copy
+    grouped path — each group arrives as a pyarrow.Table (no pandas
+    conversion), numpy sorts once and slices the middle 80%. Group
+    sizes here are ~events/5 so a group fits a task trivially; the
+    scale caveat is the usual grouped-UDF one (a group must fit one
+    task's memory — for giant groups, pre-aggregate or sketch). The
+    oracle computes the identical trim via rank arithmetic; ties in
+    `value` don't matter because only the multiset of kept values
+    feeds the mean (sort order among equals reshuffles equal numbers).
+    """
+    import pyarrow as pa
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+
+    def trimmed(table: pa.Table) -> pa.Table:
+        # Self-contained kernel (pickled by value for foreign-cwd
+        # workers): numpy via zero-copy arrow buffers.
+        import numpy as np
+        import pyarrow as pa
+
+        vals = np.sort(table.column("value").to_numpy(zero_copy_only=False))
+        n = len(vals)
+        k = int(n * 0.1)
+        kept = vals[k : n - k] if n - 2 * k > 0 else vals
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": [n],
+                "trimmed_mean": [round(float(kept.mean()), 6)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        trimmed, "event_type string, n long, trimmed_mean double"
+    )

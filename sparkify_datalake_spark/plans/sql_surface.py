@@ -106,3 +106,43 @@ def sql(spark: SparkSession, sf_dir: str, query_text: str) -> DataFrame:
     """
     _register_views(spark, sf_dir, *ALL_TABLES)
     return spark.sql(query_text)
+
+
+_RECURSIVE_CAL_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+         AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+             FROM orders)
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+    count(*) AS n_orders,
+    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month,
+  CAST(coalesce(monthly.n_orders, 0) AS BIGINT) AS n_orders,
+  coalesce(monthly.revenue, 0.0) AS revenue
+FROM months LEFT JOIN monthly ON months.m = monthly.m
+"""
+
+
+@query("sql_recursive_calendar", _RECURSIVE_CAL_SQL)
+def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE surface (Spark 4 WITH RECURSIVE, SPARK-24497): a
+    month scaffold generated by recursion from min to max order month,
+    LEFT-JOINed to monthly order counts so empty months report zeros —
+    the gap-free calendar every report needs, expressed in the
+    SQL-standard recursive idiom instead of sequence()+explode
+    (orders_backlog shows the function-based twin). The SAME query
+    text runs on Spark and DuckDB: both engines iterate the monotone
+    recursion to the fixed bound (~80 iterations of a 1-row frame —
+    driver-cheap), and the join/aggregate ride Catalyst like any other
+    plan. Money stays decimal until the final round.
+    """
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql(_RECURSIVE_CAL_SQL)
