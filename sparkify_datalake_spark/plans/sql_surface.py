@@ -146,3 +146,42 @@ def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _register_views(spark, sf_dir, "orders")
     return spark.sql(_RECURSIVE_CAL_SQL)
+
+
+_PARAM_SQL = """
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+    AS revenue
+FROM orders
+WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "sql_parameterized",
+    """
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+    AS revenue
+FROM orders
+WHERE o_totalprice >= 1000.0 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL via named parameter markers (Spark ≥3.4
+    ``spark.sql(sql, args={...})``): the injection-safe front door for
+    user-supplied literals — parameters bind as typed literals in the
+    parser, never string-spliced, so a hostile value cannot change the
+    plan shape (and Catalyst still constant-folds + pushes the bound
+    literal into the scan like any other literal). The oracle inlines
+    the same values; what's under test is that the BOUND plan matches
+    the literal plan row-for-row.
+    """
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        _PARAM_SQL, args={"min_price": 1000.0, "status": "F"}
+    )
