@@ -632,3 +632,97 @@ def join_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(lead).alias("max_lead_days"),
         )
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+"""
+
+
+@query("join_lateral_topn", _LATERAL_SQL)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Spark ≥3.4 / SQL:1999): each customer's
+    top-2 orders by price, with the subquery re-evaluated per outer row
+    — the SQL-standard spelling of "top-N per group" that window
+    row_number() expresses procedurally (win_topk_group is the window
+    twin; same oracle family). Catalyst DECORRELATES the lateral into
+    a ranked window join rather than executing N subqueries — the plan
+    is the same shuffle-once shape as the window formulation, which is
+    exactly why LATERAL is safe at 100 TB (a naive per-row re-execution
+    would be O(customers) round trips). Identical SQL text runs on
+    DuckDB; (price DESC, orderkey) is a total order so the top-2 is
+    engine-exact.
+    """
+    from sparkify_datalake_spark.plans.sql_surface import _register_views
+
+    _register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "join_null_safe",
+    """
+WITH keyed AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END
+      AS status_key,
+    o_totalprice
+  FROM orders
+),
+dim AS (
+  SELECT * FROM (VALUES ('O', 'open'), ('F', 'filled'), (NULL, 'pending'))
+    AS t(status_key, status_name)
+)
+SELECT d.status_name,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(round(sum(CAST(k.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+    AS revenue
+FROM keyed k JOIN dim d
+  ON k.status_key IS NOT DISTINCT FROM d.status_key
+GROUP BY d.status_name
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantics
+    data-cleaning joins need when "unknown" is itself a category (here
+    'P' status is mapped to a NULL key and still finds its 'pending'
+    dimension row; a plain equi-join would lose every such order).
+    Catalyst plans <=> as a hash join on a null-safe key (NULLs hash
+    to one partition — fine for a bounded category set; a
+    high-cardinality NULL fraction would need the coalesce-to-sentinel
+    rewrite instead, which is this query's documented scale caveat).
+    The tiny dimension arrives broadcast.
+    """
+    orders = load(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_key"),
+        "o_totalprice",
+    )
+    dim = orders.sparkSession.createDataFrame(
+        [("O", "open"), ("F", "filled"), (None, "pending")],
+        "status_key string, status_name string",
+    )
+    return (
+        keyed.join(
+            F.broadcast(dim), keyed.status_key.eqNullSafe(dim.status_key)
+        )
+        .groupBy("status_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
