@@ -686,3 +686,312 @@ def stat_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_out) / F.count(F.lit(1)).cast("double"), 6
         ).alias("outlier_frac"),
     )
+
+
+@query(
+    "stat_welch_ttest",
+    """
+WITH s AS (
+  SELECT
+    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_a,
+    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_b,
+    avg(CASE WHEN event_type = 'purchase' THEN value END) AS m_a,
+    avg(CASE WHEN event_type = 'click' THEN value END) AS m_b,
+    var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v_a,
+    var_samp(CASE WHEN event_type = 'click' THEN value END) AS v_b
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+)
+SELECT
+  CAST(n_a AS BIGINT) AS n_a,
+  CAST(n_b AS BIGINT) AS n_b,
+  round(m_a, 4) AS mean_a,
+  round(m_b, 4) AS mean_b,
+  round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+  round(
+    (v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b)
+    / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+       + (v_b / n_b) * (v_b / n_b) / (n_b - 1)),
+    4) AS dof_welch
+FROM s
+""",
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test: does the purchase
+    `value` distribution differ in mean from clicks? The experiment
+    readout for continuous metrics, complementing stat_abtest_ztest's
+    proportion test. ONE conditional-aggregate pass computes both
+    samples' (n, mean, var) — no split-then-join, no second scan —
+    and the t statistic plus Welch-Satterthwaite dof are scalar
+    arithmetic on the 1-row moment frame, so 100 TB costs exactly one
+    partial-aggregated scan. Means round at 4dp; t at 6dp (inputs are
+    O(1e-12)-stable averages, far inside the rounding grain); the dof
+    column is what a caller feeds the t-distribution CDF.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+
+    def only(t: str) -> Column:
+        return F.when(F.col("event_type") == t, F.col("value"))
+
+    s = ev.agg(
+        F.count(only("purchase")).alias("n_a"),
+        F.count(only("click")).alias("n_b"),
+        F.avg(only("purchase")).alias("m_a"),
+        F.avg(only("click")).alias("m_b"),
+        F.var_samp(only("purchase")).alias("v_a"),
+        F.var_samp(only("click")).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            se2
+            * se2
+            / (
+                (F.col("v_a") / F.col("n_a"))
+                * (F.col("v_a") / F.col("n_a"))
+                / (F.col("n_a") - 1)
+                + (F.col("v_b") / F.col("n_b"))
+                * (F.col("v_b") / F.col("n_b"))
+                / (F.col("n_b") - 1)
+            ),
+            4,
+        ).alias("dof_welch"),
+    )
+
+
+@query(
+    "stat_ks_test",
+    """
+WITH grid AS (
+  SELECT round(value, 2) AS v,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1
+),
+cdf AS (
+  SELECT
+    sum(a) OVER (ORDER BY v) AS ca,
+    sum(b) OVER (ORDER BY v) AS cb,
+    sum(a) OVER () AS na,
+    sum(b) OVER () AS nb
+  FROM grid
+)
+SELECT
+  CAST(any_value(na) AS BIGINT) AS n_a,
+  CAST(any_value(nb) AS BIGINT) AS n_b,
+  round(max(abs(
+    ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))), 6) AS ks_d,
+  round(sqrt(any_value(na) * any_value(nb)
+             / CAST(any_value(na) + any_value(nb) AS DOUBLE))
+        * max(abs(ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))),
+        6) AS ks_stat
+FROM cdf
+""",
+)
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the purchase and
+    click `value` distributions — the whole-shape drift detector that
+    catches what a mean test (stat_welch_ttest) can't. Computed on the
+    2dp-quantized value grid (binned KS): raw rows partial-aggregate
+    to per-bin counts first, so the ordered CDF window runs over a
+    frame bounded by the VALUE DOMAIN (~33k cells for this 0–330
+    range), never by row count — the same grain-then-window discipline
+    as ts_autocorr. Cumulative sums are exact integers; the final
+    divisions produce identical doubles in both engines, so max|ΔCDF|
+    is deterministic to the bit and 6dp rounding is cosmetic. ks_stat
+    is the sqrt(n·m/(n+m))-scaled statistic a caller compares against
+    the Kolmogorov critical values.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    grid = (
+        ev.select(F.round("value", 2).alias("v"), "event_type")
+        .groupBy("v")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("b"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cdf = grid.select(
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+        F.sum("a").over(tot).alias("na"),
+        F.sum("b").over(tot).alias("nb"),
+    )
+    d = F.abs(
+        F.col("ca") / F.col("na").cast("double")
+        - F.col("cb") / F.col("nb").cast("double")
+    )
+    return cdf.agg(
+        F.any_value("na").cast("long").alias("n_a"),
+        F.any_value("nb").cast("long").alias("n_b"),
+        F.round(F.max(d), 6).alias("ks_d"),
+        F.round(
+            F.sqrt(
+                F.any_value("na")
+                * F.any_value("nb")
+                / (F.any_value("na") + F.any_value("nb")).cast("double")
+            )
+            * F.max(d),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@query(
+    "stat_benford",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+obs AS (
+  SELECT digit, count(*) AS n, sum(count(*)) OVER () AS total
+  FROM d GROUP BY 1
+)
+SELECT digit,
+  CAST(n AS BIGINT) AS n,
+  round(n / CAST(total AS DOUBLE), 6) AS obs_frac,
+  round(log10(1 + 1.0 / digit), 6) AS benford_frac,
+  round(n / CAST(total AS DOUBLE) - log10(1 + 1.0 / digit), 6)
+    AS excess
+FROM obs
+ORDER BY digit
+""",
+)
+def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (synthetic/tampered financial data
+    rarely matches the log-curve digit frequencies). The first
+    significant digit comes from integer-string arithmetic
+    (floor → BIGINT → first char), NOT floor(x/10^floor(log10 x)):
+    the string path is exact in both engines while libm log10 can
+    straddle an ulp at exact powers of ten. One partial-aggregated
+    groupBy to a ≤9-row frame; expected frequencies are constants;
+    `excess` is the per-digit deviation a fraud reviewer scans.
+    Output ordered by digit — a 9-row bounded sort.
+    """
+    orders = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    return obs.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias(
+            "obs_frac"
+        ),
+        F.round(benford, 6).alias("benford_frac"),
+        F.round(
+            F.col("n") / F.col("total").cast("double") - benford, 6
+        ).alias("excess"),
+    ).orderBy("digit")
+
+
+@query(
+    "corr_spearman",
+    """
+WITH joint AS (
+  SELECT l_quantity AS x, l_discount AS y, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+rx AS (
+  SELECT x,
+    sum(sum(n)) OVER (ORDER BY x) - sum(n) + (sum(n) + 1) / 2.0 AS r
+  FROM joint GROUP BY x
+),
+ry AS (
+  SELECT y,
+    sum(sum(n)) OVER (ORDER BY y) - sum(n) + (sum(n) + 1) / 2.0 AS r
+  FROM joint GROUP BY y
+),
+m AS (
+  SELECT j.n, rx.r AS rx, ry.r AS ry
+  FROM joint j JOIN rx ON j.x = rx.x JOIN ry ON j.y = ry.y
+)
+SELECT
+  CAST(sum(n) AS BIGINT) AS n_rows,
+  round(
+    (sum(n * rx * ry) - sum(n * rx) * sum(n * ry) / sum(n))
+    / sqrt((sum(n * rx * rx) - sum(n * rx) * sum(n * rx) / sum(n))
+           * (sum(n * ry * ry) - sum(n * ry) * sum(n * ry) / sum(n))),
+    6) AS spearman_rho
+FROM m
+""",
+)
+def corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount — the
+    monotonic-association probe that Pearson (corr_matrix) misses on
+    nonlinear-but-ordered relationships. The scale-shaped formulation:
+    NO per-row global rank sort. Rows partial-aggregate to the joint
+    (x, y, n) grid (bounded by the two value domains); tie-averaged
+    ranks ("midranks") per distinct value come from cumulative counts
+    over the tiny marginal frames; and Spearman = weighted Pearson of
+    the midranks with the joint counts as weights — all sums over the
+    grid, one raw-data shuffle total. Midranks are exact .0/.5
+    rationals and the weighted moments are exact until the final
+    division, so 6dp rounding is cosmetic.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    joint = (
+        li.select(
+            F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def midrank(df: DataFrame, key: str) -> DataFrame:
+        per = df.groupBy(key).agg(F.sum("n").alias("cnt"))
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+        return per.select(
+            key,
+            (
+                F.sum("cnt").over(w)
+                - F.col("cnt")
+                + (F.col("cnt") + 1) / 2.0
+            ).alias("r"),
+        )
+
+    rx = midrank(joint, "x").withColumnRenamed("r", "rx")
+    ry = midrank(joint, "y").withColumnRenamed("r", "ry")
+    m = joint.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    n, x, y = F.col("n"), F.col("rx"), F.col("ry")
+    sn = F.sum(n)
+    sx, sy = F.sum(n * x), F.sum(n * y)
+    sxy = F.sum(n * x * y)
+    sxx, syy = F.sum(n * x * x), F.sum(n * y * y)
+    return m.agg(
+        sn.cast("long").alias("n_rows"),
+        F.round(
+            (sxy - sx * sy / sn)
+            / F.sqrt((sxx - sx * sx / sn) * (syy - sy * sy / sn)),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -937,3 +937,153 @@ def events_velocity_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         (F.col("peak_5min") >= 10).alias("flagged"),
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+trend AS (
+  SELECT d, cnt,
+    CASE WHEN count(*) OVER w = 7 THEN avg(cnt) OVER w END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas_raw AS (
+  SELECT isodow(d) - 1 AS dow, avg(cnt - trend) AS s
+  FROM trend WHERE trend IS NOT NULL GROUP BY 1
+),
+seas AS (
+  SELECT dow, s - avg(s) OVER () AS seasonal FROM seas_raw
+)
+SELECT t.d, CAST(t.cnt AS BIGINT) AS cnt,
+  round(t.trend, 4) AS trend,
+  round(se.seasonal, 4) AS seasonal,
+  round(t.cnt - t.trend - se.seasonal, 4) AS resid
+FROM trend t JOIN seas se ON isodow(t.d) - 1 = se.dow
+""",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    series: trend = centered 7-day moving average (full windows only —
+    edge days report NULL trend/resid rather than a biased partial
+    mean), seasonal = weekday mean of the detrended series re-centered
+    to sum to zero, residual = remainder. The anomaly-triage
+    preprocessor: events_anomaly flags spikes, this explains whether
+    they're weekday rhythm or genuine drift. Grain-then-window: raw
+    rows partial-aggregate to the ~30-row daily frame once, every
+    window/join after runs on that bounded grain (horizon-bounded, not
+    row-bounded — the ts_autocorr discipline). Weekday keys use
+    Monday=0 in both engines (Spark `weekday` ≍ DuckDB `isodow - 1`);
+    the seasonal frame joins back broadcast. 4dp rounding sits far
+    above the ~1e-12 float-reassociation noise of the tiny averages.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trend = daily.select(
+        "d",
+        "cnt",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7, F.avg("cnt").over(w)
+        ).alias("trend"),
+    )
+    seas_raw = (
+        trend.filter(F.col("trend").isNotNull())
+        .groupBy(F.weekday("d").alias("dow"))
+        .agg(F.avg(F.col("cnt") - F.col("trend")).alias("s"))
+    )
+    seas = seas_raw.select(
+        "dow",
+        (F.col("s") - F.avg("s").over(Window.partitionBy())).alias(
+            "seasonal"
+        ),
+    )
+    return (
+        trend.join(
+            F.broadcast(seas), F.weekday(F.col("d")) == F.col("dow")
+        )
+        .select(
+            "d",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round(
+                F.col("cnt") - F.col("trend") - F.col("seasonal"), 4
+            ).alias("resid"),
+        )
+    )
+
+
+@query(
+    "ts_forecast_snaive",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, cnt,
+    lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY d) AS snaive,
+    lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY d) AS naive
+  FROM daily
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_eval,
+  round(avg(abs(cnt - snaive)), 4) AS mae_snaive,
+  round(avg(abs(cnt - naive)), 4) AS mae_naive,
+  round(sqrt(avg(CAST((cnt - snaive) * (cnt - snaive) AS DOUBLE))), 4)
+    AS rmse_snaive,
+  round(1 - avg(abs(cnt - snaive)) / avg(abs(cnt - naive)), 6)
+    AS skill_vs_naive
+FROM lagged
+WHERE snaive IS NOT NULL AND naive IS NOT NULL
+GROUP BY event_type
+""",
+)
+def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type: predict each
+    day's count with the same weekday last week (snaive) and with
+    yesterday (naive), then score MAE/RMSE and the skill ratio
+    1 − MAE_snaive/MAE_naive on the days where BOTH forecasts exist
+    (identical eval sets, or the comparison is meaningless). The
+    capacity-planning baseline every forecasting effort must beat —
+    and the honest yardstick: positive skill means weekly seasonality
+    is real (ts_autocorr's lag-7 signal, cashed out as forecast
+    accuracy). One raw-row shuffle to the daily grain; both lags ride
+    ONE event_type window partitioning; errors are exact integers
+    until the final averages.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 7).over(w).alias("snaive"),
+        F.lag("cnt", 1).over(w).alias("naive"),
+    ).filter(F.col("snaive").isNotNull() & F.col("naive").isNotNull())
+    err_s = F.col("cnt") - F.col("snaive")
+    err_n = F.col("cnt") - F.col("naive")
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.round(F.avg(F.abs(err_s)), 4).alias("mae_snaive"),
+        F.round(F.avg(F.abs(err_n)), 4).alias("mae_naive"),
+        F.round(
+            F.sqrt(F.avg((err_s * err_s).cast("double"))), 4
+        ).alias("rmse_snaive"),
+        F.round(
+            1 - F.avg(F.abs(err_s)) / F.avg(F.abs(err_n)), 6
+        ).alias("skill_vs_naive"),
+    )
