@@ -1055,3 +1055,69 @@ def events_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - cum_rate / 0.25, 6).alias("budget_remaining_frac"),
         (cum_rate > 0.25).alias("slo_breached"),
     )
+
+
+@query(
+    "events_survival",
+    """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+u AS (
+  SELECT user_id, min(day) AS first_d, max(day) AS last_d
+  FROM d GROUP BY 1
+),
+h AS (SELECT max(day) AS horizon FROM d),
+k AS (SELECT unnest(generate_series(0, 21)) AS k)
+SELECT k.k,
+  CAST(count(*) AS BIGINT) AS n_at_risk,
+  CAST(sum(CASE WHEN u.last_d >= u.first_d + CAST(k.k AS INTEGER)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_survived,
+  round(sum(CASE WHEN u.last_d >= u.first_d + CAST(k.k AS INTEGER)
+            THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+    AS surv_frac
+FROM u CROSS JOIN k CROSS JOIN h
+WHERE u.first_d + CAST(k.k AS INTEGER) <= h.horizon
+GROUP BY k.k
+""",
+)
+def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-censored survival curve of user lifetime: S(k) = the
+    fraction of users still active (last event ≥ first event + k days)
+    among those OBSERVABLE at offset k (first day + k inside the data
+    horizon) — the Kaplan-Meier-shaped churn readout that raw
+    retention tables (events_retention's weekly cohorts) blur, with
+    the censoring handled the honest way: users whose k-th day falls
+    past the horizon leave the denominator instead of counting as
+    churned. One groupBy collapses events to a (user, first, last)
+    frame; the 22-offset grid cross-joins against that tiny frame (
+    users × 22, never events × 22), and the horizon rides a broadcast
+    1-row aggregate. Integer counts; one final division.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    u = d.groupBy("user_id").agg(
+        F.min("day").alias("first_d"), F.max("day").alias("last_d")
+    )
+    h = d.agg(F.max("day").alias("horizon"))
+    k = spark.range(22).select(F.col("id").alias("k"))
+    kth = F.date_add("first_d", F.col("k").cast("int"))
+    return (
+        u.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(h))
+        .filter(kth <= F.col("horizon"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_at_risk"),
+            F.sum(
+                F.when(F.col("last_d") >= kth, 1).otherwise(0)
+            ).cast("long").alias("n_survived"),
+            F.round(
+                F.sum(F.when(F.col("last_d") >= kth, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("surv_frac"),
+        )
+    )

@@ -401,3 +401,182 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+@query(
+    "graph_degree_distribution",
+    f"""
+WITH e AS ({_EDGE_SQL}),
+adj AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT u, count(*) AS degree FROM adj GROUP BY 1),
+hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1)
+SELECT degree,
+  CAST(n_nodes AS BIGINT) AS n_nodes,
+  round(sum(n_nodes) OVER (ORDER BY degree DESC)
+        / CAST(sum(n_nodes) OVER () AS DOUBLE), 6) AS ccdf
+FROM hist
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram + complementary CDF of the user-interaction
+    graph — the first diagnostic on any graph (is it heavy-tailed? is
+    there a hub that will blow up wedge joins?), and the measurement
+    that justifies the hub caps in graph_link_prediction and
+    mine_basket_pairs. Degrees come from one groupBy over the doubled
+    edge list; the histogram is a second groupBy over the (tiny)
+    per-node frame; the ccdf window runs over the distinct-degree
+    frame, which is bounded by max-degree, not node count. ccdf(d) =
+    fraction of nodes with degree ≥ d: exact integer cumsums, one
+    division.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e = (
+        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
+        .filter(
+            F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+        .select(
+            F.least("user_id", "next_user").alias("a"),
+            F.greatest("user_id", "next_user").alias("b"),
+        )
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("u")).unionAll(
+        e.select(F.col("b").alias("u"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    wd = Window.orderBy(F.col("degree").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        "degree",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.round(
+            F.sum("n_nodes").over(wd)
+            / F.sum("n_nodes").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("ccdf"),
+    )
+
+
+_MAX_HUB_DEG = 1000
+
+
+@query(
+    "graph_link_prediction",
+    f"""
+WITH e AS ({_EDGE_SQL}),
+adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1),
+cand AS (
+  SELECT j1.v AS a, j2.v AS c,
+    count(*) AS cn,
+    sum(1.0 / ln(db.d)) AS aa
+  FROM adj j1
+  JOIN adj j2 ON j1.u = j2.u AND j1.v < j2.v
+  JOIN deg db ON db.u = j1.u AND db.d <= {_MAX_HUB_DEG}
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT cand.a, cand.c, cand.cn, cand.aa
+  FROM cand LEFT JOIN e ON e.a = cand.a AND e.b = cand.c
+  WHERE e.a IS NULL
+)
+SELECT n.a AS user_a, n.c AS user_b,
+  CAST(n.cn AS BIGINT) AS common_neighbors,
+  round(n.cn / CAST(da.d + dc.d - n.cn AS DOUBLE), 6) AS jaccard,
+  round(n.aa, 6) AS adamic_adar
+FROM nonadj n
+JOIN deg da ON da.u = n.a
+JOIN deg dc ON dc.u = n.c
+ORDER BY n.cn DESC, user_a, user_b
+LIMIT 20
+""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the user-interaction graph: for the top-20
+    NON-adjacent user pairs by common-neighbor count, the three
+    classic scores — common neighbors, Jaccard overlap of
+    neighborhoods, Adamic-Adar (Σ 1/ln deg over shared neighbors,
+    down-weighting promiscuous hubs) — the "people you may know" /
+    entity-resolution candidate generator.
+
+    Scale shape: wedges enumerate through shared centers with an
+    explicit hub cap (centers with degree > 1000 are excluded — a hub
+    connects everyone-to-everyone, carries no predictive signal, and
+    makes the fan-out quadratic; the measured justification lives in
+    graph_degree_distribution). Candidate pairs anti-join the edge
+    list to keep only genuinely absent links; degree lookups broadcast
+    the tiny per-node frame; ranking is integer-keyed (cn, then pair)
+    so the top-20 is a bounded heap with no float-order hazard —
+    Adamic-Adar's float sum only ever lands in a ROUNDED output
+    column.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e = (
+        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
+        .filter(
+            F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+        .select(
+            F.least("user_id", "next_user").alias("a"),
+            F.greatest("user_id", "next_user").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # adj ×2 + anti-join consumer
+    )
+    adj = e.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter(F.col("d") <= _MAX_HUB_DEG)
+    j1 = adj.select(F.col("u").alias("b_"), F.col("v").alias("a"))
+    j2 = adj.select(F.col("u").alias("b2_"), F.col("v").alias("c"))
+    cand = (
+        j1.join(j2, (F.col("b_") == F.col("b2_")) & (F.col("a") < F.col("c")))
+        .join(
+            F.broadcast(centers.select(F.col("u").alias("b_"), "d")),
+            "b_",
+        )
+        .groupBy("a", "c")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(1.0 / F.log(F.col("d"))).alias("aa"),
+        )
+    )
+    e_pairs = e.select(
+        F.col("a").alias("ea"), F.col("b").alias("eb")
+    )
+    nonadj = cand.join(
+        e_pairs,
+        (F.col("a") == F.col("ea")) & (F.col("c") == F.col("eb")),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("u").alias("c"), F.col("d").alias("dc"))
+    return (
+        nonadj.join(F.broadcast(da), "a")
+        .join(F.broadcast(dc), "c")
+        .select(
+            F.col("a").alias("user_a"),
+            F.col("c").alias("user_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.round(
+                F.col("cn")
+                / (F.col("da") + F.col("dc") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round("aa", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "user_a", "user_b")
+        .limit(20)
+    )

@@ -578,3 +578,74 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = rows.unionByName(fk_row)
     return rows.withColumn("passed", F.col("n_violations") == 0)
+
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@query(
+    "dq_referential_integrity",
+    "\nUNION ALL\n".join(
+        f"""
+SELECT '{c}.{ck}->{p}.{pk}' AS relation,
+  (SELECT count(*) FROM {c}) AS n_child,
+  (SELECT count(*) FROM {c}
+   WHERE {ck} IS NOT NULL
+     AND {ck} NOT IN (SELECT {pk} FROM {p})) AS n_orphans,
+  round((SELECT count(*) FROM {c}
+         WHERE {ck} IS NOT NULL
+           AND {ck} NOT IN (SELECT {pk} FROM {p}))
+        / CAST((SELECT count(*) FROM {c}) AS DOUBLE), 6) AS orphan_frac
+"""
+        for c, ck, p, pk in _FK_EDGES
+    ),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-star-schema referential-integrity audit: for each of the 7
+    foreign-key edges, the child row count, the orphan count (non-null
+    FK with no matching parent key), and the orphan fraction — the
+    first report run after any ingest/backfill, and the generalization
+    of dq_constraints' single o_custkey check to the full schema graph.
+
+    Each edge is an ANTI-join of the child's distinct-able FK column
+    against the (broadcastable) parent key set — Catalyst turns the
+    NOT-IN-with-non-null-guard into a broadcast anti join, so no edge
+    shuffles the child table; the 7 one-row audits union into a single
+    bounded frame. At 100 TB each child scan prunes to exactly the FK
+    column (ReadSchema one column), and the audits are independent
+    jobs a scheduler can run concurrently.
+    """
+    out = None
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child).select(ck)
+        p = load(spark, sf_dir, parent).select(pk)
+        n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = (
+            c.filter(F.col(ck).isNotNull())
+            .join(
+                F.broadcast(p), F.col(ck) == F.col(pk), "left_anti"
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        row = (
+            n_child.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("relation"),
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans") / F.col("n_child").cast("double"),
+                    6,
+                ).alias("orphan_frac"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

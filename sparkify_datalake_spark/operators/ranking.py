@@ -226,3 +226,106 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "score")
     )
+
+
+_MIN_COLLOC_N = 5
+
+
+@query(
+    "text_collocations_pmi",
+    f"""
+WITH t AS (
+  SELECT string_split(lower(text), ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS b
+  FROM t
+),
+bcnt AS (SELECT b, count(*) AS nb FROM bg GROUP BY 1),
+uni AS (
+  SELECT unnest(toks) AS w FROM t
+),
+ucnt AS (SELECT w, count(*) AS n FROM uni GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM uni) AS tt,
+         (SELECT count(*) FROM bg) AS bb
+)
+SELECT
+  split_part(b, ' ', 1) AS w1,
+  split_part(b, ' ', 2) AS w2,
+  CAST(nb AS BIGINT) AS n_bigram,
+  round(ln(nb * CAST(s.tt AS DOUBLE) * s.tt / (s.bb * u1.n * u2.n)), 6)
+    AS pmi
+FROM bcnt
+JOIN ucnt u1 ON u1.w = split_part(b, ' ', 1)
+JOIN ucnt u2 ON u2.w = split_part(b, ' ', 2)
+CROSS JOIN stats s
+WHERE nb >= {_MIN_COLLOC_N}
+ORDER BY nb * CAST(s.tt AS DOUBLE) * s.tt / (s.bb * u1.n * u2.n) DESC,
+         w1, w2
+LIMIT 20
+""",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations (adjacent word pairs) by pointwise mutual
+    information over the document corpus — the phrase detector behind
+    tokenizer merges and "new_york"-style phrase normalization, with
+    the ≥5-count floor that keeps PMI from crowning one-off typos.
+    PMI = ln(P(w1w2) / P(w1)P(w2)) computed as ONE double division of
+    exact integer products (nb·T² / B·n1·n2), so both engines produce
+    bit-identical scores and the ordering is float-safe (ties broken
+    lexicographically). Counts: one explode+groupBy for bigrams, one
+    for unigrams (both map-side partial-agg); unigram counts broadcast
+    back onto the (bounded, ≥5-count) bigram frame; corpus totals ride
+    a broadcast 1-row aggregate. The integer product nb·T² needs
+    headroom at extreme scale — beyond ~1e18 switch the ratio to
+    log-space subtraction, the documented 100 TB variant.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("toks"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (w, i) -> concat(w, ' ', toks[i + 1]))"
+            )
+        ).alias("b")
+    )
+    bcnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    uni = toks.select(F.explode("toks").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    stats = uni.agg(F.count(F.lit(1)).alias("tt")).crossJoin(
+        bg.agg(F.count(F.lit(1)).alias("bb"))
+    )
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    scored = (
+        bcnt.filter(F.col("nb") >= _MIN_COLLOC_N)
+        .select(
+            F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("b"), F.lit(" "), F.lit(2)).alias("w2"),
+            "nb",
+        )
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(stats))
+    )
+    score = (
+        F.col("nb")
+        * F.col("tt").cast("double")
+        * F.col("tt")
+        / (F.col("bb") * F.col("n1") * F.col("n2"))
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            F.col("nb").cast("long").alias("n_bigram"),
+            F.round(F.log(score), 6).alias("pmi"),
+            score.alias("_s"),
+        )
+        .orderBy(F.col("_s").desc(), "w1", "w2")
+        .limit(20)
+        .drop("_s")
+    )
