@@ -507,3 +507,69 @@ def test_chi2_windows_on_cell_frame(spark):
     first_window = plan.index("Window")
     below = plan[first_window:]
     assert "HashAggregate" in below, "margin windows must sit above the cell agg"
+
+
+def test_ks_test_windows_on_value_grid(spark):
+    # the CDF window runs over the 2dp value grid (post-aggregate),
+    # never over raw events — the domain-bounded-window discipline.
+    plan = _plan(spark, "stat_ks_test")
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:], (
+        "CDF window must sit above the grid aggregation"
+    )
+
+
+def test_spearman_joins_midranks_broadcast(spark):
+    # marginal midrank frames are tiny (bounded by the value domains)
+    # and must arrive broadcast onto the joint grid.
+    plan = _plan(spark, "corr_spearman")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_referential_integrity_prunes_to_fk_column(spark):
+    # each child scan must read exactly the FK column, and every parent
+    # key set must arrive broadcast into an anti join.
+    plan = _plan(spark, "dq_referential_integrity")
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+    assert plan.count("BroadcastHashJoin") >= 7
+    assert "SortMergeJoin" not in plan
+
+
+def test_link_prediction_caps_hubs_and_broadcasts_degrees(spark):
+    plan = _plan(spark, "graph_link_prediction")
+    # degree cap filter exists pre-wedge, degree lookups broadcast,
+    # and the top-20 is a bounded heap.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_collocations_broadcast_unigrams_bounded_head(spark):
+    plan = _plan(spark, "text_collocations_pmi")
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "unigram counts + corpus stats must arrive broadcast"
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_survival_crossjoins_user_frame_not_events(spark):
+    # the 22-offset grid expands the per-user frame (post-aggregate),
+    # never raw events: the explode/cross-join must sit above the
+    # user-level aggregation.
+    plan = _plan(spark, "events_survival")
+    import re as _re
+
+    m = _re.search(r"BroadcastNestedLoopJoin", plan)
+    assert m is not None
+    assert "HashAggregate" in plan[m.start():], (
+        "offset grid must expand the user aggregate, not raw events"
+    )
+
+
+def test_seasonal_decompose_windows_on_daily_grain(spark):
+    plan = _plan(spark, "ts_seasonal_decompose")
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:], (
+        "trend window must run on the daily grain"
+    )
+    assert "BroadcastHashJoin" in plan  # seasonal frame joins broadcast
