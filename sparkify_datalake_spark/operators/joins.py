@@ -726,3 +726,97 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "join_star_flatten",
+    """
+SELECT
+  l.l_orderkey, l.l_linenumber,
+  o.o_orderdate, o.o_orderpriority,
+  c.c_mktsegment,
+  cn.n_name AS cust_nation, cr.r_name AS cust_region,
+  p.p_brand, p.p_type,
+  s.s_name AS supp_name, sn.n_name AS supp_nation,
+  l.l_quantity, l.l_extendedprice, l.l_discount, l.l_returnflag
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+""",
+)
+def join_star_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full star-schema denormalization: every 1997 lineitem flattened
+    against ALL its dimensions (order, customer + nation + region,
+    part, supplier + nation) into one wide training/export row — the
+    "feature export" join every offline ML pipeline runs before
+    writing training shards, and the widest join in the inventory
+    (7 joins, nation twice under different roles).
+
+    The plan that must come out: ONE scan of the fact table with every
+    true dimension arriving as a broadcast hash join (dims are small by
+    star-schema construction — at 100 TB, customer/part/supplier stay
+    under a few GB while lineitem is the 100 TB). lineitem ⋈ orders is
+    the one fact-fact join and is deliberately NOT broadcast-hinted:
+    both sides key-partition on the order key (co-partitioned at scale;
+    AQE still broadcasts the filtered year at fixture size), and the
+    date filter is pushed into the orders scan before the join so the
+    shuffled side is one year, not seven. Column pruning matters here:
+    the export projects 15 of ~40 reachable columns and the scans must
+    read only those.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cr = r.select(
+        F.col("r_regionkey").alias("cr_key"),
+        F.col("r_name").alias("cust_region"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cn_region") == F.col("cr_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderdate",
+            "o_orderpriority",
+            "c_mktsegment",
+            "cust_nation",
+            "cust_region",
+            "p_brand",
+            "p_type",
+            F.col("s_name").alias("supp_name"),
+            "supp_nation",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+        )
+    )

@@ -1291,3 +1291,55 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lf, lr), 6).alias("log_c"),
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),
     )
+
+
+@query(
+    "text_freq_spectrum",
+    """
+WITH tok AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT lang, w, count(*) AS n FROM tok GROUP BY 1, 2
+),
+vocab AS (
+  SELECT lang, count(*) AS v FROM tf GROUP BY 1
+)
+SELECT tf.lang, tf.n AS occurrences,
+  CAST(count(*) AS BIGINT) AS n_types,
+  round(count(*) / CAST(any_value(vocab.v) AS DOUBLE), 6)
+    AS frac_of_vocab
+FROM tf JOIN vocab ON tf.lang = vocab.lang
+WHERE tf.n <= 10
+GROUP BY tf.lang, tf.n
+""",
+)
+def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-frequency spectrum per language: how many distinct token
+    types occur exactly k times (k ≤ 10), as counts and vocabulary
+    share — the lexical-statistics profile (hapax legomena = the k=1
+    row) that distinguishes natural text from templated spam and
+    complements text_zipf_fit's head-rank fit with the tail shape
+    Zipf's law actually lives in. Two partial-aggregatable groupBys
+    (token frequencies, then the spectrum over the vocab-sized frame)
+    plus a broadcast of the 5-row vocabulary totals; the k ≤ 10 cut
+    bounds the output at langs × 10 regardless of corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    tf = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = tf.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
+    return (
+        tf.filter(F.col("n") <= 10)
+        .join(F.broadcast(vocab), "lang")
+        .groupBy("lang", F.col("n").alias("occurrences"))
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(
+                F.count(F.lit(1)) / F.any_value("v").cast("double"), 6
+            ).alias("frac_of_vocab"),
+        )
+    )

@@ -1087,3 +1087,77 @@ def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.avg(F.abs(err_s)) / F.avg(F.abs(err_n)), 6
         ).alias("skill_vs_naive"),
     )
+
+
+@query(
+    "ts_rolling_slope",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         epoch(CAST(date_trunc('day', ts) AS DATE)) / 86400 AS x,
+         count(*) AS y
+  FROM events GROUP BY 1, 2, 3
+),
+win AS (
+  SELECT event_type, d,
+    count(*) OVER w AS n,
+    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+    sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, d,
+  round((n * sxy - sx * sy)
+        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day
+FROM win
+WHERE n = 7
+""",
+)
+def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS trend slope of daily event counts per type —
+    the leading-indicator number ("is traffic accelerating?") behind
+    every growth/regression dashboard, and the windowed sibling of
+    agg_linreg's global fit. The de-noised formulation: slope from
+    closed-form moment sums (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) where x is
+    the integer epoch-day — FIVE windowed sums sharing ONE
+    event_type-partitioned 7-row frame over the daily grain, all exact
+    integers until the final division, so both engines divide
+    identical numbers. Partial windows (first 6 days) are dropped —
+    a 3-point "trend" is noise wearing a slope. Raw events shuffle
+    once (the grain groupBy); everything after is grain-sized.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    x = (F.unix_timestamp(F.col("d").cast("timestamp")) / 86400).cast(
+        "long"
+    )
+    daily = daily.withColumn("x", x)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    ).filter(F.col("n") == 7)
+    return win.select(
+        "event_type",
+        "d",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double"),
+            6,
+        ).alias("slope_per_day"),
+    )
