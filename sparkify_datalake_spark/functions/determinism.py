@@ -66,6 +66,42 @@ def round6(col: Column, alias: str) -> Column:
     return F.round(col, 6).alias(alias)
 
 
+def cents_long(col: Column | str, dp: int = 2) -> Column:
+    """A 2dp money double as exact integer hundredths (long).
+
+    The fast path for money PRODUCTS on the hot full-scan aggregates:
+    Spark's Decimal multiply always routes through java.math.BigDecimal
+    (~2 multiplies/row ≈ 0.9 s over sf0.1 lineitem, measured), while
+    long×long codegens to imuls. Only for expressions whose integer
+    magnitude stays under ~1e18 per row; pair with ``unit_sum`` so the
+    ACCUMULATION still happens in decimal(28,0) (order-independent,
+    overflow-safe at any scale).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10**dp)).cast("long")
+
+
+def unit_sum(
+    col: Column, pow10: int, alias: str, scale: int = 2
+) -> Column:
+    """Exact sum of integer-unit money → one rescale/round per GROUP.
+
+    Accumulates the long units in decimal(28,0) (compact-long adds
+    until ~1e18, exact at any scale), divides by 10^pow10 once on the
+    per-group result, rounds and emits double — the q1_pricing_summary
+    discipline, shared so every full-scan money aggregate can use it.
+    """
+    return (
+        F.round(
+            F.sum(col.cast("decimal(28,0)")).cast("decimal(38,6)")
+            / F.lit(10**pow10),
+            scale,
+        )
+        .cast("double")
+        .alias(alias)
+    )
+
+
 # Oracle SQL fragments mirroring the helpers above (keep in sync).
 def sql_dec2(expr: str, precision: int = 12) -> str:
     return f"CAST({expr} AS DECIMAL({precision},2))"

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkify_datalake_spark.functions.determinism import (
+    cents_long,
     dec2,
     dec_avg,
     dec_sum,
@@ -26,6 +27,7 @@ from sparkify_datalake_spark.functions.determinism import (
     sql_dec_avg,
     sql_dec_sum,
     sql_dec_sum_exact,
+    unit_sum,
 )
 from sparkify_datalake_spark.registry import query
 from sparkify_datalake_spark.sources.load import load
@@ -50,31 +52,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz")
     )
 
-    def cents(col: str) -> Column:
-        return F.round(F.col(col) * 100).cast("long")
-
-    disc4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
-    charge6 = disc4 * (F.lit(100) + cents("l_tax"))
-
-    def scaled_sum(col: Column, pow10: int, alias: str) -> Column:
-        # exact decimal accumulation of integer units, one rescale per group
-        return (
-            F.round(
-                F.sum(col.cast("decimal(28,0)")).cast("decimal(38,6)")
-                / F.lit(10**pow10),
-                2,
-            )
-            .cast("double")
-            .alias(alias)
-        )
+    disc4 = cents_long("l_extendedprice") * (
+        F.lit(100) - cents_long("l_discount")
+    )
+    charge6 = disc4 * (F.lit(100) + cents_long("l_tax"))
 
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum("l_quantity", "sum_qty"),
             dec_sum("l_extendedprice", "sum_base_price"),
-            scaled_sum(disc4, 4, "sum_disc_price"),
-            scaled_sum(charge6, 6, "sum_charge"),
+            unit_sum(disc4, 4, "sum_disc_price"),
+            unit_sum(charge6, 6, "sum_charge"),
             dec_avg("l_quantity", "avg_qty"),
             dec_avg("l_extendedprice", "avg_price"),
             dec_avg("l_discount", "avg_disc"),
