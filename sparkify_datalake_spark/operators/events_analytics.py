@@ -1121,3 +1121,50 @@ def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("surv_frac"),
         )
     )
+
+
+@query(
+    "events_props_stats",
+    """
+WITH p AS (
+  SELECT event_type,
+    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(k) AS BIGINT) AS n_with_k,
+  CAST(min(k) AS BIGINT) AS min_k,
+  CAST(max(k) AS BIGINT) AS max_k,
+  round(sum(k) / CAST(count(k) AS DOUBLE), 4) AS avg_k,
+  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM p GROUP BY event_type
+""",
+)
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload profiling: numeric stats of the JSON
+    `props.k` field per event type — the schema-on-read audit every
+    event pipeline runs before promoting a JSON property to a real
+    column (null share, range, cardinality decide the ALTER TABLE).
+    Extraction is a map-side get_json_object projection (at 100 TB the
+    promoted column + pushdown replace this — exactly what this audit
+    justifies); the rest is one partial-aggregated groupBy. The
+    average divides an exact long sum by an exact count, so both
+    engines divide identical numbers; count(k) vs count(*) exhibits
+    the missing-key NULL semantics.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.round(
+            F.sum("k") / F.count("k").cast("double"), 4
+        ).alias("avg_k"),
+        F.count_distinct(F.col("k")).alias("n_distinct_k"),
+    )

@@ -580,3 +580,89 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common_neighbors").desc(), "user_a", "user_b")
         .limit(20)
     )
+
+
+@query(
+    "graph_assortativity",
+    f"""
+WITH e AS ({_EDGE_SQL}),
+adj AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1),
+de AS (
+  SELECT da.d AS x, db.d AS y
+  FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b
+  UNION ALL
+  SELECT db.d, da.d
+  FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b
+)
+SELECT
+  CAST(count(*) / 2 AS BIGINT) AS n_edges,
+  round(
+    (sum(CAST(x AS DOUBLE) * y) - sum(CAST(x AS DOUBLE)) * sum(CAST(y AS DOUBLE)) / count(*))
+    / nullif(sqrt((sum(CAST(x AS DOUBLE) * x) - sum(CAST(x AS DOUBLE)) * sum(CAST(x AS DOUBLE)) / count(*))
+           * (sum(CAST(y AS DOUBLE) * y) - sum(CAST(y AS DOUBLE)) * sum(CAST(y AS DOUBLE)) / count(*))), 0),
+    6) AS assortativity
+FROM de
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the user graph: Pearson correlation of
+    endpoint degrees over (symmetrized) edges — positive means hubs
+    befriend hubs (social nets), negative means hub-and-spoke
+    (internet topology); with graph_degree_distribution it completes
+    the two-number topology fingerprint that predicts whether wedge
+    joins and partition skew will bite at scale. Both directions of
+    each edge enter once (the standard undirected convention, and what
+    makes Σx = Σy exact). Degree products are exact integers summed as
+    doubles (degrees ≤ node count — far inside the 2⁵³ mantissa), so
+    both engines add identical values; one division at the end.
+    """
+    from pyspark.sql import Window  # noqa: F401  (module convention)
+
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    e = (
+        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
+        .filter(
+            F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+        .select(
+            F.least("user_id", "next_user").alias("a"),
+            F.greatest("user_id", "next_user").alias("b"),
+        )
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("u")).unionAll(
+        e.select(F.col("b").alias("u"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("dy"))
+    ends = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    de = ends.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionAll(ends.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+    n = F.count(F.lit(1))
+    x, y = F.col("x").cast("double"), F.col("y")
+    sx, sy = F.sum(x), F.sum(F.col("y").cast("double"))
+    sxy = F.sum(x * y)
+    sxx = F.sum(x * F.col("x"))
+    syy = F.sum(F.col("y").cast("double") * F.col("y"))
+    return de.agg(
+        (n / 2).cast("long").alias("n_edges"),
+        # NULLIF guard: on a degree-regular graph (every endpoint the
+        # same degree — the sf0.001 co-presence graph is one) the
+        # variance is 0 and assortativity is undefined; both engines
+        # must emit NULL, not throw (Spark ANSI) or ±inf.
+        F.round(
+            (sxy - sx * sy / n)
+            / F.nullif(
+                F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("assortativity"),
+    )

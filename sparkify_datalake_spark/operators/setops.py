@@ -85,3 +85,48 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == EXCEPT (distinct); exceptAll would keep any key whose
     # customer multiplicity exceeds its supplier multiplicity.
     return c.subtract(s)
+
+
+@query(
+    "set_bag_ops",
+    """
+WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+b AS (SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'),
+ia AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b),
+ea AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+SELECT 'intersect_all' AS op, l_suppkey, count(*) AS multiplicity
+FROM ia GROUP BY 2
+UNION ALL
+SELECT 'except_all', l_suppkey, count(*) FROM ea GROUP BY 2
+""",
+)
+def set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) set operations — INTERSECT ALL / EXCEPT ALL —
+    which the distinct variants in this family deliberately are not:
+    per key, INTERSECT ALL keeps min(count_a, count_b) copies and
+    EXCEPT ALL keeps count_a − count_b, the multiplicity algebra
+    behind reconciliation jobs ("which shipments appear more times in
+    feed A than feed B"). Exercised on two overlapping lineitem
+    projections with real duplicate multiplicities; results
+    re-aggregate to (key, multiplicity) so the output is bounded by
+    the key domain while still hash-proving the ALL semantics.
+    Spark's intersectAll/exceptAll compile to the count-expand plan
+    (per-key counts, then generate replicas) — one shuffle per side,
+    no row-by-row anti semantics.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_suppkey")
+    ia = (
+        a.intersectAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "l_suppkey", "multiplicity")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "l_suppkey", "multiplicity")
+    )
+    return ia.unionByName(ea)
