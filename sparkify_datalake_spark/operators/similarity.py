@@ -1229,3 +1229,79 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(8)
     ]
     return spark.createDataFrame(out, "component int, explained_var double")
+
+
+@query(
+    "embed_quantize_int8",
+    f"""
+WITH flat AS (
+  SELECT unnest(embedding) AS v, unnest(range(1, {_DIM + 1})) AS dim
+  FROM embeddings
+),
+stats AS (
+  SELECT dim, min(CAST(v AS DOUBLE)) AS vmin, max(CAST(v AS DOUBLE)) AS vmax
+  FROM flat GROUP BY 1
+),
+err AS (
+  SELECT f.dim,
+    abs(CAST(f.v AS DOUBLE)
+        - (s.vmin + round((CAST(f.v AS DOUBLE) - s.vmin)
+                          / nullif((s.vmax - s.vmin) / 255, 0))
+               * ((s.vmax - s.vmin) / 255))) AS e
+  FROM flat f JOIN stats s ON f.dim = s.dim
+)
+SELECT e.dim,
+  round(any_value(s.vmin), 6) AS vmin,
+  round(any_value(s.vmax), 6) AS vmax,
+  round(avg(e.e), 8) AS mean_abs_err,
+  round(max(e.e), 8) AS max_abs_err
+FROM err e JOIN stats s ON e.dim = s.dim
+GROUP BY e.dim
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit of the embedding corpus: per
+    dimension, the [min, max] calibration range and the mean/max
+    absolute reconstruction error of uniform 8-bit codes — the
+    memory-4×-cheaper vector storage every serving stack adopts
+    (FAISS SQ8 shape), and the audit that says whether it is safe
+    (max_abs_err ≲ half a quantization step means no outlier dim
+    blows up recall; PQ in sim_pq_topk is the next compression step).
+    Calibration is one posexplode + 64-row min/max aggregate (the
+    mergeable-moment shape — at 100 TB the range comes from the same
+    partial agg, or a quantile clip via agg_approx_percentile);
+    reconstruction re-joins the broadcast 64-row stats and reduces to
+    a per-dim error aggregate, so nothing driver-side ever sees a
+    vector. Float32 values widen to exact doubles; codes = round of
+    identical doubles in both engines; only the error AVERAGES carry
+    float-sum reassociation (≈1e-13), far inside the 8dp rounding.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    stats = flat.groupBy("dim").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    scale = F.nullif(
+        (F.col("vmax") - F.col("vmin")) / 255, F.lit(0.0)
+    )
+    joined = flat.join(F.broadcast(stats), "dim")
+    recon = F.col("vmin") + F.round(
+        (F.col("v") - F.col("vmin")) / scale, 0
+    ) * ((F.col("vmax") - F.col("vmin")) / 255)
+    err = joined.select(
+        "dim",
+        "vmin",
+        "vmax",
+        F.abs(F.col("v") - recon).alias("e"),
+    )
+    return err.groupBy("dim").agg(
+        F.round(F.any_value("vmin"), 6).alias("vmin"),
+        F.round(F.any_value("vmax"), 6).alias("vmax"),
+        F.round(F.avg("e"), 8).alias("mean_abs_err"),
+        F.round(F.max("e"), 8).alias("max_abs_err"),
+    )
