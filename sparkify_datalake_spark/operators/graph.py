@@ -617,12 +617,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles (degrees ≤ node count — far inside the 2⁵³ mantissa), so
     both engines add identical values; one division at the end.
     """
-    from pyspark.sql import Window  # noqa: F401  (module convention)
+    from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     e = (
         ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
         .filter(
