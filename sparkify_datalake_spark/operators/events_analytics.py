@@ -1168,3 +1168,98 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_k"),
         F.count_distinct(F.col("k")).alias("n_distinct_k"),
     )
+
+
+@query(
+    "events_type_affinity",
+    """
+WITH ut AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type FROM events
+),
+n AS (
+  SELECT event_type, count(*) AS n_days FROM ut GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM ut a
+  JOIN ut b ON a.user_id = b.user_id AND a.d = b.d
+           AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+  CAST(na.n_days AS BIGINT) AS n_a,
+  CAST(nb.n_days AS BIGINT) AS n_b,
+  CAST(n_both AS BIGINT) AS n_both,
+  round(n_both / CAST(na.n_days + nb.n_days - n_both AS DOUBLE), 6)
+    AS jaccard
+FROM pairs
+JOIN n na ON na.event_type = type_a
+JOIN n nb ON nb.event_type = type_b
+ORDER BY type_a, type_b
+""",
+)
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type affinity: Jaccard overlap between event types over
+    (user, day) activity baskets — 'users who error today also purchase
+    today' as a symmetric 5×5 co-occurrence structure, the
+    recommender-style companion of events_cooccurrence_pmi (which
+    scores surprise; this scores raw set overlap).
+
+    Scale shape: the raw stream first collapses to DISTINCT
+    (user, day, type) — the basket grain, one partial-aggregatable
+    shuffle that caps fan-out at |users|·|days|·|types| regardless of
+    event volume. Pair generation is ONE self-equi-join on the basket
+    key (user, day) with type_a < type_b so each unordered pair counts
+    once; per-type basket counts are a 5-row frame broadcast onto the
+    10-row pair table. Jaccard = both/(a + b − both) divides identical
+    integers → 6dp-exact. At 100 TB nothing here is quadratic: the
+    join fan-out per basket is C(5,2)=10, bounded by the type
+    vocabulary, the mine_basket_pairs discipline.
+    """
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+    ).distinct()
+    n = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = n.select(
+        F.col("event_type").alias("type_a"), F.col("n_days").alias("n_a")
+    )
+    nb = n.select(
+        F.col("event_type").alias("type_b"), F.col("n_days").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -995,3 +995,102 @@ def corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+@query(
+    "stat_mannwhitney",
+    """
+WITH s AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+),
+per AS (
+  SELECT value,
+         count(*) AS cnt,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS cnt_a
+  FROM s GROUP BY value
+),
+rk AS (
+  SELECT cnt, cnt_a,
+         2 * sum(cnt) OVER (ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+           - cnt + 1 AS arank2
+  FROM per
+),
+g AS (
+  SELECT sum(cnt_a) AS n_a,
+         sum(cnt - cnt_a) AS n_b,
+         sum(cnt_a * arank2) / 2.0 AS r_a,
+         sum(cnt * cnt * cnt - cnt) AS tie_term
+  FROM rk
+)
+SELECT
+  CAST(n_a AS BIGINT) AS n_a,
+  CAST(n_b AS BIGINT) AS n_b,
+  round(r_a - n_a * (n_a + 1) / 2.0, 1) AS u_stat,
+  round(
+    (r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+    / sqrt(
+        n_a * n_b / 12.0
+        * ((n_a + n_b + 1)
+           - tie_term
+             / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))),
+    6) AS z_stat
+FROM g
+""",
+)
+def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: purchase vs click
+    `value`, with the tie-corrected normal approximation — the
+    nonparametric sibling of stat_welch_ttest for when the metric is
+    skewed and a means test misleads.
+
+    Scale shape: ranks are NEVER assigned to raw rows. The stream
+    collapses to per-distinct-value counts first (partial-aggregatable
+    groupBy, the only full-data shuffle), and midranks derive from a
+    running sum over the DISTINCT values — the global-order window
+    touches |distinct| rows, not |data|, the same two-phase discipline
+    as corr_spearman. All arithmetic stays integer until the final
+    division: 2·midrank = 2·cum − cnt + 1 is exact, so the rank sum,
+    tie term, and therefore U and z are bit-identical across engines
+    (6dp rounding is display, not a tolerance).
+    """
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    per = s.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "cnt_a"
+        ),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    rk = per.select(
+        "cnt",
+        "cnt_a",
+        (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias("arank2"),
+    )
+    g = rk.agg(
+        F.sum("cnt_a").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).alias("n_b"),
+        (F.sum(F.col("cnt_a") * F.col("arank2")) / 2.0).alias("r_a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_term"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u = F.col("r_a") - n_a * (n_a + 1) / 2.0
+    n = n_a + n_b
+    sigma = F.sqrt(
+        n_a * n_b / 12.0
+        * ((n + 1) - F.col("tie_term") / (n * (n - 1)).cast("double"))
+    )
+    return g.select(
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - n_a * n_b / 2.0) / sigma, 6).alias("z_stat"),
+    )

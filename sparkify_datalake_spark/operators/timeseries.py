@@ -1161,3 +1161,116 @@ def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("slope_per_day"),
     )
+
+
+@query(
+    "ts_cross_correlation",
+    """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS d,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS x,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+  FROM events GROUP BY 1
+),
+cal AS (
+  SELECT unnest(generate_series(
+      (SELECT min(d) FROM d), (SELECT max(d) FROM d),
+      INTERVAL 1 DAY))::DATE AS d
+),
+s AS (
+  SELECT c.d, coalesce(x, 0) AS x, coalesce(y, 0) AS y
+  FROM cal c LEFT JOIN d ON d.d = c.d
+),
+lags AS (SELECT unnest(range(-3, 4)) AS lag),
+p AS (
+  SELECT l.lag, a.x AS x, b.y AS y
+  FROM lags l
+  CROSS JOIN s a
+  JOIN s b ON b.d = a.d + CAST(l.lag AS INTEGER)
+),
+g AS (
+  SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM p GROUP BY 1
+)
+SELECT CAST(lag AS INTEGER) AS lag_days,
+  CAST(n AS BIGINT) AS n_days,
+  round((n * sxy - sx * sy)
+        / sqrt((n * sxx - sx * sx)
+               * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS xcorr
+FROM g ORDER BY lag_days
+""",
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily view series and the
+    daily purchase series (lags −3…+3 days): does traffic LEAD
+    conversions, and by how many days — the lead-lag diagnostic next
+    to ts_autocorr (which correlates a series with itself).
+
+    Scale shape: the raw stream collapses to one row per day in a
+    single partial-aggregatable pass (conditional counts — one scan
+    serves both series); the calendar densifies gaps to zero so a
+    silent day doesn't splice distant days together. The lag pairing
+    is a 7-value lags dimension cross-joined onto the ~|days| series
+    and equi-joined on the shifted date — fan-out 7·|days|, trivially
+    broadcastable. All moments are exact integer sums, so Pearson r
+    computes from identical integers in both engines and 6dp rounding
+    is display only. Per-lag n shrinks at the edges (no wraparound):
+    n = |days| − |lag|.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    cal = (
+        d.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    s = (
+        cal.join(d, "d", "left")
+        .select(
+            "d",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    lags = spark.range(1).select(
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag")
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    p = (
+        F.broadcast(lags.alias("l"))
+        .crossJoin(a)
+        .join(
+            b,
+            F.col("b.d")
+            == F.date_add(F.col("a.d"), F.col("l.lag").cast("int")),
+        )
+        .select(F.col("l.lag").alias("lag"), F.col("a.x").alias("x"),
+                F.col("b.y").alias("y"))
+    )
+    x, y = F.col("x"), F.col("y")
+    g = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        g.select(
+            F.col("lag").cast("int").alias("lag_days"),
+            n.cast("long").alias("n_days"),
+            F.round(num / F.sqrt(vx * vy.cast("double")), 6).alias(
+                "xcorr"
+            ),
+        )
+        .orderBy("lag_days")
+    )

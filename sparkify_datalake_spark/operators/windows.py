@@ -511,3 +511,54 @@ def win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("event_type", 3).over(wf).alias("third_type"),
         F.round(F.cume_dist().over(w), 6).alias("time_position"),
     )
+
+
+@query(
+    "win_moving_median",
+    """
+SELECT event_id, user_id,
+  round(median(value) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mov_median7
+FROM events
+WHERE event_type = 'view'
+""",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving MEDIAN of view values per user — the
+    robust sibling of win_moving's mean/sum: one outlier in the frame
+    moves the mean but not the median, which is why monitoring
+    pipelines smooth with it.
+
+    Spark has no median window function, so the frame materializes as
+    collect_list over the same ROWS frame, sorts (≤7 elements — the
+    frame bound caps the per-row cost, this never becomes a per-row
+    O(history) scan), and interpolates the middle exactly as
+    quantile_cont(0.5) does: middle element when the frame is odd,
+    mean of the two central elements when even. Partitioned by
+    user_id, totally ordered by (ts, event_id), so frame contents are
+    engine-exact; averaging the same two doubles is bit-identical, and
+    6dp rounding is display only. Scale: one hash shuffle on user_id,
+    per-partition sort — identical cost profile to win_moving.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(med, 6).alias("mov_median7"),
+    )
