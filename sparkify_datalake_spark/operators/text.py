@@ -1343,3 +1343,60 @@ def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_of_vocab"),
         )
     )
+
+
+@query("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compression-ratio profile of the document corpus:
+    zlib(level 6) bytes ÷ raw UTF-8 bytes, the classic boilerplate /
+    repetition detector (C4 and Gopher both screen on it: templated or
+    looping text compresses far below prose, random noise barely
+    compresses at all). Complements text_repetition (explicit n-gram
+    rates) with a single model-free scalar.
+
+    Rows-only by design: DuckDB has no zlib surface, so there is no
+    SQL oracle — correctness rests on (a) zlib being fully
+    deterministic for a fixed level, making the run-to-run determinism
+    guard exact, and (b) tests/test_text_ops.py recomputing ratios in
+    plain Python for a sample and matching to 1e-9.
+
+    Scale shape: one mapInPandas pass (Arrow batches, the kernel is a
+    self-contained closure — driver workers import no repo modules)
+    computes per-doc ratios; the finisher is a partial-aggregatable
+    per-source rollup (count/avg/min/max + a sub-0.4 'suspect' count).
+    Compression is CPU-bound and embarrassingly parallel — at 100 TB
+    it scales with cores, no shuffle besides the 5-key rollup.
+    """
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            n_raw = raw.str.len().astype("int64")
+            n_zip = raw.map(
+                lambda b: len(zlib.compress(b, 6))
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "n_raw": n_raw,
+                    "ratio": n_zip / n_raw.clip(lower=1),
+                }
+            )
+
+    per_doc = docs.mapInPandas(
+        kernel, "source string, n_raw long, ratio double"
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.sum(
+            F.when(F.col("ratio") < 0.4, 1).otherwise(0)
+        ).cast("long").alias("n_template_suspect"),
+    )
