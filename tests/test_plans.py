@@ -573,3 +573,56 @@ def test_seasonal_decompose_windows_on_daily_grain(spark):
         "trend window must run on the daily grain"
     )
     assert "BroadcastHashJoin" in plan  # seasonal frame joins broadcast
+
+
+def test_mannwhitney_windows_distinct_values_not_rows(spark):
+    # midranks must be assigned over the per-DISTINCT-value frame: the
+    # single-partition global window is fed by an aggregate, so a
+    # partial_ HashAggregate must appear BELOW the Window operator
+    # (ranking raw rows would put Window directly over the scan).
+    plan = _plan(spark, "stat_mannwhitney")
+    assert "Window" in plan
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("Window"), (
+        "window should sit above the distinct-value aggregate "
+        "(plans print top-down)"
+    )
+
+
+def test_type_affinity_broadcasts_type_counts(spark):
+    # pair generation is one self-equi-join on the basket key; the two
+    # 5-row per-type count frames must arrive broadcast.
+    plan = _plan(spark, "events_type_affinity")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_correlation_broadcasts_lag_dimension(spark):
+    # the 7-value lags dimension must never shuffle the series: one
+    # BroadcastNestedLoopJoin/cross for the fan-out, broadcast equi-join
+    # for the shifted-date pairing, zero sort-merge joins.
+    plan = _plan(spark, "ts_cross_correlation")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_moving_median_single_user_shuffle(spark):
+    # the collect_list frame rides the same user-keyed window as
+    # win_moving: exactly one hash exchange on user_id, no global sort.
+    plan = _plan(spark, "win_moving_median")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_growth_accounting_windows_activity_grain(spark):
+    # lag/lead must ride the DISTINCT (user, day) grain — the Window's
+    # input is the distinct aggregate, not raw events; churn/max_d
+    # frames arrive broadcast.
+    plan = _plan(spark, "events_growth_accounting")
+    assert "Window" in plan
+    # top-down print: the distinct (user, day) HashAggregate must appear
+    # AFTER (i.e. physically below) the lag/lead Window it feeds.
+    assert re.search(
+        r"Window.*HashAggregate\(keys=\[user_id", plan, re.S
+    ), "distinct grain must be computed below the window"
+    assert "BroadcastHashJoin" in plan
