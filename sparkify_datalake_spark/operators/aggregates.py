@@ -914,3 +914,56 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("adev"), 2).alias("mad"),
         F.round(F.median("adev") * 1.4826, 2).alias("mad_sigma"),
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    """
+WITH q AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.10) AS lo,
+         quantile_cont(o_totalprice, 0.90) AS hi
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(avg(o_totalprice), 2) AS mean_raw,
+  round(avg(least(greatest(o_totalprice, lo), hi)), 2)
+    AS mean_winsorized,
+  round(min(lo), 2) AS p10,
+  round(min(hi), 2) AS p90
+FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+GROUP BY o.o_orderpriority
+""",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10/90 winsorized mean of order value per priority — the robust
+    location estimate that keeps every observation but clamps the
+    tails, completing the robust-stats ladder (agg_mad: robust scale,
+    stat_iqr_outliers: tail flagging, udaf_grouped_arrow: trimmed
+    mean which DROPS the tails; winsorizing CAPS them instead).
+
+    Two passes over orders by necessity (clamp bounds depend on the
+    group quantiles), both shuffling on the same 5-value key; the
+    5-row bound frame broadcasts back. Exact interpolated percentiles
+    (≍ quantile_cont, the agg_percentile-pinned contract); clamping
+    compares UNROUNDED bounds so a display round can't flip a
+    boundary row. At 100 TB pass one swaps to percentile_approx —
+    mergeable sketch, same downstream shape.
+    """
+    orders = load(spark, sf_dir, "orders")
+    q = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.10)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.90)).alias("hi"),
+    )
+    joined = orders.join(F.broadcast(q), "o_orderpriority")
+    clamped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("mean_raw"),
+        F.round(F.avg(clamped), 2).alias("mean_winsorized"),
+        F.round(F.min("lo"), 2).alias("p10"),
+        F.round(F.min("hi"), 2).alias("p90"),
+    )

@@ -1274,3 +1274,65 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_days")
     )
+
+
+@query("ts_forecast_holt")
+def ts_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    α=0.5, β=0.3) over the daily count series of every event type,
+    forecasting 7 days past the observation window — the
+    trend-capable upgrade of ts_forecast_snaive (which can only
+    repeat seasonal history).
+
+    Rows-only by design: the recursion l_t = αy_t + (1−α)(l_{t−1} +
+    b_{t−1}) is inherently sequential per series, so there is no SQL
+    oracle; correctness rests on the run-to-run determinism guard
+    plus tests/test_forecast.py recomputing the recursion in plain
+    Python to 1e-9 and bounding the in-sample one-step MAE by the
+    naive random-walk baseline.
+
+    Scale shape: the parallel unit is the SERIES (applyInPandas keyed
+    by event_type — at 100 TB you forecast millions of metrics, one
+    short array each, embarrassing parallelism after one
+    partial-aggregatable day-count rollup). The per-series state is
+    two floats; the kernel is a self-contained closure (foreign-cwd
+    workers import no repo modules).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+
+    def kernel(pdf):
+        import pandas as pd
+
+        alpha, beta, horizon = 0.5, 0.3, 7
+        pdf = pdf.sort_values("d")
+        ys = pdf["y"].astype("float64").tolist()
+        level, trend = ys[0], ys[1] - ys[0]
+        abs_err = 0.0
+        for y in ys[1:]:
+            pred = level + trend
+            abs_err += abs(y - pred)
+            new_level = alpha * y + (1 - alpha) * (level + trend)
+            trend = beta * (new_level - level) + (1 - beta) * trend
+            level = new_level
+        last_d = pdf["d"].iloc[-1]
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "d": [
+                    last_d + pd.Timedelta(days=h)
+                    for h in range(1, horizon + 1)
+                ],
+                "forecast": [
+                    round(level + h * trend, 6)
+                    for h in range(1, horizon + 1)
+                ],
+                "fit_mae": round(abs_err / (len(ys) - 1), 6),
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        kernel, "event_type string, d date, forecast double, fit_mae double"
+    )

@@ -1,0 +1,59 @@
+"""Holt forecast twin: the applyInPandas kernel must agree with a plain
+Python recomputation of the recursion, and beat (or at worst match) the
+naive random-walk one-step baseline in-sample — a forecast whose MAE
+loses to 'predict yesterday' is mis-implemented.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sparkify_datalake_spark.registry import queries
+
+
+def _holt(ys, alpha=0.5, beta=0.3, horizon=7):
+    level, trend = ys[0], ys[1] - ys[0]
+    abs_err = 0.0
+    for y in ys[1:]:
+        abs_err += abs(y - (level + trend))
+        new_level = alpha * y + (1 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        level = new_level
+    fc = [level + h * trend for h in range(1, horizon + 1)]
+    return fc, abs_err / (len(ys) - 1)
+
+
+def test_holt_forecast_matches_python_twin(spark, sf_dir):
+    rows = queries()["ts_forecast_holt"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    series = {}
+    for et, y in con.execute(
+        f"""SELECT event_type, count(*) FROM '{sf_dir}/events.parquet'
+        GROUP BY event_type, CAST(ts AS DATE)
+        ORDER BY event_type, CAST(ts AS DATE)"""
+    ).fetchall():
+        series.setdefault(et, []).append(float(y))
+    naive_mae = {
+        et: sum(
+            abs(b - a) for a, b in zip(ys, ys[1:])
+        ) / (len(ys) - 1)
+        for et, ys in series.items()
+    }
+    con.close()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(by_type) == set(series)
+    for et, got in by_type.items():
+        fc, mae = _holt(series[et])
+        got = sorted(got, key=lambda r: r["d"])
+        assert len(got) == 7
+        for r, want in zip(got, fc):
+            assert r["forecast"] == pytest.approx(want, abs=1e-6)
+        assert got[0]["fit_mae"] == pytest.approx(mae, abs=1e-6)
+        # Holt tracks level+trend; random-walk tracks level only.
+        assert got[0]["fit_mae"] <= naive_mae[et] * 1.10, (
+            f"{et}: Holt MAE {got[0]['fit_mae']} vs naive "
+            f"{naive_mae[et]} — smoother is mis-implemented"
+        )
