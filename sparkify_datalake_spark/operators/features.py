@@ -1094,3 +1094,75 @@ def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 1).alias("u_stat"),
         F.round((u - n_a * n_b / 2.0) / sigma, 6).alias("z_stat"),
     )
+
+
+_WILSON_Z = 1.959963984540054  # two-sided 95%
+
+
+@query(
+    "stat_wilson_ci",
+    f"""
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS k
+  FROM events
+  GROUP BY 1
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n_events,
+  CAST(k AS BIGINT) AS n_hits,
+  round(k / CAST(n AS DOUBLE), 6) AS p_hat,
+  round(
+    (k / CAST(n AS DOUBLE)
+       + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+     - {_WILSON_Z} * sqrt(
+         (k / CAST(n AS DOUBLE)) * (1 - k / CAST(n AS DOUBLE)) / n
+         + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+    / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+  round(
+    (k / CAST(n AS DOUBLE)
+       + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+     + {_WILSON_Z} * sqrt(
+         (k / CAST(n AS DOUBLE)) * (1 - k / CAST(n AS DOUBLE)) / n
+         + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+    / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_hi
+FROM g
+ORDER BY event_type
+""",
+)
+def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score 95% confidence interval for the per-event-type
+    'high-value' rate (value > 100) — the interval estimate the
+    testing family was missing (stat_abtest_ztest decides, this
+    quantifies): Wilson beats the naive Wald interval near 0/1 and at
+    small n, which is exactly where conversion metrics live.
+
+    One partial-aggregatable pass produces (n, k) per type; the
+    interval is closed-form arithmetic on those two integers, so both
+    engines compute identical doubles and 6dp rounding is display
+    only. At 100 TB this is a single map-side-combined shuffle of
+    5 keys — the cheapest shape an aggregate can have.
+    """
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("value") > 100, 1).otherwise(0)
+        ).alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k") / n
+    z = F.lit(_WILSON_Z)
+    z2 = z * z
+    center = p + z2 / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    denom = 1 + z2 / n
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("n_hits"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("event_type")
