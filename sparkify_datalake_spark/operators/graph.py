@@ -325,7 +325,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # three join consumers of one tiny edge set
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    # Explicit shuffle width on the wedge join: AQE sizes this stage by
+    # the ~95k-row edge input and coalesces to ~2 tasks, blind to the
+    # Σ deg² wedge fan-out produced INSIDE the stage (same pathology as
+    # graph_link_prediction, where the fix measured 6.2 s → 1.2 s).
+    # The closing join self-heals: its shuffle reads real wedge bytes.
+    n_part = spark.sparkContext.defaultParallelism
+    e1 = e.repartition(n_part, "b").alias("e1")
+    e2 = e.repartition(n_part, "a").alias("e2")
+    e3 = e.alias("e3")
     wedges = e1.join(e2, F.col("e2.a") == F.col("e1.b"))
     closed = wedges.join(
         e3,
@@ -539,8 +547,21 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     centers = deg.filter(F.col("d") <= _MAX_HUB_DEG)
-    j1 = adj.select(F.col("u").alias("b_"), F.col("v").alias("a"))
-    j2 = adj.select(F.col("u").alias("b2_"), F.col("v").alias("c"))
+    # Explicit repartition on the wedge-center key: AQE sizes the join
+    # stage by its INPUT bytes (~191k adjacency rows → it coalesces to
+    # 2 tasks) and is blind to the d² wedge fan-out computed inside the
+    # stage (~12M rows at sf0.1). Forcing the shuffle width keeps the
+    # fan-out + partial-agg parallel — measured 6.2 s → 1.2 s warm at
+    # sf0.1, and at 100 TB this co-partitioned shuffle join (NOT a
+    # broadcast: adjacency of a big graph doesn't fit) is exactly the
+    # plan you want.
+    n_part = spark.sparkContext.defaultParallelism
+    j1 = adj.select(F.col("u").alias("b_"), F.col("v").alias("a")).repartition(
+        n_part, "b_"
+    )
+    j2 = adj.select(F.col("u").alias("b2_"), F.col("v").alias("c")).repartition(
+        n_part, "b2_"
+    )
     cand = (
         j1.join(j2, (F.col("b_") == F.col("b2_")) & (F.col("a") < F.col("c")))
         .join(
