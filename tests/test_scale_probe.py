@@ -34,6 +34,12 @@ _PROBES = {
     "mm_dedup_phash": ("documents", 1.45, 2),
     "mine_basket_pairs": ("lineitem", 1.45, 2),
     "graph_user_pagerank": ("events", 1.45, 2),
+    # wedge-join ops: users scale WITH events in this fixture (constant
+    # average degree), so Σ deg² grows ~linearly in nodes; the explicit
+    # shuffle-width fix (graph.py) is what keeps the fan-out stage
+    # parallel enough to track that
+    "graph_link_prediction": ("events", 1.45, 2),
+    "graph_triangle_count": ("events", 1.45, 2),
     # exact all-pairs kNN: O(n²) work by design, blocked into bounded
     # GEMM tasks — document the quadratic, don't pretend it's linear
     "sim_knn_graph": ("embeddings", 2.3, 2),
