@@ -1384,3 +1384,199 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("net_change"),
     ).orderBy("d")
+
+
+@query(
+    "orders_revenue_retention",
+    """
+WITH yr AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS y,
+         o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+),
+mx AS (SELECT max(y) AS max_y FROM yr),
+paired AS (
+  SELECT a.y + 1 AS y,
+         a.rev AS rev0,
+         coalesce(b.rev, 0) AS rev1
+  FROM yr a
+  LEFT JOIN yr b
+    ON b.o_custkey = a.o_custkey AND b.y = a.y + 1
+  CROSS JOIN mx
+  WHERE a.y + 1 <= mx.max_y
+)
+SELECT y,
+  CAST(count(*) AS BIGINT) AS n_base_customers,
+  CAST(sum(CASE WHEN rev1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_retained,
+  CAST(round(sum(rev0), 2) AS DOUBLE) AS base_rev,
+  CAST(round(sum(rev1), 2) AS DOUBLE) AS retained_rev,
+  round(CAST(sum(rev1) AS DOUBLE) / CAST(sum(rev0) AS DOUBLE), 6)
+    AS nrr,
+  round(CAST(sum(least(rev0, rev1)) AS DOUBLE)
+        / CAST(sum(rev0) AS DOUBLE), 6) AS grr
+FROM paired
+GROUP BY y
+ORDER BY y
+""",
+)
+def orders_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly net / gross revenue retention: for every year, take ALL
+    of last year's customers as the base cohort and measure this
+    year's revenue from exactly that cohort — NRR counts expansion
+    (can exceed 1), GRR caps each customer at their base spend (pure
+    churn+contraction, ≤ 1). The SaaS-finance companion of
+    orders_cohort_ltv (which tracks acquisition cohorts forward;
+    this tracks the installed base year over year).
+
+    Scale shape: orders collapse to the (year, customer) revenue
+    grain first — one partial-aggregatable shuffle, the only pass
+    over the fact table. The cohort pairing is a self LEFT join of
+    that (tiny relative to facts) grain on (customer, adjacent-year);
+    the trailing-edge year is censored via a 1-row broadcast max.
+    Money stays DECIMAL through grouping, joining, least() and the
+    final sums — only the ratio divides as double (identical IEEE
+    inputs in both engines, 6dp display rounding).
+    """
+    from sparkify_datalake_spark.functions.determinism import dec2
+
+    orders = load(spark, sf_dir, "orders")
+    yr = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        "o_custkey",
+    ).agg(F.sum(dec2("o_totalprice", 18)).alias("rev"))
+    mx = yr.agg(F.max("y").alias("max_y"))
+    a = yr.alias("a")
+    b = yr.alias("b")
+    paired = (
+        a.join(
+            b,
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (F.col("b.y") == F.col("a.y") + 1),
+            "left",
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("a.y") + 1 <= F.col("max_y"))
+        .select(
+            (F.col("a.y") + 1).alias("y"),
+            F.col("a.rev").alias("rev0"),
+            F.coalesce(F.col("b.rev"), F.lit(0)).alias("rev1"),
+        )
+    )
+    sum0 = F.sum("rev0")
+    sum1 = F.sum("rev1")
+    return (
+        paired.groupBy("y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_base_customers"),
+            F.sum(F.when(F.col("rev1") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.round(sum0, 2).cast("double").alias("base_rev"),
+            F.round(sum1, 2).cast("double").alias("retained_rev"),
+            F.round(
+                sum1.cast("double") / sum0.cast("double"), 6
+            ).alias("nrr"),
+            F.round(
+                F.sum(F.least(F.col("rev0"), F.col("rev1"))).cast(
+                    "double"
+                )
+                / sum0.cast("double"),
+                6,
+            ).alias("grr"),
+        )
+        .orderBy("y")
+    )
+
+
+@query(
+    "orders_price_volume_mix",
+    """
+WITH o AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS y,
+         c_mktsegment AS seg,
+         count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2
+),
+p AS (SELECT y, seg, n, rev, CAST(rev AS DOUBLE) / n AS ap FROM o),
+d AS (
+  SELECT cur.y, cur.seg,
+         prev.n AS n0, cur.n AS n1,
+         prev.ap AS p0, cur.ap AS p1,
+         CAST(cur.rev - prev.rev AS DOUBLE) AS delta_rev
+  FROM p cur
+  JOIN p prev ON prev.seg = cur.seg AND prev.y = cur.y - 1
+)
+SELECT y, seg,
+  CAST(n0 AS BIGINT) AS n0,
+  CAST(n1 AS BIGINT) AS n1,
+  round(delta_rev, 2) AS delta_rev,
+  round((n1 - n0) * p0, 2) AS volume_effect,
+  round(n0 * (p1 - p0), 2) AS price_effect,
+  round((n1 - n0) * (p1 - p0), 2) AS mix_effect
+FROM d
+ORDER BY y, seg
+""",
+)
+def orders_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix waterfall: decompose each segment's
+    year-over-year revenue change into volume effect (order-count
+    change at old prices), price effect (average-ticket change at old
+    volume) and the interaction mix term — the finance-review bridge
+    chart, exactly additive: ΔGMV = volume + price + mix by algebra.
+
+    Scale shape: one partial-aggregatable pass collapses facts to the
+    ~(years × 5 segments) grain (customer dim arrives broadcast for
+    the segment attribute); the year-over-year pairing is a self-join
+    of that tiny grain. Revenue sums stay DECIMAL; average ticket and
+    the effect products divide/multiply as doubles derived from
+    identical exact inputs, so 2dp rounding is display only.
+    """
+    from sparkify_datalake_spark.functions.determinism import dec2
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    o = (
+        orders.join(
+            F.broadcast(
+                customer.select("c_custkey", "c_mktsegment")
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("o_totalprice", 18)).alias("rev"),
+        )
+    )
+    p = o.select(
+        "y", "seg", "n", "rev",
+        (F.col("rev").cast("double") / F.col("n")).alias("ap"),
+    )
+    cur = p.alias("cur")
+    prev = p.alias("prev")
+    d = cur.join(
+        prev,
+        (F.col("prev.seg") == F.col("cur.seg"))
+        & (F.col("prev.y") == F.col("cur.y") - 1),
+    )
+    n0, n1 = F.col("prev.n"), F.col("cur.n")
+    p0, p1 = F.col("prev.ap"), F.col("cur.ap")
+    return d.select(
+        F.col("cur.y").alias("y"),
+        F.col("cur.seg").alias("seg"),
+        n0.cast("long").alias("n0"),
+        n1.cast("long").alias("n1"),
+        F.round(
+            (F.col("cur.rev") - F.col("prev.rev")).cast("double"), 2
+        ).alias("delta_rev"),
+        F.round((n1 - n0) * p0, 2).alias("volume_effect"),
+        F.round(n0 * (p1 - p0), 2).alias("price_effect"),
+        F.round((n1 - n0) * (p1 - p0), 2).alias("mix_effect"),
+    ).orderBy("y", "seg")
