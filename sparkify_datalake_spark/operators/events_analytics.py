@@ -1580,3 +1580,73 @@ def orders_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n0 * (p1 - p0), 2).alias("price_effect"),
         F.round((n1 - n0) * (p1 - p0), 2).alias("mix_effect"),
     ).orderBy("y", "seg")
+
+
+@query(
+    "events_error_pchart",
+    """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS k
+  FROM events GROUP BY 1
+),
+pbar AS (SELECT CAST(sum(k) AS DOUBLE) / sum(n) AS p FROM d)
+SELECT d.d,
+  CAST(n AS BIGINT) AS n_events,
+  CAST(k AS BIGINT) AS n_errors,
+  round(k / CAST(n AS DOUBLE), 6) AS p_day,
+  round(p, 6) AS p_bar,
+  round(p + 3 * sqrt(p * (1 - p) / n), 6) AS ucl,
+  round(greatest(p - 3 * sqrt(p * (1 - p) / n), 0), 6) AS lcl,
+  CAST(k / CAST(n AS DOUBLE) > p + 3 * sqrt(p * (1 - p) / n)
+       OR k / CAST(n AS DOUBLE) < p - 3 * sqrt(p * (1 - p) / n)
+    AS INTEGER) AS out_of_control
+FROM d CROSS JOIN pbar
+ORDER BY d.d
+""",
+)
+def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC p-chart over the daily error-event proportion: binomial 3σ
+    control limits that WIDEN on low-volume days (the p-chart
+    hallmark — a fixed threshold false-alarms exactly when traffic is
+    thin), flagging days whose error share leaves the band. The
+    process-control sibling of events_anomaly (which z-scores volume
+    against its own history; this controls a PROPORTION against
+    binomial sampling noise).
+
+    Scale shape: one partial-aggregatable pass to (day, n, k); the
+    center line is a 1-row broadcast. Flags compare UNROUNDED doubles
+    derived from identical integers in both engines — the 6dp columns
+    are display only, so the hash check is exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("k"),
+    )
+    pbar = d.agg(
+        (F.sum("k").cast("double") / F.sum("n")).alias("p")
+    )
+    n, k, p = F.col("n"), F.col("k"), F.col("p")
+    sigma = F.sqrt(p * (1 - p) / n)
+    p_day = k / n.cast("double")
+    return (
+        d.crossJoin(F.broadcast(pbar))
+        .select(
+            "d",
+            n.cast("long").alias("n_events"),
+            k.cast("long").alias("n_errors"),
+            F.round(p_day, 6).alias("p_day"),
+            F.round(p, 6).alias("p_bar"),
+            F.round(p + 3 * sigma, 6).alias("ucl"),
+            F.round(F.greatest(p - 3 * sigma, F.lit(0.0)), 6).alias(
+                "lcl"
+            ),
+            (
+                (p_day > p + 3 * sigma) | (p_day < p - 3 * sigma)
+            ).cast("int").alias("out_of_control"),
+        )
+        .orderBy("d")
+    )

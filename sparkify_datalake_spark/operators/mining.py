@@ -370,3 +370,73 @@ def mine_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cv"), 6).alias("max_cv"),
         F.round(F.avg("n_months"), 4).alias("avg_months_active"),
     )
+
+
+@query(
+    "mine_hhi_concentration",
+    """
+WITH rev AS (
+  SELECT p.p_brand, l.l_suppkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT p_brand, sum(r) AS brand_r FROM rev GROUP BY 1
+)
+SELECT rev.p_brand,
+  CAST(count(*) AS BIGINT) AS n_suppliers,
+  CAST(round(min(brand_r), 2) AS DOUBLE) AS brand_revenue,
+  round(sum(power(CAST(r AS DOUBLE) / CAST(brand_r AS DOUBLE), 2)),
+        6) AS hhi,
+  round(max(CAST(r AS DOUBLE) / CAST(brand_r AS DOUBLE)), 6)
+    AS top_share
+FROM rev JOIN tot ON tot.p_brand = rev.p_brand
+GROUP BY rev.p_brand
+ORDER BY rev.p_brand
+""",
+)
+def mine_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per part brand: Herfindahl–Hirschman
+    index (Σ revenue-share², 1/n for perfect competition → 1.0 for a
+    monopoly) plus the top supplier's share — the supply-chain-risk
+    screen next to mine_abc_pareto (which ranks items; this scores
+    how captive a brand's supply is) and events_gini (inequality over
+    users; HHI is the market-power flavor).
+
+    Scale shape: facts collapse once to the (brand, supplier) decimal
+    revenue grain (partial-aggregatable; the part dim arrives
+    broadcast); brand totals re-aggregate that tiny grain and join
+    back broadcast. Shares divide identical decimals as doubles, so
+    the 6dp HHI is engine-exact; revenue stays decimal until the one
+    display round.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("p_brand").agg(F.sum("r").alias("brand_r"))
+    share = F.col("r").cast("double") / F.col("brand_r").cast("double")
+    return (
+        rev.join(F.broadcast(tot), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.min("brand_r"), 2)
+            .cast("double")
+            .alias("brand_revenue"),
+            F.round(F.sum(F.pow(share, 2)), 6).alias("hhi"),
+            F.round(F.max(share), 6).alias("top_share"),
+        )
+        .orderBy("p_brand")
+    )
