@@ -1166,3 +1166,135 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     ).orderBy("event_type")
+
+
+@query(
+    "stat_cuped_adjustment",
+    """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+    sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS xc,
+    sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS yc
+  FROM events GROUP BY 1, 2
+),
+pool AS (
+  SELECT count(*) AS n,
+         sum(xc) AS sx, sum(yc) AS sy,
+         sum(xc * yc) AS sxy, sum(xc * xc) AS sxx,
+         sum(yc * yc) AS syy
+  FROM u
+),
+th AS (
+  SELECT
+    CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+         - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+      AS DOUBLE) AS cov_n,
+    CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+         - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+      AS DOUBLE) AS varx_n,
+    CAST(CAST(n AS DECIMAL(38,0)) * CAST(syy AS DECIMAL(38,0))
+         - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+      AS DOUBLE) AS vary_n,
+    CAST(sx AS DOUBLE) / n AS xbar_c
+  FROM pool
+)
+SELECT arm,
+  CAST(count(*) AS BIGINT) AS n_users,
+  round(CAST(sum(yc) AS DOUBLE) / count(*) / 100, 2) AS mean_y,
+  round(
+    CAST(sum(yc) AS DOUBLE) / count(*) / 100
+    - (cov_n / varx_n)
+      * (CAST(sum(xc) AS DOUBLE) / count(*) - xbar_c) / 100,
+    2) AS mean_y_cuped,
+  round(cov_n / varx_n, 6) AS theta,
+  round(cov_n * cov_n / (varx_n * vary_n), 6) AS var_reduction
+FROM u CROSS JOIN th
+GROUP BY arm, cov_n, varx_n, vary_n, xbar_c
+ORDER BY arm
+""",
+)
+def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout: per-user
+    pre-period spend (days 1–15) as the covariate X, experiment-period
+    spend (days 16–30) as the metric Y, arms assigned
+    deterministically by user parity. θ = cov(X,Y)/var(X) is fitted
+    POOLED (the standard, unbiased-under-randomization choice), each
+    arm's mean shifts by θ·(X̄_arm − X̄_pool), and var_reduction = ρ²
+    is the fraction of metric variance the covariate removes — the
+    technique that lets an experiment reach significance with ~1/(1−ρ²)
+    fewer users (stat_abtest_ztest decides; this shrinks its σ).
+
+    Numeric discipline: the 2dp `value` becomes exact integer CENTS,
+    so every user aggregate and every pooled moment is an exact
+    integer; moment COMBINATIONS route through DECIMAL(38,0) (long
+    would overflow n·Σx² beyond ~sf1; DuckDB's HUGEINT sums need the
+    same widening on the Spark side) and only the final exact integers
+    cast to double — bit-identical ratios, 6dp display rounding. One
+    partial-aggregatable pass to the user grain, a 1-row broadcast of
+    the pooled moments, then a 2-row arm rollup.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cut = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.sum(F.when(cut, cents).otherwise(0)).alias("xc"),
+        F.sum(F.when(~cut, cents).otherwise(0)).alias("yc"),
+    )
+    d38 = "decimal(38,0)"
+    pool = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    th = pool.select(
+        (
+            n.cast(d38) * F.col("sxy").cast(d38)
+            - sx.cast(d38) * sy.cast(d38)
+        ).cast("double").alias("cov_n"),
+        (
+            n.cast(d38) * F.col("sxx").cast(d38)
+            - sx.cast(d38) * sx.cast(d38)
+        ).cast("double").alias("varx_n"),
+        (
+            n.cast(d38) * F.col("syy").cast(d38)
+            - sy.cast(d38) * sy.cast(d38)
+        ).cast("double").alias("vary_n"),
+        (sx.cast("double") / n).alias("xbar_c"),
+    )
+    theta = F.col("cov_n") / F.col("varx_n")
+    mean_y = F.sum("yc").cast("double") / F.count(F.lit(1)) / 100
+    mean_x_c = F.sum("xc").cast("double") / F.count(F.lit(1))
+    return (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("arm", "cov_n", "varx_n", "vary_n", "xbar_c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(mean_y, 2).alias("mean_y"),
+            F.round(
+                mean_y
+                - theta * (mean_x_c - F.col("xbar_c")) / 100,
+                2,
+            ).alias("mean_y_cuped"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "mean_y",
+            "mean_y_cuped",
+            F.round(theta, 6).alias("theta"),
+            F.round(
+                F.col("cov_n") * F.col("cov_n")
+                / (F.col("varx_n") * F.col("vary_n")),
+                6,
+            ).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )

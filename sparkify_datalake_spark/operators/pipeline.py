@@ -649,3 +649,57 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "sample_class_balanced",
+    """
+WITH sized AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+),
+k AS (SELECT min(n) AS k FROM sized),
+ranked AS (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rk
+  FROM events
+)
+SELECT event_id, event_type
+FROM ranked CROSS JOIN k
+WHERE rk <= k.k
+""",
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every event type reduced to the
+    minority class's size — the rebalancing move before training a
+    classifier on skewed labels. Distinct from sample_stratified
+    (which applies per-stratum RATES); balancing equalizes absolute
+    counts to min(n).
+
+    Membership is a pure function of the row: rank within class by
+    md5(event_id) (a deterministic shuffle — no seed, no partition-
+    layout dependence, the sample_hash_pct discipline), keep the
+    first k. One window per class partition (parallel across classes
+    and, at 100 TB, the per-class rank swaps to the two-phase ranking
+    of win_ntile_twophase — hash-rank thresholds computed from a
+    per-class count, then a map-side filter); the k scalar is a
+    broadcast 1-row frame.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    sized = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    k = sized.agg(F.min("n").alias("k"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    ranked = ev.select(
+        "event_id", "event_type", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("rk") <= F.col("k"))
+        .select("event_id", "event_type")
+    )
