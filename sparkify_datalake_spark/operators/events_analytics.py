@@ -1650,3 +1650,78 @@ def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "events_mau_stickiness",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM ud),
+bounds AS (SELECT min(d) AS min_d FROM ud),
+dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+mau AS (
+  SELECT dy.d, count(DISTINCT u.user_id) AS mau14
+  FROM days dy
+  JOIN ud u ON u.d BETWEEN dy.d - 13 AND dy.d
+  GROUP BY 1
+)
+SELECT dau.d,
+  CAST(dau AS BIGINT) AS dau,
+  CAST(mau14 AS BIGINT) AS mau14,
+  round(dau / CAST(mau14 AS DOUBLE), 6) AS stickiness
+FROM dau
+JOIN mau ON mau.d = dau.d
+CROSS JOIN bounds
+WHERE dau.d >= bounds.min_d + 13
+ORDER BY dau.d
+""",
+)
+def events_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU stickiness (14-day active base): for every day with a
+    full trailing window, how much of the active base shows up daily —
+    THE product-health ratio (a 0.5 stickiness app is a habit, a 0.07
+    one is a monthly chore). Completes the engagement ladder:
+    events_dau_wau (levels), events_wau_trend (slope), this (ratio).
+
+    Scale shape: the stream collapses to the DISTINCT (user, day)
+    grain once; the trailing-window membership is a range join of that
+    grain against the ~|days| dimension (fan-out ≤ 14·|grain|, bounded
+    by the window length) with a count-distinct per day — at 100 TB
+    the same rollup runs as 14-day HLL-sketch unions
+    (agg_hll_union's documented path). Partial-window days are cut via
+    a broadcast min-date scalar, the events_dau_wau discipline; all
+    outputs are integer counts plus one display-rounded ratio.
+    """
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    bounds = ud.agg(F.min("d").alias("min_d"))
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    u = ud.select(F.col("user_id"), F.col("d").alias("ud_d"))
+    mau = (
+        days.join(
+            u,
+            (F.col("ud_d") >= F.date_sub(F.col("d"), 13))
+            & (F.col("ud_d") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("mau14"))
+    )
+    return (
+        dau.join(mau, "d")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("d") >= F.date_add(F.col("min_d"), 13))
+        .select(
+            "d",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau14").cast("long").alias("mau14"),
+            F.round(
+                F.col("dau") / F.col("mau14").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("d")
+    )

@@ -1400,3 +1400,72 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ratio") < 0.4, 1).otherwise(0)
         ).cast("long").alias("n_template_suspect"),
     )
+
+
+@query(
+    "dedup_yield_report",
+    """
+WITH cl AS (
+  SELECT md5(array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS h,
+         count(*) AS sz
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+  CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(sz * count(*) AS BIGINT) AS n_docs,
+  round(sz * count(*) / t.n_docs, 6) AS pct_of_corpus
+FROM cl CROSS JOIN tot t
+GROUP BY sz, t.n_docs
+ORDER BY cluster_size
+""",
+)
+def dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield report: cluster-size distribution at the
+    bag-of-words-exact tier (docs sharing the identical distinct
+    token SET — the normalization between byte-exact dedup_exact,
+    which this corpus defeats with shuffled word order, and the
+    probabilistic LSH tiers) — the one-page summary a corpus pipeline
+    prints after a dedup pass ('38% of the crawl is copies of 2% of
+    the pages'; here it exposes the fixture's 26-doc template
+    family). Complements the dedup operators themselves (which emit
+    survivors; this quantifies what WOULD be removed and whether
+    duplication concentrates in a few template families or spreads
+    across many pairs).
+
+    Scale shape: one partial-aggregatable groupBy on a 16-byte hash
+    of the normalized form (never the text — dedup_block_exact's
+    discipline),
+    then a re-agg of the per-cluster sizes, with the corpus total as
+    a 1-row broadcast. Integer counts; the only double is the final
+    share, divided from identical integers in both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sig = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))),
+        )
+    )
+    cl = docs.groupBy(sig.alias("h")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        cl.crossJoin(F.broadcast(tot))
+        .groupBy("sz", "n_docs")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            F.round(
+                F.col("sz") * F.col("n_clusters") / F.col("n_docs"), 6
+            ).alias("pct_of_corpus"),
+        )
+        .orderBy("cluster_size")
+    )
