@@ -1305,3 +1305,117 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("e"), 8).alias("mean_abs_err"),
         F.round(F.max("e"), 8).alias("max_abs_err"),
     )
+
+
+@query(
+    "sim_centroid_classify",
+    f"""
+WITH ex AS (
+  SELECT vec_id, label AS true_label,
+         unnest(embedding) AS v,
+         unnest(range(1, {_DIM + 1})) AS dim
+  FROM embeddings
+),
+c AS (
+  SELECT true_label AS cand, dim, round(avg(CAST(v AS DOUBLE)), 6) AS c
+  FROM ex GROUP BY 1, 2
+),
+d AS (
+  SELECT ex.vec_id, ex.true_label, c.cand,
+         round(sum((CAST(ex.v AS DOUBLE) - c.c)
+                   * (CAST(ex.v AS DOUBLE) - c.c)), 6) AS dist
+  FROM ex JOIN c ON c.dim = ex.dim
+  GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT vec_id, true_label, cand AS pred_label,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY dist, cand) AS rk
+  FROM d
+),
+m AS (
+  SELECT true_label, pred_label, count(*) AS n
+  FROM p WHERE rk = 1 GROUP BY 1, 2
+),
+t AS (SELECT true_label, sum(n) AS tot FROM m GROUP BY 1)
+SELECT m.true_label, m.pred_label,
+  CAST(n AS BIGINT) AS n,
+  round(n / CAST(tot AS DOUBLE), 6) AS recall_share
+FROM m JOIN t ON t.true_label = m.true_label
+ORDER BY m.true_label, m.pred_label
+""",
+)
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of the embedding
+    corpus against its own label centroids, reported as a confusion
+    matrix with per-true-label recall shares — the 30-second
+    label-quality probe every embedding pipeline runs (if nearest-
+    centroid can't separate the labels, neither will anything built
+    on them).
+
+    Scale shape: the centroid fit IS embed_centroid (posexplode +
+    partial-agg, rounded to 6dp — the rounding is what makes the fit
+    an engine-exact artifact); the 10×64 fitted matrix is driver-held
+    and re-enters the plan as literals (the sim_ivf_topk discipline —
+    models are small, data is big), so classification is a pure
+    map-side fold per row: zip_with square-distance against each
+    centroid, argmin via array_min over (dist, label) structs — exact
+    lexicographic tie-break, no shuffle until the 100-cell confusion
+    rollup. At 100 TB: one scan, one tiny shuffle.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )
+    rows = cent.collect()  # 10 labels × 64 dims — the driver-held model
+    by_label: dict[int, list[float]] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], [0.0] * _DIM)[r["dim"]] = r["c"]
+    scored = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("embedding"),
+                                F.array(*[F.lit(v) for v in cvec]),
+                                lambda x, c: (x.cast("double") - c)
+                                * (x.cast("double") - c),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        6,
+                    ).alias("dist"),
+                    F.lit(lbl).alias("pred_label"),
+                )
+                for lbl, cvec in sorted(by_label.items())
+            ]
+        )
+    )
+    m = (
+        emb.select(
+            F.col("label").alias("true_label"),
+            scored["pred_label"].alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = m.groupBy("true_label").agg(F.sum("n").alias("tot"))
+    return (
+        m.join(F.broadcast(t), "true_label")
+        .select(
+            "true_label",
+            "pred_label",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n") / F.col("tot").cast("double"), 6
+            ).alias("recall_share"),
+        )
+        .orderBy("true_label", "pred_label")
+    )
