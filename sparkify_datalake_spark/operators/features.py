@@ -1298,3 +1298,101 @@ def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+_Z_ALPHA = 1.959963984540054  # two-sided 5%
+_Z_BETA = 0.8416212335729143  # 80% power
+
+
+@query(
+    "stat_power_analysis",
+    f"""
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) AS ss
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT event_type, n,
+    CAST(s AS DOUBLE) / n / 100 AS mu,
+    sqrt(CAST(CAST(n AS DECIMAL(38,0)) * CAST(ss AS DECIMAL(38,0))
+              - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))
+           AS DOUBLE)
+         / (CAST(n AS DOUBLE) * (n - 1))) / 100 AS sigma
+  FROM g
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n_events,
+  round(mu, 2) AS mean_value,
+  round(sigma, 4) AS stddev,
+  CAST(ceil(2 * sigma * sigma
+            * {(_Z_ALPHA + _Z_BETA)!r} * {(_Z_ALPHA + _Z_BETA)!r}
+            / ((0.01 * mu) * (0.01 * mu))) AS BIGINT)
+    AS n_per_arm_mde1,
+  CAST(ceil(2 * sigma * sigma
+            * {(_Z_ALPHA + _Z_BETA)!r} * {(_Z_ALPHA + _Z_BETA)!r}
+            / ((0.05 * mu) * (0.05 * mu))) AS BIGINT)
+    AS n_per_arm_mde5,
+  CAST(ceil(2 * sigma * sigma
+            * {(_Z_ALPHA + _Z_BETA)!r} * {(_Z_ALPHA + _Z_BETA)!r}
+            / ((0.10 * mu) * (0.10 * mu))) AS BIGINT)
+    AS n_per_arm_mde10
+FROM m
+ORDER BY event_type
+""",
+)
+def stat_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing from observed metric variance: per event
+    type, the minimum per-arm sample to detect a 1% / 5% / 10%
+    relative lift in mean value at α=5% (two-sided) with 80% power —
+    n = 2σ²(z_{{α/2}}+z_β)²/δ². Closes the experimentation suite's
+    loop: stat_power_analysis sizes it, stat_abtest_ztest decides it,
+    stat_wilson_ci quantifies it, stat_cuped_adjustment shrinks the σ
+    this formula charges for.
+
+    Numeric discipline: 2dp values become exact integer cents, the
+    (n, Σx, Σx²) moments are exact integer sums, and the variance
+    combination routes through DECIMAL(38,0) (long overflows n·Σx²
+    past ~sf1 — the stat_cuped_adjustment lesson). Every double then
+    derives from identical exact integers in both engines, so ceil()
+    lands on the same side everywhere and the sample sizes are
+    hash-exact. One partial-aggregatable pass, closed-form finisher.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    d38 = "decimal(38,0)"
+    n, s = F.col("n"), F.col("s")
+    mu = s.cast("double") / n / 100
+    sigma = (
+        F.sqrt(
+            (
+                n.cast(d38) * F.col("ss").cast(d38)
+                - s.cast(d38) * s.cast(d38)
+            ).cast("double")
+            / (n.cast("double") * (n - 1))
+        )
+        / 100
+    )
+    # explicit multiply (not **2): the oracle inlines literal*literal,
+    # and IEEE multiply of identical doubles is the bit-exact twin
+    zsum2 = (_Z_ALPHA + _Z_BETA) * (_Z_ALPHA + _Z_BETA)
+    def n_arm(mde: float):
+        return F.ceil(
+            2 * sigma * sigma * F.lit(zsum2) / ((mde * mu) * (mde * mu))
+        ).cast("long")
+    return g.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        F.round(mu, 2).alias("mean_value"),
+        F.round(sigma, 4).alias("stddev"),
+        n_arm(0.01).alias("n_per_arm_mde1"),
+        n_arm(0.05).alias("n_per_arm_mde5"),
+        n_arm(0.10).alias("n_per_arm_mde10"),
+    ).orderBy("event_type")

@@ -1469,3 +1469,95 @@ def dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "dedup_cross_source_overlap",
+    """
+WITH fp AS (
+  SELECT DISTINCT source,
+    md5(array_to_string(
+      list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+  FROM documents
+),
+n AS (SELECT source, count(*) AS n_fp FROM fp GROUP BY 1),
+ov AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS n_shared
+  FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+  CAST(na.n_fp AS BIGINT) AS n_a,
+  CAST(nb.n_fp AS BIGINT) AS n_b,
+  CAST(n_shared AS BIGINT) AS n_shared,
+  round(n_shared / CAST(least(na.n_fp, nb.n_fp) AS DOUBLE), 6)
+    AS containment
+FROM ov
+JOIN n na ON na.source = source_a
+JOIN n nb ON nb.source = source_b
+ORDER BY source_a, source_b
+""",
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: for every source pair that
+    shares content, how many bag-of-words fingerprints they have in
+    common and the containment ratio (shared ÷ smaller side) — the
+    'does dataset A leak into dataset B' matrix every multi-corpus
+    training build needs before mixing (text_contamination checks
+    docs against an EVAL set; this checks sources against each
+    other).
+
+    Scale shape: docs collapse to DISTINCT (source, 16-byte
+    fingerprint) once; the pair counting is ONE self-equi-join on the
+    fingerprint — fan-out bounded by how many sources actually share
+    a given fingerprint (cf. the LSH mega-bucket discipline: a
+    fingerprint present in all 20 sources contributes C(20,2) pairs,
+    still constant), never |docs|². Per-source totals are a 20-row
+    broadcast; counts are integers, containment divides them.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sig = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))),
+        )
+    )
+    fp = docs.select("source", sig.alias("h")).distinct()
+    n = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = n.select(
+        F.col("source").alias("source_a"), F.col("n_fp").alias("n_a")
+    )
+    nb = n.select(
+        F.col("source").alias("source_b"), F.col("n_fp").alias("n_b")
+    )
+    return (
+        ov.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
