@@ -1561,3 +1561,66 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "text_langid_eval",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+  {_LANGID_SCORES}
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN {_LANGID_BEST} = 0 THEN 'und'
+         WHEN score_en = {_LANGID_BEST} THEN 'en'
+         WHEN score_de = {_LANGID_BEST} THEN 'de'
+         WHEN score_es = {_LANGID_BEST} THEN 'es'
+         WHEN score_fr = {_LANGID_BEST} THEN 'fr'
+         ELSE 'zh' END AS lid_guess
+  FROM scored
+),
+m AS (
+  SELECT lang, lid_guess, count(*) AS n FROM pred GROUP BY 1, 2
+),
+t AS (SELECT lang, sum(n) AS tot FROM m GROUP BY 1)
+SELECT m.lang, m.lid_guess,
+  CAST(n AS BIGINT) AS n,
+  round(n / CAST(tot AS DOUBLE), 6) AS recall_share
+FROM m JOIN t ON t.lang = m.lang
+ORDER BY m.lang, m.lid_guess
+""",
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the marker-based lid_guess of
+    text_langid rolled up against the corpus's stored `lang` labels,
+    with per-true-language recall shares — the eval that tells you
+    whether the heuristic is shippable BEFORE it routes documents
+    (sim_centroid_classify is the embedding-space twin of this
+    text-space probe).
+
+    Reuses text_langid's scoring verbatim (one definition, two
+    consumers — the eval can never drift from the classifier it
+    evaluates); the rollup is a |langs|² confusion grid with totals
+    re-aggregated from the grid itself, so the whole finisher touches
+    ≤ 36 rows. One corpus scan, map-side marker intersections, one
+    tiny shuffle.
+    """
+    per_doc = text_langid(spark, sf_dir)
+    m = per_doc.groupBy("lang", "lid_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = m.groupBy("lang").agg(F.sum("n").alias("tot"))
+    return (
+        m.join(F.broadcast(t), "lang")
+        .select(
+            "lang",
+            "lid_guess",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n") / F.col("tot").cast("double"), 6
+            ).alias("recall_share"),
+        )
+        .orderBy("lang", "lid_guess")
+    )
