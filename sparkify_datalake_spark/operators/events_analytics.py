@@ -1442,10 +1442,17 @@ def orders_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkify_datalake_spark.functions.determinism import dec2
 
     orders = load(spark, sf_dir, "orders")
-    yr = orders.groupBy(
-        F.year("o_orderdate").cast("int").alias("y"),
-        "o_custkey",
-    ).agg(F.sum(dec2("o_totalprice", 18)).alias("rev"))
+    # three consumers (self-join a/b + the max-year scalar): materialize
+    # the (year, customer) grain once — without this the ORDERS fact
+    # scans three times, the one re-scan that matters at 100 TB
+    yr = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            "o_custkey",
+        )
+        .agg(F.sum(dec2("o_totalprice", 18)).alias("rev"))
+        .localCheckpoint(eager=False)
+    )
     mx = yr.agg(F.max("y").alias("max_y"))
     a = yr.alias("a")
     b = yr.alias("b")

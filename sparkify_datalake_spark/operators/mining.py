@@ -425,11 +425,13 @@ def mine_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
     )
-    tot = rev.groupBy("p_brand").agg(F.sum("r").alias("brand_r"))
+    # brand totals via a window over the (brand, supplier) grain — a
+    # groupBy+join would re-derive the grain and scan lineitem twice
+    brand_r = F.sum("r").over(Window.partitionBy("p_brand"))
+    rev = rev.withColumn("brand_r", brand_r)
     share = F.col("r").cast("double") / F.col("brand_r").cast("double")
     return (
-        rev.join(F.broadcast(tot), "p_brand")
-        .groupBy("p_brand")
+        rev.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_suppliers"),
             F.round(F.min("brand_r"), 2)

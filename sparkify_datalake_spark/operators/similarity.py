@@ -1406,16 +1406,20 @@ def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    t = m.groupBy("true_label").agg(F.sum("n").alias("tot"))
+    # per-true-label totals via a window over the ≤100-row grid — a
+    # groupBy+join here would re-derive (and re-scan) the whole
+    # classification subtree, doubling the corpus reads
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy("true_label"))
     return (
-        m.join(F.broadcast(t), "true_label")
-        .select(
+        m.select(
             "true_label",
             "pred_label",
             F.col("n").cast("long").alias("n"),
-            F.round(
-                F.col("n") / F.col("tot").cast("double"), 6
-            ).alias("recall_share"),
+            F.round(F.col("n") / tot.cast("double"), 6).alias(
+                "recall_share"
+            ),
         )
         .orderBy("true_label", "pred_label")
     )

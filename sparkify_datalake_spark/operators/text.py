@@ -1523,7 +1523,13 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_distinct(F.split(F.col("text"), " "))),
         )
     )
-    fp = docs.select("source", sig.alias("h")).distinct()
+    # four consumers (self-join a/b + two totals): materialize the
+    # distinct fingerprint grain once instead of re-scanning documents
+    fp = (
+        docs.select("source", sig.alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fp.alias("a"), fp.alias("b")
     ov = (
@@ -1611,16 +1617,17 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = per_doc.groupBy("lang", "lid_guess").agg(
         F.count(F.lit(1)).alias("n")
     )
-    t = m.groupBy("lang").agg(F.sum("n").alias("tot"))
+    # totals via a window over the ≤36-row grid: a groupBy+join would
+    # re-derive the scored subtree and scan the corpus twice
+    tot = F.sum("n").over(Window.partitionBy("lang"))
     return (
-        m.join(F.broadcast(t), "lang")
-        .select(
+        m.select(
             "lang",
             "lid_guess",
             F.col("n").cast("long").alias("n"),
-            F.round(
-                F.col("n") / F.col("tot").cast("double"), 6
-            ).alias("recall_share"),
+            F.round(F.col("n") / tot.cast("double"), 6).alias(
+                "recall_share"
+            ),
         )
         .orderBy("lang", "lid_guess")
     )

@@ -626,3 +626,57 @@ def test_growth_accounting_windows_activity_grain(spark):
         r"Window.*HashAggregate\(keys=\[user_id", plan, re.S
     ), "distinct grain must be computed below the window"
     assert "BroadcastHashJoin" in plan
+
+
+def test_centroid_classify_is_mapside_until_confusion_rollup(spark):
+    # the 10×64 model enters as literals: no join of any kind before
+    # the confusion-grid aggregate except the broadcast totals join.
+    plan = _plan(spark, "sim_centroid_classify")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one scan of embeddings in the classification plan: the
+    # fit ran eagerly at build time (driver-held literals) and the
+    # recall denominator is a window over the ≤100-row grid, not a
+    # totals join that would re-derive the whole subtree
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_class_balanced_ranks_within_class_partitions(spark):
+    # per-class md5 rank: window partitioned by event_type, min(n)
+    # scalar arrives broadcast — no global sort, no SMJ.
+    plan = _plan(spark, "sample_class_balanced")
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row k scalar
+
+
+def test_power_analysis_single_pass_moments(spark):
+    # one partial→final aggregate pair over events; the sizing math is
+    # a projection, not further shuffles.
+    plan = _plan(spark, "stat_power_analysis")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_cross_source_overlap_broadcasts_totals(spark):
+    # the fingerprint self-join may shuffle (both sides are the same
+    # distinct grain); the 20-row per-source totals must NOT.
+    plan = _plan(spark, "dedup_cross_source_overlap")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_hhi_broadcasts_part_dim(spark):
+    plan = _plan(spark, "mine_hhi_concentration")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_revenue_retention_materializes_grain_once(spark):
+    # the (year, customer) grain is localCheckpointed: the final plan
+    # must consume the materialized RDD three times (a/b/mx) and scan
+    # the ORDERS fact zero times — without this the fact scans 3×.
+    # (The decimal money discipline inside the grain is proven by the
+    # hash check; the checkpoint truncates it out of this plan text.)
+    plan = _plan(spark, "orders_revenue_retention")
+    assert "ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 0
