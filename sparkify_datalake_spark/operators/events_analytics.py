@@ -1218,11 +1218,17 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, the mine_basket_pairs discipline.
     """
     ev = load(spark, sf_dir, "events")
-    ut = ev.select(
-        "user_id",
-        F.col("ts").cast("date").alias("d"),
-        "event_type",
-    ).distinct()
+    # four consumers (self-join a/b + the two totals frames): the
+    # basket grain materializes once so the events fact scans once
+    ut = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
     a = ut.alias("a")
     b = ut.alias("b")
@@ -1332,9 +1338,13 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding at all.
     """
     ev = load(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.col("ts").cast("date").alias("d")
-    ).distinct()
+    # three consumers (status branch, churn branch, max_d scalar): the
+    # activity grain materializes once so the events fact scans once
+    ud = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     w = Window.partitionBy("user_id").orderBy("d")
     lagd = ud.select(
         "user_id",
@@ -1702,9 +1712,13 @@ def events_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     outputs are integer counts plus one display-rounded ratio.
     """
     ev = load(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.col("ts").cast("date").alias("d")
-    ).distinct()
+    # four consumers (days / bounds / dau / the range-join probe): the
+    # activity grain materializes once so the events fact scans once
+    ud = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     days = ud.select("d").distinct()
     bounds = ud.agg(F.min("d").alias("min_d"))
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))

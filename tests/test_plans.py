@@ -620,11 +620,12 @@ def test_growth_accounting_windows_activity_grain(spark):
     # frames arrive broadcast.
     plan = _plan(spark, "events_growth_accounting")
     assert "Window" in plan
-    # top-down print: the distinct (user, day) HashAggregate must appear
-    # AFTER (i.e. physically below) the lag/lead Window it feeds.
-    assert re.search(
-        r"Window.*HashAggregate\(keys=\[user_id", plan, re.S
-    ), "distinct grain must be computed below the window"
+    # the activity grain is localCheckpointed: the lag/lead windows must
+    # feed from the materialized RDD (events fact scans ZERO times in
+    # this plan — it was read once at grain materialization), and the
+    # churn/max_d frames arrive broadcast.
+    assert "ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 0
     assert "BroadcastHashJoin" in plan
 
 
