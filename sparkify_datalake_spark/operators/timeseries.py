@@ -1336,3 +1336,131 @@ def ts_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").applyInPandas(
         kernel, "event_type string, d date, forecast double, fit_mae double"
     )
+
+
+@query(
+    "events_ewma_chart",
+    """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT d, x,
+         row_number() OVER (ORDER BY d) - 1 AS t
+  FROM d
+),
+-- z_t for lambda = 1/2: z_t = 2^(-t-1) * (2*x_0 + sum_{i=1..t} x_i*2^i)
+-- every term is an exact integer and 2^(-t-1) is an exact dyadic
+-- scale, so the recursion evaluates bit-identically in both engines
+cum AS (
+  SELECT d, x, t,
+    sum(CASE WHEN t = 0 THEN 2 * x
+             ELSE CAST(x * power(2, t) AS BIGINT) END)
+      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS s
+  FROM idx
+),
+mo AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx FROM d
+),
+st AS (
+  SELECT CAST(sx AS DOUBLE) / n AS mu,
+    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+      AS sigma
+  FROM mo
+)
+SELECT d,
+  CAST(x AS BIGINT) AS x,
+  round(s / power(2, t + 1), 6) AS ewma,
+  round(mu, 6) AS center,
+  round(sigma * sqrt((1 - power(2, -2 * CAST(t AS DOUBLE) - 2)) / 3.0),
+        6) AS sigma_z,
+  CAST(abs(s / power(2, t + 1) - mu)
+       > 3 * sigma * sqrt((1 - power(2, -2 * CAST(t AS DOUBLE) - 2))
+                          / 3.0)
+    AS INTEGER) AS out_of_control
+FROM cum CROSS JOIN st
+ORDER BY d
+""",
+)
+def events_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the daily event volume (λ = 1/2):
+    exponentially-weighted mean z_t with time-varying 3σ_z limits
+    σ·√(λ/(2−λ)·(1−(1−λ)^{2t})) — SPC member #2 beside
+    events_error_pchart (p-chart controls a proportion; EWMA detects
+    small sustained LEVEL shifts a Shewhart chart misses).
+
+    The numeric trick that makes a recursive smoother hash-exact:
+    λ = 1/2 makes every weight a dyadic rational, so the recursion
+    unrolls to z_t = 2^(−t−1)·(2x₀ + Σ x_i·2^i) — an exact integer
+    running sum (bounded: counts·2^30 ≪ 2^53 for a 30-day window)
+    times an exact power-of-two scale. No libm pow-of-arbitrary-base
+    anywhere on the value path (Math.pow and C pow are only
+    1-ulp-accurate and MAY disagree across engines; powers of two and
+    IEEE sqrt are exact/correctly-rounded, so every column and the
+    unrounded out-of-control comparison match bit-for-bit). One
+    day-grain pass, a ~30-row ordered window, a 1-row moment
+    broadcast.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    wo = Window.orderBy("d")
+    idx = d.select(
+        "d", "x", (F.row_number().over(wo) - 1).alias("t")
+    )
+    term = F.when(F.col("t") == 0, 2 * F.col("x")).otherwise(
+        (F.col("x") * F.pow(F.lit(2.0), F.col("t"))).cast("long")
+    )
+    cum = idx.select(
+        "d",
+        "x",
+        "t",
+        F.sum(term)
+        .over(
+            Window.orderBy("t").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("s"),
+    )
+    mo = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx = F.col("n"), F.col("sx")
+    st = mo.select(
+        (sx.cast("double") / n).alias("mu"),
+        F.sqrt(
+            (n * F.col("sxx") - sx * sx).cast("double")
+            / (n.cast("double") * (n - 1))
+        ).alias("sigma"),
+    )
+    z = F.col("s") / F.pow(F.lit(2.0), F.col("t") + 1)
+    decay = F.sqrt(
+        (
+            1
+            - F.pow(
+                F.lit(2.0), -2 * F.col("t").cast("double") - 2
+            )
+        )
+        / 3.0
+    )
+    return (
+        cum.crossJoin(F.broadcast(st))
+        .select(
+            "d",
+            F.col("x").cast("long").alias("x"),
+            F.round(z, 6).alias("ewma"),
+            F.round(F.col("mu"), 6).alias("center"),
+            F.round(F.col("sigma") * decay, 6).alias("sigma_z"),
+            (
+                F.abs(z - F.col("mu"))
+                > 3 * F.col("sigma") * decay
+            ).cast("int").alias("out_of_control"),
+        )
+        .orderBy("d")
+    )
