@@ -967,3 +967,89 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("lo"), 2).alias("p10"),
         F.round(F.min("hi"), 2).alias("p90"),
     )
+
+
+@query(
+    "agg_share_of_parent",
+    """
+WITH g AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+  CAST(round(rev, 2) AS DOUBLE) AS nation_rev,
+  CAST(round(sum(rev) OVER (PARTITION BY region), 2) AS DOUBLE)
+    AS region_rev,
+  round(CAST(rev AS DOUBLE)
+        / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+    AS share_of_region,
+  round(CAST(rev AS DOUBLE)
+        / CAST(sum(rev) OVER () AS DOUBLE), 6) AS share_of_total
+FROM g
+ORDER BY region, nation
+""",
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent along the geographic hierarchy: each nation's
+    revenue as a share of its region and of the world — the OLAP
+    drill-down companion of agg_rollup (which emits subtotal ROWS;
+    this emits the ratios analysts actually chart) and the
+    geo-dimension sibling of ts_rollup_hierarchy.
+
+    Scale shape: ONE pass over the orders fact with the three dims
+    broadcast collapses to the 25-row (region, nation) decimal grain;
+    both parent denominators are windows over that grain — no second
+    fact scan, no totals join, the single-scan discipline. Money stays
+    DECIMAL through grouping and the window sums (exact regardless of
+    partial-agg order); only the final ratios divide as doubles.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    g = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", "n_name", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)")
+            ).alias("rev")
+        )
+    )
+    region_rev = F.sum("rev").over(Window.partitionBy("region"))
+    total_rev = F.sum("rev").over(
+        Window.partitionBy(F.lit(1))
+    )
+    return g.select(
+        "region",
+        "nation",
+        F.round(F.col("rev"), 2).cast("double").alias("nation_rev"),
+        F.round(region_rev, 2).cast("double").alias("region_rev"),
+        F.round(
+            F.col("rev").cast("double") / region_rev.cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev").cast("double") / total_rev.cast("double"), 6
+        ).alias("share_of_total"),
+    ).orderBy("region", "nation")
