@@ -1746,3 +1746,109 @@ def events_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "orders_customer_migration",
+    """
+WITH yr AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS y,
+         o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+),
+terc AS (
+  SELECT y, o_custkey,
+         ntile(3) OVER (PARTITION BY y ORDER BY rev, o_custkey) AS t
+  FROM yr
+),
+mx AS (SELECT max(y) AS max_y FROM yr),
+trans AS (
+  SELECT coalesce(b.y, a.y + 1) AS y,
+         coalesce('T' || CAST(a.t AS VARCHAR), 'new') AS from_state,
+         coalesce('T' || CAST(b.t AS VARCHAR), 'churned') AS to_state
+  FROM terc a
+  FULL JOIN terc b
+    ON b.o_custkey = a.o_custkey AND b.y = a.y + 1
+  CROSS JOIN mx
+  WHERE (a.y IS NULL OR a.y + 1 <= mx.max_y)
+    AND (a.y IS NOT NULL OR b.y > (SELECT min(y) FROM yr))
+)
+SELECT y, from_state, to_state,
+  CAST(count(*) AS BIGINT) AS n_customers
+FROM trans
+GROUP BY 1, 2, 3
+ORDER BY y, from_state, to_state
+""",
+)
+def orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-migration matrix: every customer bucketed into
+    spend terciles (T1 low … T3 high) per year, then the year-over-
+    year transition counts including the 'new' (no prior-year spend)
+    and 'churned' (no next-year spend) states — the segment-migration
+    table behind 'are we upgrading or leaking customers', the
+    state-transition companion of orders_revenue_retention's revenue
+    ledger.
+
+    Scale shape: the same materialized-once (year, customer) decimal
+    grain; terciles are NTILE over per-year partitions of that grain
+    with a (rev, custkey) TOTAL order so ties bucket identically in
+    both engines (the win_range_ntile discipline); the transition
+    pairing is one self FULL-join on (customer, adjacent-year) with
+    edge years censored — 'churned' needs a next year to be absent
+    FROM, 'new' a prior year to be absent from. Output is pure
+    integer counts on a ≤(years×16)-row grid: hash-exact, no
+    rounding anywhere.
+    """
+    from sparkify_datalake_spark.functions.determinism import dec2
+
+    orders = load(spark, sf_dir, "orders")
+    yr = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            "o_custkey",
+        )
+        .agg(F.sum(dec2("o_totalprice", 18)).alias("rev"))
+        .localCheckpoint(eager=False)
+    )
+    terc = yr.select(
+        "y",
+        "o_custkey",
+        F.ntile(3)
+        .over(Window.partitionBy("y").orderBy("rev", "o_custkey"))
+        .alias("t"),
+    )
+    mx = yr.agg(F.max("y").alias("max_y"))
+    mn = yr.agg(F.min("y").alias("min_y"))
+    a = terc.alias("a")
+    b = terc.alias("b")
+    trans = (
+        a.join(
+            b,
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (F.col("b.y") == F.col("a.y") + 1),
+            "full",
+        )
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(mn))
+        .filter(
+            (F.col("a.y").isNull() | (F.col("a.y") + 1 <= F.col("max_y")))
+            & (F.col("a.y").isNotNull() | (F.col("b.y") > F.col("min_y")))
+        )
+        .select(
+            F.coalesce(F.col("b.y"), F.col("a.y") + 1).alias("y"),
+            F.coalesce(
+                F.concat(F.lit("T"), F.col("a.t").cast("string")),
+                F.lit("new"),
+            ).alias("from_state"),
+            F.coalesce(
+                F.concat(F.lit("T"), F.col("b.t").cast("string")),
+                F.lit("churned"),
+            ).alias("to_state"),
+        )
+    )
+    return (
+        trans.groupBy("y", "from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("y", "from_state", "to_state")
+    )
