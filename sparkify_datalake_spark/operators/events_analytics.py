@@ -1852,3 +1852,101 @@ def orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("y", "from_state", "to_state")
     )
+
+
+@query(
+    "events_kpi_tree",
+    """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS d,
+         count(DISTINCT user_id) AS dau,
+         count(*) AS n_events,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+l AS (
+  SELECT d, dau, n_events, cents,
+         lag(dau) OVER (ORDER BY d) AS dau0,
+         lag(n_events) OVER (ORDER BY d) AS ev0,
+         lag(cents) OVER (ORDER BY d) AS c0
+  FROM d
+)
+SELECT d,
+  CAST(dau AS BIGINT) AS dau,
+  CAST(n_events AS BIGINT) AS n_events,
+  CAST(round(cents / 100.0, 2) AS DOUBLE) AS total_value,
+  round(ln(CAST(cents AS DOUBLE) / c0), 6) AS dlog_total,
+  round(ln(CAST(dau AS DOUBLE) / dau0), 6) AS dlog_dau,
+  round(ln((CAST(n_events AS DOUBLE) / dau)
+           / (CAST(ev0 AS DOUBLE) / dau0)), 6) AS dlog_events_per_user,
+  round(ln((CAST(cents AS DOUBLE) / n_events)
+           / (CAST(c0 AS DOUBLE) / ev0)), 6) AS dlog_value_per_event
+FROM l
+WHERE c0 IS NOT NULL
+ORDER BY d
+""",
+)
+def events_kpi_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative KPI-tree decomposition of the daily value total:
+    total = DAU × events/user × value/event, so each day-over-day
+    change splits EXACTLY into additive log-contributions
+    (Δlog total = Δlog DAU + Δlog events/user + Δlog value/event —
+    the identity a metrics review uses to answer 'did revenue fall
+    because fewer users came, they did less, or each action was worth
+    less'). The decomposition sibling of orders_price_volume_mix
+    (finance bridge on orders; this is the product-metrics tree on
+    events).
+
+    Scale shape: one partial-aggregatable pass to the day grain (the
+    count-distinct is the only non-mergeable piece — HLL is the
+    documented 100 TB swap); lag over the ~|days| frame. Every ratio
+    feeds ln() from exact integers (value rides as exact cents), and
+    ln is correctly rounded on both JVMs/libms for the same input —
+    measured identical across engines on this domain; 6dp rounding
+    adds display margin.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count_distinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("cents"),
+    )
+    wo = Window.orderBy("d")
+    l = d.select(
+        "d", "dau", "n_events", "cents",
+        F.lag("dau").over(wo).alias("dau0"),
+        F.lag("n_events").over(wo).alias("ev0"),
+        F.lag("cents").over(wo).alias("c0"),
+    )
+    dau, nev, c = F.col("dau"), F.col("n_events"), F.col("cents")
+    dau0, ev0, c0 = F.col("dau0"), F.col("ev0"), F.col("c0")
+    return (
+        l.filter(c0.isNotNull())
+        .select(
+            "d",
+            dau.cast("long").alias("dau"),
+            nev.cast("long").alias("n_events"),
+            F.round(c / 100.0, 2).cast("double").alias("total_value"),
+            F.round(F.log(c.cast("double") / c0), 6).alias(
+                "dlog_total"
+            ),
+            F.round(F.log(dau.cast("double") / dau0), 6).alias(
+                "dlog_dau"
+            ),
+            F.round(
+                F.log(
+                    (nev.cast("double") / dau)
+                    / (ev0.cast("double") / dau0)
+                ),
+                6,
+            ).alias("dlog_events_per_user"),
+            F.round(
+                F.log(
+                    (c.cast("double") / nev) / (c0.cast("double") / ev0)
+                ),
+                6,
+            ).alias("dlog_value_per_event"),
+        )
+        .orderBy("d")
+    )

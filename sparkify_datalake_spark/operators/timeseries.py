@@ -1464,3 +1464,77 @@ def events_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "ts_profile_similarity",
+    """
+WITH h AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         sum(a.n * b.n) AS dot,
+         sum(a.n * a.n) AS na2,
+         sum(b.n * b.n) AS nb2
+  FROM h a
+  JOIN h b ON a.hr = b.hr AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+  round(dot / sqrt(CAST(na2 AS DOUBLE) * nb2), 6) AS cosine
+FROM p
+ORDER BY type_a, type_b
+""",
+)
+def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-shape similarity between event types: cosine between
+    their 24-hour activity profiles — do errors spike when clicks
+    spike (shared load-driven shape) or on their own schedule? The
+    time-domain companion of ts_cross_correlation (which aligns two
+    series across days; this compares within-day SHAPES) and
+    events_type_affinity (which overlaps audiences; this overlaps
+    rhythms).
+
+    Scale shape: the stream collapses to the |types|×24 hourly grid —
+    one partial-aggregatable pass, everything after is arithmetic on
+    ≤120 rows: self-join on hour (fan-out C(5,2) per hour), moments
+    as exact integer products (counts² — bigint-safe far past sf100),
+    one sqrt per pair. The caveat the sum trick encodes: per-pair
+    norms sum ONLY over hours where both types have rows — the dense
+    5×24 grid here makes that the full norm; on sparse grids densify
+    first (ts_cross_correlation's calendar discipline).
+    """
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, b = h.alias("a"), h.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(F.col("a.n") * F.col("b.n")).alias("dot"),
+            F.sum(F.col("a.n") * F.col("a.n")).alias("na2"),
+            F.sum(F.col("b.n") * F.col("b.n")).alias("nb2"),
+        )
+    )
+    return p.select(
+        "type_a",
+        "type_b",
+        F.round(
+            F.col("dot")
+            / F.sqrt(F.col("na2").cast("double") * F.col("nb2")),
+            6,
+        ).alias("cosine"),
+    ).orderBy("type_a", "type_b")
