@@ -1396,3 +1396,79 @@ def stat_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm(0.05).alias("n_per_arm_mde5"),
         n_arm(0.10).alias("n_per_arm_mde10"),
     ).orderBy("event_type")
+
+
+@query(
+    "stat_anova_oneway",
+    """
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) AS ss
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT sum(n) AS nt, sum(s) AS st, sum(ss) AS sst,
+         count(*) AS k,
+         sum(CAST(s AS DOUBLE) * s / n) AS group_sq
+  FROM g
+)
+SELECT
+  CAST(k AS BIGINT) AS n_groups,
+  CAST(nt AS BIGINT) AS n_total,
+  round((group_sq - CAST(st AS DOUBLE) * st / nt) / 10000, 2)
+    AS ss_between,
+  round((CAST(sst AS DOUBLE) - group_sq) / 10000, 2) AS ss_within,
+  round(
+    ((group_sq - CAST(st AS DOUBLE) * st / nt) / (k - 1))
+    / ((CAST(sst AS DOUBLE) - group_sq) / (nt - k)), 6) AS f_stat,
+  round((group_sq - CAST(st AS DOUBLE) * st / nt)
+        / (CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / nt), 6)
+    AS eta_squared
+FROM tot
+""",
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across all five event types on `value`: F
+    statistic + η² effect size from the between/within sum-of-squares
+    identity — the ≥3-group completion of the two-sample tests
+    (stat_welch_ttest compares a pair; this asks 'does type matter AT
+    ALL' before pairwise drilling, and η² says how much).
+
+    Numeric discipline: per-group (n, Σx, Σx²) in exact integer cents
+    from one partial-aggregatable pass; the only non-integer reduction
+    is Σ s²/n over the 5-row group frame — a 5-term double sum whose
+    order Spark cannot vary (single 1-row aggregate of a 5-row input,
+    and both engines reduce the identical 5 doubles), then closed-form
+    ratios. The /10000 rescale returns the SS columns to value² units.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("group_sq"),
+    )
+    nt, st, sst = F.col("nt"), F.col("st"), F.col("sst")
+    k, gsq = F.col("k"), F.col("group_sq")
+    ssb = gsq - st.cast("double") * st / nt
+    ssw = sst.cast("double") - gsq
+    sstot = sst.cast("double") - st.cast("double") * st / nt
+    return tot.select(
+        k.cast("long").alias("n_groups"),
+        nt.cast("long").alias("n_total"),
+        F.round(ssb / 10000, 2).alias("ss_between"),
+        F.round(ssw / 10000, 2).alias("ss_within"),
+        F.round((ssb / (k - 1)) / (ssw / (nt - k)), 6).alias("f_stat"),
+        F.round(ssb / sstot, 6).alias("eta_squared"),
+    )

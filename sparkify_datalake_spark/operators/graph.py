@@ -685,3 +685,87 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    f"""
+WITH e AS ({_EDGE_SQL}),
+adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1),
+wedges AS (SELECT sum(d * (d - 1) / 2) AS n_wedges FROM deg),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT
+  CAST(n_triangles AS BIGINT) AS n_triangles,
+  CAST(n_wedges AS BIGINT) AS n_wedges,
+  round(3.0 * n_triangles / n_wedges, 6) AS global_cc
+FROM tri CROSS JOIN wedges
+""",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient: 3·triangles ÷ wedges — the
+    single scalar that separates clustered social-style graphs
+    (friends of friends are friends) from random ones, composing the
+    two primitives this module already proves out
+    (graph_triangle_count's ordered wedge closure and the degree
+    frame behind graph_degree_distribution).
+
+    Scale shape: the triangle side reuses the node-ordered closure —
+    each triangle counted once, fan-out Σ ordered-deg² — and the wedge
+    denominator is pure per-node arithmetic on the degree frame (one
+    partial-aggregatable pass, no join at all). Both reductions are
+    exact integers; the one division is display-rounded. The explicit
+    shuffle-width lesson from graph_triangle_count applies to the
+    closure join here identically.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e = (
+        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
+        .filter(
+            F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+        .select(
+            F.least("user_id", "next_user").alias("a"),
+            F.greatest("user_id", "next_user").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # wedge join ×2 + closure + degrees
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges")
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    e1 = e.repartition(n_part, "b").alias("e1")
+    e2 = e.repartition(n_part, "a").alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.round(
+            3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("global_cc"),
+    )
