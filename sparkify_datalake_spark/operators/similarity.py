@@ -1423,3 +1423,106 @@ def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label", "pred_label")
     )
+
+
+@query(
+    "sim_knn_label_consistency",
+    f"""
+WITH q AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 500
+),
+pairs AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS nlabel,
+         round({_PAIR_COS_SQL}, 6) AS cos_sim, b.vec_id AS nid
+  FROM q a JOIN embeddings b ON b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT qid, qlabel, nlabel,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rk
+  FROM pairs
+),
+per_q AS (
+  SELECT qid, qlabel,
+         sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS n_same
+  FROM ranked WHERE rk <= 10 GROUP BY 1, 2
+)
+SELECT qlabel AS label,
+  CAST(count(*) AS BIGINT) AS n_queries,
+  round(avg(n_same / 10.0), 6) AS consistency_at_10
+FROM per_q
+GROUP BY qlabel
+ORDER BY label
+""",
+)
+def sim_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label consistency: for a pinned 500-query probe set, what
+    fraction of each vector's 10 exact nearest neighbors (cosine)
+    share its label — the standard embedding-quality eval
+    (consistency ≫ 1/|labels| means the space clusters by label; it
+    asks the LOCAL question where sim_centroid_classify asks the
+    global one, and it is the metric the ANN recall bounds of
+    sim_ivf_topk / sim_pq_topk are measured against).
+
+    Scale shape: the probe side is pinned (vec_id < 500 — the
+    dedup_near_exact sampling discipline: exact evals ride a bounded
+    sample, never all-pairs of the corpus), so the pair fan-out is
+    500·|corpus| with the query frame broadcast; ranking is a
+    per-query window over ≤|corpus| rows with the rounded-cosine +
+    vec_id total order every similarity op here pins. At true scale
+    the same eval runs the probes against the IVF/PQ index instead of
+    brute force — this operator is the ground-truth side of that
+    comparison.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 500).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        "embedding",
+    )
+    cos = _dot("q_embedding", "embedding") / (
+        _norm("q_embedding") * _norm("embedding")
+    )
+    pairs = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "nlabel",
+            "nid",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid")
+    )
+    per_q = (
+        pairs.select(
+            "qid", "qlabel", "nlabel", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 10)
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.sum(
+                F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+            ).alias("n_same")
+        )
+    )
+    return (
+        per_q.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(F.avg(F.col("n_same") / 10.0), 6).alias(
+                "consistency_at_10"
+            ),
+        )
+        .orderBy("label")
+    )
