@@ -1466,49 +1466,81 @@ def sim_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the probe side is pinned (vec_id < 500 — the
     dedup_near_exact sampling discipline: exact evals ride a bounded
-    sample, never all-pairs of the corpus), so the pair fan-out is
-    500·|corpus| with the query frame broadcast; ranking is a
-    per-query window over ≤|corpus| rows with the rounded-cosine +
+    sample, never all-pairs of the corpus) and driver-held (~256 KB —
+    the literal-model discipline); scoring is a mapInPandas GEMM over
+    corpus Arrow batches (the sim_threshold_pairs lesson: the JVM
+    higher-order-function fold measured 17.7 s warm at sf0.1, BLAS
+    1.4 s — 13×) emitting per-batch local top-12 so the shuffle
+    carries O(|probes|·batches·12) rows, never the pair matrix; the
+    global merge is a per-query window with the rounded-cosine +
     vec_id total order every similarity op here pins. At true scale
     the same eval runs the probes against the IVF/PQ index instead of
     brute force — this operator is the ground-truth side of that
     comparison.
     """
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 500).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("embedding").alias("q_embedding"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("nid"),
-        F.col("label").alias("nlabel"),
-        "embedding",
-    )
-    cos = _dot("q_embedding", "embedding") / (
-        _norm("q_embedding") * _norm("embedding")
-    )
-    pairs = (
-        b.crossJoin(F.broadcast(q))
-        .filter(F.col("nid") != F.col("qid"))
-        .select(
-            "qid",
-            "qlabel",
-            "nlabel",
-            "nid",
-            F.round(cos, 6).alias("cos_sim"),
-        )
+    probes = emb.filter(F.col("vec_id") < 500).select(
+        "vec_id", "label", "embedding"
+    ).collect()  # ≤500×64 floats (~256 KB) — the driver-held-model discipline
+    import numpy as np
+
+    q_ids = [r["vec_id"] for r in probes]
+    q_labels = {r["vec_id"]: r["label"] for r in probes}
+    q_mat = np.array([r["embedding"] for r in probes], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        qm = np.array(q_mat)  # closure-captured, per-worker copy
+        qi = np.array(q_ids)
+        for pdf in batches:
+            bm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+            sims = np.round(bm @ qm.T, 6)  # B×Q, rounded like the oracle
+            nid = pdf["vec_id"].to_numpy()
+            nlabel = pdf["label"].to_numpy()
+            out = []
+            for j in range(qm.shape[0]):
+                col = sims[:, j]
+                mask = nid != qi[j]
+                cand = np.flatnonzero(mask)
+                # local top-12 by (-cos, nid): margin over k=10 so global
+                # merge never misses a boundary tie
+                order = np.lexsort((nid[cand], -col[cand]))[:12]
+                keep = cand[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qi[j],
+                            "nid": nid[keep],
+                            "nlabel": nlabel[keep],
+                            "cos_sim": col[keep],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    local_top = emb.select("vec_id", "label", "embedding").mapInPandas(
+        kernel, "qid long, nid long, nlabel int, cos_sim double"
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("nid")
     )
+    qlabel_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in q_labels.items()], "qid long, qlabel int"
+        )
+    )
     per_q = (
-        pairs.select(
-            "qid", "qlabel", "nlabel", F.row_number().over(w).alias("rk")
+        local_top.select(
+            "qid", "nid", "nlabel", F.row_number().over(w).alias("rk")
         )
         .filter(F.col("rk") <= 10)
+        .join(qlabel_df, "qid")
         .groupBy("qid", "qlabel")
         .agg(
             F.sum(
