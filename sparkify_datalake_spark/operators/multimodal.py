@@ -334,3 +334,60 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and band-collision recall — tests/test_phash.py).
     """
     return phash_dedup_pairs(with_payload(load(spark, sf_dir, "documents")))
+
+
+@query("mm_payload_entropy")
+def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source byte-entropy profile of the binary payloads: Shannon
+    entropy of the byte histogram (bits/byte, 0–8) — the media-QC
+    screen that tells compressed-or-encrypted (≈8) from raw/text
+    (≈4–5) from degenerate/zero-filled (≈0) WITHOUT decoding, i.e.
+    the binary-column sibling of text_compression_ratio (which pays
+    for a zlib pass; entropy is one histogram). On a real media lake
+    this is the first triage over petabytes of opaque blobs:
+    mislabeled codecs, double-compressed assets and truncated files
+    all show up as entropy-band outliers.
+
+    Rows-only by design (DuckDB has no byte-histogram surface);
+    correctness rests on the determinism guard plus
+    tests/test_text_ops.py recomputing the entropy in plain Python to
+    1e-9. Scale shape: one mapInPandas pass (self-contained kernel,
+    np.bincount over each payload — CPU-bound, embarrassingly
+    parallel), then a partial-aggregatable per-source rollup of
+    (count, mean, min, max, low/high-band counts).
+    """
+    payloads = load(spark, sf_dir, "documents").select(
+        "source", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ents = []
+            for buf in pdf["payload"]:
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if arr.size == 0:
+                    ents.append(0.0)
+                    continue
+                counts = np.bincount(arr, minlength=256)
+                p = counts[counts > 0] / arr.size
+                ents.append(float(-(p * np.log2(p)).sum()))
+            yield pd.DataFrame(
+                {"source": pdf["source"], "entropy": ents}
+            )
+
+    per_doc = payloads.mapInPandas(kernel, "source string, entropy double")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+        F.round(F.min("entropy"), 6).alias("min_entropy"),
+        F.round(F.max("entropy"), 6).alias("max_entropy"),
+        F.sum(F.when(F.col("entropy") < 3.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_degenerate"),
+        F.sum(F.when(F.col("entropy") > 7.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_compressed_like"),
+    )

@@ -75,3 +75,42 @@ def test_growth_accounting_ledger_balances_against_dau(spark, sf_dir):
         assert cur["net_change"] == dau[cur["d"]] - dau[prev["d"]], (
             f"ledger identity broken on {cur['d']}"
         )
+
+
+def test_payload_entropy_matches_plain_python(spark, sf_dir):
+    """The byte-entropy kernel must agree with a trivial driver-side
+    recomputation over the same UTF-8 payloads."""
+    import math
+
+    got = {
+        r["source"]: r
+        for r in queries()["mm_payload_entropy"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    per = {}
+    for source, text in docs:
+        raw = (text or "").encode("utf-8")
+        if not raw:
+            per.setdefault(source, []).append(0.0)
+            continue
+        freq = {}
+        for b in raw:
+            freq[b] = freq.get(b, 0) + 1
+        ent = -sum(
+            (c / len(raw)) * math.log2(c / len(raw))
+            for c in freq.values()
+        )
+        per.setdefault(source, []).append(ent)
+    assert set(per) == set(got)
+    for source, ents in per.items():
+        row = got[source]
+        assert row["n_docs"] == len(ents)
+        assert row["avg_entropy"] == pytest.approx(
+            sum(ents) / len(ents), abs=1e-6
+        )
+        assert row["min_entropy"] == pytest.approx(min(ents), abs=1e-6)
+        assert row["max_entropy"] == pytest.approx(max(ents), abs=1e-6)
