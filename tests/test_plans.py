@@ -681,3 +681,43 @@ def test_revenue_retention_materializes_grain_once(spark):
     plan = _plan(spark, "orders_revenue_retention")
     assert "ExistingRDD" in plan
     assert plan.count("FileScan parquet") == 0
+
+
+def test_kpi_tree_single_pass_day_grain(spark):
+    # one partial→final day-grain aggregate; the lag window and log
+    # decomposition ride the ~|days| frame with no further fact scans.
+    plan = _plan(spark, "events_kpi_tree")
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan
+
+
+def test_profile_similarity_joins_tiny_grid_only(spark):
+    # the self-join must happen on the types×24 grid, never raw events:
+    # both join inputs are aggregates (partial_count below the join).
+    plan = _plan(spark, "ts_profile_similarity")
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"Join.*partial_count", plan, re.S)
+
+
+def test_anova_single_pass_moments(spark):
+    plan = _plan(spark, "stat_anova_oneway")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+
+
+def test_clustering_coefficient_repartitions_wedge_join(spark):
+    # the closure join must carry the explicit shuffle width (the AQE
+    # fan-out lesson) and the wedge denominator must not join at all.
+    plan = _plan(spark, "graph_clustering_coefficient")
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_consistency_shuffles_local_topk_not_pairs(spark):
+    # the GEMM kernel emits per-batch local top-12 per probe; the only
+    # wide movement after the scan is the per-query ranking window —
+    # the 500×|corpus| pair matrix must never hit an exchange.
+    plan = _plan(spark, "sim_knn_label_consistency")
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 1
