@@ -1950,3 +1950,81 @@ def events_kpi_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "events_lorenz_curve",
+    """
+WITH u AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT n, ntile(10) OVER (ORDER BY n, user_id) AS decile FROM u
+),
+d AS (
+  SELECT decile, count(*) AS n_users, sum(n) AS n_events
+  FROM ranked GROUP BY 1
+),
+tot AS (SELECT sum(n_users) AS tu, sum(n_events) AS te FROM d)
+SELECT decile,
+  CAST(n_users AS BIGINT) AS n_users,
+  CAST(n_events AS BIGINT) AS n_events,
+  round(sum(n_users) OVER (ORDER BY decile
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        / CAST(tu AS DOUBLE), 6) AS cum_user_share,
+  round(sum(n_events) OVER (ORDER BY decile
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        / CAST(te AS DOUBLE), 6) AS cum_event_share
+FROM d CROSS JOIN tot
+ORDER BY decile
+""",
+)
+def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of activity concentration: users bucketed into
+    activity deciles (ascending), cumulative user share vs cumulative
+    event share — the 10-point curve BEHIND events_gini's scalar (a
+    Gini of 0.4 can hide very different shapes; the curve shows
+    whether the top decile or the top percentile carries the load).
+
+    Scale shape: one partial-aggregatable pass to the user grain;
+    NTILE runs over that grain with a (count, user_id) TOTAL order so
+    tied users bucket identically in both engines (the
+    orders_customer_migration discipline); everything after is
+    integer arithmetic on a 10-row frame plus two cumulative windows
+    and a 1-row broadcast total. At 100 TB the user grain is the only
+    real data structure, and the exact NTILE swaps for the two-phase
+    ranking of win_ntile_twophase.
+    """
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = u.select(
+        "n",
+        F.ntile(10).over(Window.orderBy("n", "user_id")).alias("decile"),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )
+    tot = d.agg(
+        F.sum("n_users").alias("tu"), F.sum("n_events").alias("te")
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(
+                F.sum("n_users").over(wc) / F.col("tu").cast("double"),
+                6,
+            ).alias("cum_user_share"),
+            F.round(
+                F.sum("n_events").over(wc) / F.col("te").cast("double"),
+                6,
+            ).alias("cum_event_share"),
+        )
+        .orderBy("decile")
+    )

@@ -1472,3 +1472,94 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ssb / (k - 1)) / (ssw / (nt - k)), 6).alias("f_stat"),
         F.round(ssb / sstot, 6).alias("eta_squared"),
     )
+
+
+@query(
+    "stat_pairwise_ttest_bonferroni",
+    """
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) AS ss
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT event_type, n,
+    CAST(s AS DOUBLE) / n / 100 AS mu,
+    (CAST(CAST(n AS DECIMAL(38,0)) * CAST(ss AS DECIMAL(38,0))
+          - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))
+       AS DOUBLE)
+     / (CAST(n AS DOUBLE) * (n - 1))) / 10000 AS var_v
+  FROM g
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+         round(a.mu - b.mu, 4) AS mean_diff,
+         (a.mu - b.mu) / sqrt(a.var_v / a.n + b.var_v / b.n) AS t
+  FROM m a JOIN m b ON a.event_type < b.event_type
+)
+SELECT type_a, type_b, n_a, n_b, mean_diff,
+  round(t, 6) AS t_stat,
+  CAST(abs(t) > 3.124 AS INTEGER) AS significant_bonferroni
+FROM p
+ORDER BY type_a, type_b
+""",
+)
+def stat_pairwise_ttest_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All C(5,2)=10 pairwise Welch t statistics on value across event
+    types with a Bonferroni-corrected significance flag (α=5%/10 →
+    per-test α=0.5% → two-sided z≈3.124 at these sample sizes) — the
+    drill-down step after stat_anova_oneway says 'type matters': which
+    pairs actually differ, with the multiple-comparisons penalty the
+    naive 10-tests-at-5% approach ignores.
+
+    Scale shape: ONE pass builds the 5-row per-type (n, Σ cents,
+    Σ cents²) moment frame (DECIMAL(38,0) variance combination — the
+    established overflow discipline); the pair grid is a self-join of
+    5 rows. The significance flag compares the UNROUNDED t against the
+    critical constant, so display rounding can't flip a verdict
+    differently per engine.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    d38 = "decimal(38,0)"
+    n, s = F.col("n"), F.col("s")
+    m = g.select(
+        "event_type",
+        "n",
+        (s.cast("double") / n / 100).alias("mu"),
+        (
+            (
+                n.cast(d38) * F.col("ss").cast(d38)
+                - s.cast(d38) * s.cast(d38)
+            ).cast("double")
+            / (n.cast("double") * (n - 1))
+            / 10000
+        ).alias("var_v"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    t = (F.col("a.mu") - F.col("b.mu")) / F.sqrt(
+        F.col("a.var_v") / F.col("a.n") + F.col("b.var_v") / F.col("b.n")
+    )
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").cast("long").alias("n_a"),
+            F.col("b.n").cast("long").alias("n_b"),
+            F.round(F.col("a.mu") - F.col("b.mu"), 4).alias("mean_diff"),
+            F.round(t, 6).alias("t_stat"),
+            (F.abs(t) > 3.124).cast("int").alias(
+                "significant_bonferroni"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
