@@ -703,3 +703,76 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("k"))
         .select("event_id", "event_type")
     )
+
+
+@query(
+    "dq_calendar_gaps",
+    """
+WITH d AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+),
+b AS (SELECT min(d) AS lo, max(d) AS hi FROM d),
+cal AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                INTERVAL 1 DAY))::DATE AS d
+),
+mo AS (
+  SELECT CAST(date_trunc('month', c.d) AS DATE) AS month,
+         count(*) AS n_days,
+         sum(CASE WHEN x.d IS NULL THEN 1 ELSE 0 END) AS n_gap_days
+  FROM cal c LEFT JOIN d x ON x.d = c.d
+  GROUP BY 1
+)
+SELECT month,
+  CAST(n_days AS BIGINT) AS n_days,
+  CAST(n_days - n_gap_days AS BIGINT) AS n_active_days,
+  CAST(n_gap_days AS BIGINT) AS n_gap_days,
+  round(n_gap_days / CAST(n_days AS DOUBLE), 6) AS gap_share
+FROM mo
+ORDER BY month
+""",
+)
+def dq_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-completeness audit: for every month in the orders
+    history, how many calendar days had NO orders at all — the
+    ingestion-gap detector (a feed that silently dropped a day shows
+    up here before any downstream metric quietly dips), joining
+    dq_constraints / dq_referential_integrity as the temporal member
+    of the data-quality family.
+
+    Scale shape: facts collapse to DISTINCT active days once (at
+    100 TB that's the only full scan, partial-aggregatable); the
+    dense calendar generates from a 1-row min/max bound (sequence +
+    explode — no data volume involved) and LEFT-joins the tiny
+    active-day set; the month rollup is arithmetic on ~80 rows. Pure
+    integer counts plus one display ratio.
+    """
+    orders = load(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    b = d.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = b.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    mo = (
+        cal.join(d.withColumnRenamed("d", "xd"), cal.d == F.col("xd"), "left")
+        .groupBy(
+            F.date_trunc("month", cal.d).cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(
+                F.when(F.col("xd").isNull(), 1).otherwise(0)
+            ).alias("n_gap_days"),
+        )
+    )
+    return mo.select(
+        "month",
+        F.col("n_days").cast("long").alias("n_days"),
+        (F.col("n_days") - F.col("n_gap_days"))
+        .cast("long")
+        .alias("n_active_days"),
+        F.col("n_gap_days").cast("long").alias("n_gap_days"),
+        F.round(
+            F.col("n_gap_days") / F.col("n_days").cast("double"), 6
+        ).alias("gap_share"),
+    ).orderBy("month")

@@ -1538,3 +1538,81 @@ def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cosine"),
     ).orderBy("type_a", "type_b")
+
+
+@query(
+    "orders_seasonal_index",
+    """
+WITH m AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS y,
+         CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+         count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2
+),
+mm AS (
+  SELECT mo,
+         count(*) AS n_years,
+         sum(n) AS n_orders,
+         sum(rev) AS rev
+  FROM m GROUP BY 1
+),
+tot AS (
+  SELECT sum(rev) AS trev, sum(n_years) AS tmonths FROM mm
+)
+SELECT mo AS month,
+  CAST(n_years AS BIGINT) AS n_years,
+  CAST(n_orders AS BIGINT) AS n_orders,
+  CAST(round(rev, 2) AS DOUBLE) AS revenue,
+  round((CAST(rev AS DOUBLE) / n_years)
+        / (CAST(trev AS DOUBLE) / tmonths), 6) AS seasonal_index
+FROM mm CROSS JOIN tot
+ORDER BY month
+""",
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonal index of order revenue over the 6½-year
+    history: each calendar month's average-per-occurrence revenue
+    relative to the overall monthly average (1.0 = neutral; the
+    classic retail seasonality table a planner divides out before
+    comparing months) — the month-grain, orders-side sibling of
+    ts_weekday_seasonality, averaged per occurrence so the partial
+    final year (data ends mid-2001) doesn't deflate the uncovered
+    months.
+
+    Scale shape: one partial-aggregatable pass to the (year, month)
+    decimal grain, a 12-row re-agg, a 1-row broadcast total. Money
+    stays DECIMAL until the index division; integer counts everywhere
+    else.
+    """
+    orders = load(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    mm = m.groupBy("mo").agg(
+        F.count(F.lit(1)).alias("n_years"),
+        F.sum("n").alias("n_orders"),
+        F.sum("rev").alias("rev"),
+    )
+    tot = mm.agg(
+        F.sum("rev").alias("trev"), F.sum("n_years").alias("tmonths")
+    )
+    return (
+        mm.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("mo").alias("month"),
+            F.col("n_years").cast("long").alias("n_years"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+            F.round(
+                (F.col("rev").cast("double") / F.col("n_years"))
+                / (F.col("trev").cast("double") / F.col("tmonths")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("month")
+    )
