@@ -56,6 +56,30 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """Spark 4 built-in XML sink (SPARK-44265 — no spark-xml package
+    needed): the interchange format regulated/B2B feeds still speak.
+    Same overwrite-directory contract as the CSV/JSON sinks."""
+    (
+        df.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "rows")
+        .option("rowTag", row_tag)
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: StructType, row_tag: str = "row"
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .load(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame, table: str, key: str, n_buckets: int, path: str
 ) -> None:

@@ -60,6 +60,21 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in json_back.collect()) == expected
 
 
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Spark 4 built-in XML source (SPARK-44265): schema-locked
+    round-trip, same contract as the CSV/JSON pair — completing the
+    format matrix (parquet / ORC / CSV / JSON / XML)."""
+    nation = load(spark, sf_dir, "nation")
+    schema = nation.schema
+    expected = sorted(tuple(r) for r in nation.collect())
+
+    xml_path = str(tmp_path / "nation_xml")
+    sinks.write_xml(nation, xml_path)
+    back = sinks.read_xml(spark, xml_path, schema)
+    assert back.schema == schema
+    assert sorted(tuple(r) for r in back.collect()) == expected
+
+
 def test_surrogate_id_distinct(spark, sf_dir):
     """monotonically_increasing_id: nondeterministic values, but always
     distinct and non-null (reference's songplay_id pattern)."""
