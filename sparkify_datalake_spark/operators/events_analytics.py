@@ -2005,26 +2005,27 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n").alias("n_events"),
     )
-    tot = d.agg(
-        F.sum("n_users").alias("tu"), F.sum("n_events").alias("te")
-    )
+    # totals via unbounded windows over the 10-row frame — a
+    # groupBy+crossJoin totals frame would re-derive (and re-scan) the
+    # user grain (the round's single-scan lesson)
     wc = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return (
-        d.crossJoin(F.broadcast(tot))
-        .select(
-            "decile",
-            F.col("n_users").cast("long").alias("n_users"),
-            F.col("n_events").cast("long").alias("n_events"),
-            F.round(
-                F.sum("n_users").over(wc) / F.col("tu").cast("double"),
-                6,
-            ).alias("cum_user_share"),
-            F.round(
-                F.sum("n_events").over(wc) / F.col("te").cast("double"),
-                6,
-            ).alias("cum_event_share"),
-        )
-        .orderBy("decile")
+    wa = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    return d.select(
+        "decile",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(
+            F.sum("n_users").over(wc)
+            / F.sum("n_users").over(wa).cast("double"),
+            6,
+        ).alias("cum_user_share"),
+        F.round(
+            F.sum("n_events").over(wc)
+            / F.sum("n_events").over(wa).cast("double"),
+            6,
+        ).alias("cum_event_share"),
+    ).orderBy("decile")

@@ -1544,6 +1544,9 @@ def stat_pairwise_ttest_bonferroni(spark: SparkSession, sf_dir: str) -> DataFram
             / 10000
         ).alias("var_v"),
     )
+    # both sides of the pair grid consume the SAME 5-row moment frame:
+    # materialize it once so events scans once (the round's lesson)
+    m = m.localCheckpoint(eager=False)
     a, b = m.alias("a"), m.alias("b")
     t = (F.col("a.mu") - F.col("b.mu")) / F.sqrt(
         F.col("a.var_v") / F.col("a.n") + F.col("b.var_v") / F.col("b.n")

@@ -1598,21 +1598,22 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_orders"),
         F.sum("rev").alias("rev"),
     )
-    tot = mm.agg(
-        F.sum("rev").alias("trev"), F.sum("n_years").alias("tmonths")
+    # totals via an unbounded window over the 12-row frame — a totals
+    # crossJoin would re-derive the grain and scan orders twice
+    wa = Window.orderBy("mo").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return (
-        mm.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("mo").alias("month"),
-            F.col("n_years").cast("long").alias("n_years"),
-            F.col("n_orders").cast("long").alias("n_orders"),
-            F.round(F.col("rev"), 2).cast("double").alias("revenue"),
-            F.round(
-                (F.col("rev").cast("double") / F.col("n_years"))
-                / (F.col("trev").cast("double") / F.col("tmonths")),
-                6,
-            ).alias("seasonal_index"),
-        )
-        .orderBy("month")
-    )
+    return mm.select(
+        F.col("mo").alias("month"),
+        F.col("n_years").cast("long").alias("n_years"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev").cast("double") / F.col("n_years"))
+            / (
+                F.sum("rev").over(wa).cast("double")
+                / F.sum("n_years").over(wa)
+            ),
+            6,
+        ).alias("seasonal_index"),
+    ).orderBy("month")

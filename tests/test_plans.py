@@ -721,3 +721,40 @@ def test_knn_consistency_shuffles_local_topk_not_pairs(spark):
     assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_lorenz_single_fact_scan_total_order_ntile(spark):
+    # user grain once; NTILE must carry the (n, user_id) total order so
+    # ties bucket identically cross-engine.
+    plan = _plan(spark, "events_lorenz_curve")
+    assert plan.count("FileScan parquet") == 1
+    assert "ntile(10)" in plan
+    assert re.search(r"windowspecdefinition\(n.*user_id", plan)
+
+
+def test_pairwise_ttest_one_moment_pass(spark):
+    # the 5-row moment frame is localCheckpointed: the pair grid must
+    # consume the materialized RDD on both sides, with events scanned
+    # ZERO times in this plan (once, at grain materialization).
+    plan = _plan(spark, "stat_pairwise_ttest_bonferroni")
+    assert "ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 0
+    assert "SortMergeJoin" not in plan
+
+
+def test_seasonal_index_money_stays_decimal(spark):
+    # one orders scan; decimal money; totals via an unbounded window
+    # over the 12-row frame, not a re-deriving totals join.
+    plan = _plan(spark, "orders_seasonal_index")
+    assert "decimal(18,2)" in plan.lower()
+    assert plan.count("FileScan parquet") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_calendar_gaps_generates_calendar_without_data_scan(spark):
+    # the dense calendar must come from the 1-row bounds aggregate
+    # (sequence+explode), and active days must arrive broadcast —
+    # orders scans at most twice (bounds + distinct days), never per day.
+    plan = _plan(spark, "dq_calendar_gaps")
+    assert "explode(sequence" in plan
+    assert "BroadcastHashJoin" in plan
