@@ -2029,3 +2029,90 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_event_share"),
     ).orderBy("decile")
+
+
+@query(
+    "orders_purchase_gap_stats",
+    """
+WITH cd AS (
+  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(d) OVER (PARTITION BY o_custkey ORDER BY d),
+                   d) AS gap
+  FROM cd
+),
+per_c AS (
+  SELECT o_custkey, count(d) AS n_order_days FROM cd GROUP BY 1
+)
+SELECT
+  CAST((SELECT count(*) FROM per_c) AS BIGINT) AS n_customers,
+  CAST((SELECT count(*) FROM per_c WHERE n_order_days = 1) AS BIGINT)
+    AS n_one_time,
+  CAST(count(gap) AS BIGINT) AS n_gaps,
+  round(quantile_cont(gap, 0.5), 1) AS median_gap_days,
+  round(quantile_cont(gap, 0.9), 1) AS p90_gap_days,
+  round(avg(gap), 2) AS mean_gap_days
+FROM gaps WHERE gap IS NOT NULL
+""",
+)
+def orders_purchase_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between a
+    customer's consecutive order days (median / p90 / mean) plus the
+    one-time-customer count — the number that sets every reactivation
+    campaign's clock (mail at median-gap, alarm at p90) and the
+    orders-side sibling of events_inter_arrival.
+
+    Scale shape: orders collapse to the DISTINCT (customer, day) grain
+    once; gaps are a lag over the per-customer day sequence (window
+    partitioned on the entity key, never global); exact integer day
+    diffs feed interpolated percentiles (the agg_percentile ≍
+    quantile_cont contract) and an exact integer-sum mean. The scalar
+    customer counts ride as subquery aggregates of the same tiny
+    grain.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cd = (
+        orders.select(
+            "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # gaps + both customer scalars
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = cd.select(
+        F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    per_c = cd.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_order_days")
+    )
+    scal = per_c.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(
+            F.when(F.col("n_order_days") == 1, 1).otherwise(0)
+        ).alias("n_one_time"),
+    )
+    return (
+        gaps.agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.percentile("gap", F.lit(0.5)), 1).alias(
+                "median_gap_days"
+            ),
+            F.round(F.percentile("gap", F.lit(0.9)), 1).alias(
+                "p90_gap_days"
+            ),
+            F.round(F.avg("gap"), 2).alias("mean_gap_days"),
+        )
+        .crossJoin(F.broadcast(scal))
+        .select(
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("n_one_time").cast("long").alias("n_one_time"),
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            "median_gap_days",
+            "p90_gap_days",
+            "mean_gap_days",
+        )
+    )
