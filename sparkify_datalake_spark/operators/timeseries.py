@@ -1309,6 +1309,22 @@ def ts_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha, beta, horizon = 0.5, 0.3, 7
         pdf = pdf.sort_values("d")
         ys = pdf["y"].astype("float64").tolist()
+        last_d = pdf["d"].iloc[-1]
+        # Degenerate-series guard (ADVICE r4): a single observation has
+        # no trend and no one-step errors — emit a flat forecast with
+        # NULL fit_mae instead of IndexError/ZeroDivisionError.
+        if len(ys) < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "d": [
+                        last_d + pd.Timedelta(days=h)
+                        for h in range(1, horizon + 1)
+                    ],
+                    "forecast": [round(ys[0], 6)] * horizon,
+                    "fit_mae": None,
+                }
+            )
         level, trend = ys[0], ys[1] - ys[0]
         abs_err = 0.0
         for y in ys[1:]:
@@ -1317,7 +1333,6 @@ def ts_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_level = alpha * y + (1 - alpha) * (level + trend)
             trend = beta * (new_level - level) + (1 - beta) * trend
             level = new_level
-        last_d = pdf["d"].iloc[-1]
         return pd.DataFrame(
             {
                 "event_type": pdf["event_type"].iloc[0],
@@ -1411,9 +1426,23 @@ def events_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = d.select(
         "d", "x", (F.row_number().over(wo) - 1).alias("t")
     )
+    # Exactness guard (ADVICE r4): x·2^t is only exact while it stays
+    # under 2^53; enforce the docstring's window bound instead of
+    # assuming it. shiftright(2^53, t) == floor(2^53 / 2^t) is an exact
+    # integer ceiling for x (0 once t ≥ 54, so long series fail loudly
+    # rather than silently losing bits). assert_true returns NULL on
+    # success, so `term + coalesce(guard, 0)` is bit-identical to term.
+    guard = F.assert_true(
+        F.col("x") <= F.expr("shiftright(9007199254740992L, cast(t as int))"),
+        F.lit(
+            "events_ewma_chart: x*2^t exceeds 2^53 — series too long "
+            "for the exact dyadic unroll; re-shape to a per-series "
+            "applyInPandas recursion for windows beyond ~50 points"
+        ),
+    )
     term = F.when(F.col("t") == 0, 2 * F.col("x")).otherwise(
         (F.col("x") * F.pow(F.lit(2.0), F.col("t"))).cast("long")
-    )
+    ) + F.coalesce(guard.cast("long"), F.lit(0))
     cum = idx.select(
         "d",
         "x",

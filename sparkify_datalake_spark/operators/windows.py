@@ -556,7 +556,16 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(arr, (n / 2).cast("int"))
         + F.element_at(arr, (n / 2 + 1).cast("int"))
     ) / 2.0
-    med = F.when(n % 2 == 1, odd).otherwise(even)
+    # All-null frame guard (ADVICE r4): collect_list drops nulls, so a
+    # frame of only-null values yields n = 0 and the even branch would
+    # evaluate element_at(arr, 0) — a runtime error. CASE WHEN is lazy
+    # per-row, so routing n = 0 to NULL first (matching DuckDB's
+    # median() over an empty frame) keeps the fragile branch unreached.
+    med = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, odd)
+        .otherwise(even)
+    )
     return ev.select(
         "event_id",
         "user_id",

@@ -709,7 +709,9 @@ def test_clustering_coefficient_repartitions_wedge_join(spark):
     # the closure join must carry the explicit shuffle width (the AQE
     # fan-out lesson) and the wedge denominator must not join at all.
     plan = _plan(spark, "graph_clustering_coefficient")
-    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" not in plan
+    # REPARTITION_BY_NUM appears iff repartition(n, key) is present —
+    # the old disjunct was vacuously true without the hint (ADVICE r4).
+    assert "REPARTITION_BY_NUM" in plan
     assert "CartesianProduct" not in plan
 
 
