@@ -1426,14 +1426,18 @@ def events_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = d.select(
         "d", "x", (F.row_number().over(wo) - 1).alias("t")
     )
-    # Exactness guard (ADVICE r4): x·2^t is only exact while it stays
-    # under 2^53; enforce the docstring's window bound instead of
-    # assuming it. shiftright(2^53, t) == floor(2^53 / 2^t) is an exact
-    # integer ceiling for x (0 once t ≥ 54, so long series fail loudly
-    # rather than silently losing bits). assert_true returns NULL on
-    # success, so `term + coalesce(guard, 0)` is bit-identical to term.
+    # Exactness guard (ADVICE r4, shift clamped per ADVICE r5): x·2^t is
+    # only exact while it stays under 2^53; enforce the docstring's
+    # window bound instead of assuming it. shiftright(2^53, t) ==
+    # floor(2^53 / 2^t) is an exact integer ceiling for x — but Spark
+    # masks a long shift count mod 64, so an unclamped t ≥ 64 would wrap
+    # back to large thresholds; least(t, 54) pins the threshold at 0 for
+    # ALL t ≥ 54, so long series fail loudly rather than silently losing
+    # bits. assert_true returns NULL on success, so
+    # `term + coalesce(guard, 0)` is bit-identical to term.
     guard = F.assert_true(
-        F.col("x") <= F.expr("shiftright(9007199254740992L, cast(t as int))"),
+        F.col("x")
+        <= F.expr("shiftright(9007199254740992L, cast(least(t, 54) as int))"),
         F.lit(
             "events_ewma_chart: x*2^t exceeds 2^53 — series too long "
             "for the exact dyadic unroll; re-shape to a per-series "

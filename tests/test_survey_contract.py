@@ -42,7 +42,7 @@ def _survey_rows() -> dict[str, str]:
 
 
 def test_survey_section2_matches_registry():
-    from sparkify_datalake_spark.registry import oracle_sql, queries
+    from sparkify_datalake_spark.registry import queries
 
     rows = _survey_rows()
     assert len(rows) > 250, "parser regression: §2 table rows not found"
@@ -67,6 +67,7 @@ def test_survey_section2_matches_registry():
     # renamed sink/streaming test can't silently orphan its row).
     assert not (test_class & registered)
     assert test_class == {
+        "write_bucketed_table",
         "sink_parquet_partitioned",
         "sink_csv_json_roundtrip",
         "overwrite_partitions_dynamic",
