@@ -55,6 +55,42 @@ def windowed_counts_stream(
     )
 
 
+def session_counts_stream(
+    spark: SparkSession,
+    src: SourceLike,
+    gap: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked session windows per user — the Structured-Streaming
+    runtime twin of the batch `stream_session` query (streaming/
+    windows.py): identical `session_window` expression, same output
+    schema, but run through readStream where the engine MERGES a
+    micro-batch's events into existing session state (two sessions
+    whose windows overlap collapse into one, extending the end to
+    last-event + gap) and emits a session only after the watermark
+    passes its end.
+
+    Streaming-specific constraints this topology honors: session
+    windows require append mode (update is unsupported) and at least
+    one grouping key beside `session_window` (user_id here — which is
+    also the shuffle key, so state is partitioned per user and scales
+    horizontally; watermark delay bounds how long an open session can
+    wait for a straggler before closing).
+    """
+    stream = resolve_source(src, spark)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(
     spark: SparkSession, src: SourceLike, watermark: str = "30 minutes"
 ) -> DataFrame:
