@@ -40,6 +40,67 @@ class VersionConflict(Exception):
     """Another writer committed this version first; retry at latest+1."""
 
 
+def _enc_bound(v):
+    """JSON-encodable, ORDER-PRESERVING encoding of a footer bound.
+
+    ints/floats/strs/bools pass through; datetimes/dates become ISO
+    strings with a fixed timespec (so lexicographic order == temporal
+    order); anything else (bytes, nested) returns None → no stat
+    recorded → the file is conservatively always read.
+    """
+    import datetime as dt
+
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, dt.datetime):
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return None
+
+
+def _write_data_files(df: DataFrame, data_dir: str) -> None:
+    """Write a commit's data files with INT64 TIMESTAMP_MICROS pinned:
+    the INT96 legacy type (still Spark's default output) carries no
+    usable parquet min/max statistics, which would silently void file
+    skipping for every timestamp column. Session conf is restored."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    old = conf.get(key, None)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(data_dir)
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
+
+
+def _collect_file_stats(
+    data_dir: str, data_rel: str, cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file {col: [min, max]} for the files just written to
+    `data_dir`, keyed by manifest-relative path. Reuses the z-order
+    footer-stats reader (sources/zorder.py) — pure pyarrow metadata
+    reads, no Spark job, no data pages — which is exactly the cost
+    model Delta/Iceberg pay to fill their stats manifests at commit."""
+    from sparkify_datalake_spark.sources.zorder import file_column_bounds
+
+    stats: dict[str, dict[str, list]] = {}
+    for b in file_column_bounds(data_dir, cols):
+        enc = {}
+        for col, bound in b.items():
+            if col == "file":
+                continue
+            elo, ehi = _enc_bound(bound[0]), _enc_bound(bound[1])
+            if elo is not None and ehi is not None:
+                enc[col] = [elo, ehi]
+        if enc:
+            stats[f"{data_rel}/{b['file']}"] = enc
+    return stats
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
@@ -128,13 +189,18 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
             )
     data_rel = f"data/v{version:05d}"
     data_dir = os.path.join(path, data_rel)
-    df.write.mode("overwrite").parquet(data_dir)
+    _write_data_files(df, data_dir)
     new_files = [f"{data_rel}/{f}" for f in _list_parquet_files(data_dir)]
-    files = (
-        _read_manifest(path, prev)["files"] + new_files
-        if mode == "append" and prev is not None
-        else new_files
+    new_stats = _collect_file_stats(
+        data_dir, data_rel, [f.name for f in df.schema]
     )
+    if mode == "append" and prev is not None:
+        prev_m = _read_manifest(path, prev)
+        files = prev_m["files"] + new_files
+        file_stats = {**prev_m.get("file_stats", {}), **new_stats}
+    else:
+        files = new_files
+        file_stats = new_stats
     schema_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema
     )
@@ -142,7 +208,8 @@ def commit(df: DataFrame, path: str, mode: str = "append") -> int:
         path,
         version,
         {"version": version, "op": mode, "files": files,
-         "n_new_files": len(new_files), "schema": schema_ddl},
+         "n_new_files": len(new_files), "schema": schema_ddl,
+         "file_stats": file_stats},
     )
     return version
 
@@ -170,6 +237,58 @@ def read_version(
     )
 
 
+def prune_files(
+    path: str, col: str, lo, hi, version: int | None = None
+) -> tuple[list[str], list[str]]:
+    """The manifest-stats skipping decision for a [lo, hi] filter on
+    `col` at a version: returns (files_to_read, all_files). A file with
+    no recorded stats for `col` (pre-stats manifest, unencodable type,
+    or a schema-evolution file written before the column existed) is
+    conservatively read. Pure manifest read — no footer I/O, no Spark
+    job: the whole point of recording stats AT COMMIT time is that
+    time-travel reads skip files from the manifest alone, exactly as
+    Delta/Iceberg serve pruned reads from their stats manifests."""
+    v = latest_version(path) if version is None else version
+    if v is None or not os.path.exists(_manifest_path(path, v)):
+        raise FileNotFoundError(f"no committed version {version} at {path}")
+    m = _read_manifest(path, v)
+    stats = m.get("file_stats", {})
+    elo, ehi = _enc_bound(lo), _enc_bound(hi)
+    keep = []
+    for f in m["files"]:
+        b = stats.get(f, {}).get(col)
+        if b is None or elo is None or ehi is None:
+            keep.append(f)  # no stats → must read
+        elif not (b[1] < elo or b[0] > ehi):
+            keep.append(f)
+    return keep, m["files"]
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Time-travel read serving only the files whose committed [min,max]
+    stats for `col` intersect [lo, hi], with the filter re-applied for
+    exactness — byte-identical to read_version().filter(...), minus the
+    skipped files' I/O."""
+    from pyspark.sql import functions as F
+
+    keep, _all = prune_files(path, col, lo, hi, version)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not keep:
+        return read_version(spark, path, version).filter(F.lit(False))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(path, f) for f in keep])
+        .filter(pred)
+    )
+
+
 def restore(path: str, version: int) -> int:
     """Roll the table back to `version` by committing a new manifest
     with that version's file list (history preserved); returns the new
@@ -181,7 +300,8 @@ def restore(path: str, version: int) -> int:
         new_version,
         {"version": new_version, "op": f"restore({version})",
          "files": target["files"], "n_new_files": 0,
-         "schema": target["schema"]},
+         "schema": target["schema"],
+         "file_stats": target.get("file_stats", {})},
     )
     return new_version
 
@@ -258,15 +378,20 @@ def commit_stream(
         version = 0 if prev is None else prev + 1
         data_rel = f"data/v{version:05d}"
         data_dir = os.path.join(path, data_rel)
-        batch_df.write.mode("overwrite").parquet(data_dir)
+        _write_data_files(batch_df, data_dir)
         new_files = [
             f"{data_rel}/{f}" for f in _list_parquet_files(data_dir)
         ]
-        files = (
-            _read_manifest(path, prev)["files"] + new_files
-            if mode == "append" and prev is not None
-            else new_files
+        new_stats = _collect_file_stats(
+            data_dir, data_rel, [f.name for f in batch_df.schema]
         )
+        if mode == "append" and prev is not None:
+            prev_m = _read_manifest(path, prev)
+            files = prev_m["files"] + new_files
+            file_stats = {**prev_m.get("file_stats", {}), **new_stats}
+        else:
+            files = new_files
+            file_stats = new_stats
         schema_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in batch_df.schema
@@ -276,7 +401,7 @@ def commit_stream(
             version,
             {"version": version, "op": mode, "files": files,
              "n_new_files": len(new_files), "schema": schema_ddl,
-             "batch_id": batch_id},
+             "batch_id": batch_id, "file_stats": file_stats},
         )
 
     return (

@@ -101,6 +101,9 @@ def file_column_bounds(path: str, cols: list[str]) -> list[dict]:
             continue
         md = pq.ParquetFile(os.path.join(path, fname)).metadata
         bounds: dict = {"file": fname}
+        if md.num_row_groups == 0:  # empty part file: no stats
+            out.append(bounds)
+            continue
         for ci in range(md.num_columns):
             col = md.row_group(0).column(ci).path_in_schema
             if col not in cols:
@@ -108,9 +111,13 @@ def file_column_bounds(path: str, cols: list[str]) -> list[dict]:
             lo, hi = None, None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo, hi = None, None
+                    break  # any stats-less row group voids the file bound
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            bounds[col] = (lo, hi)
+            if lo is not None:
+                bounds[col] = (lo, hi)
         out.append(bounds)
     return out
 
@@ -119,8 +126,13 @@ def files_matching(
     bounds: list[dict], col: str, lo, hi
 ) -> int:
     """How many files a [lo, hi] filter on `col` must read (bounding-
-    box intersection — the reader's skipping decision)."""
-    return sum(1 for b in bounds if not (b[col][1] < lo or b[col][0] > hi))
+    box intersection — the reader's skipping decision; a file without
+    stats for `col` is conservatively counted as read)."""
+    return sum(
+        1
+        for b in bounds
+        if col not in b or not (b[col][1] < lo or b[col][0] > hi)
+    )
 
 
 def pruned_read(
@@ -142,7 +154,7 @@ def pruned_read(
     keep = [
         os.path.join(path, b["file"])
         for b in bounds
-        if not (b[col][1] < lo or b[col][0] > hi)
+        if col not in b or not (b[col][1] < lo or b[col][0] > hi)
     ]
     if not keep:
         # preserve schema on an empty result

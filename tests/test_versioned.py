@@ -216,3 +216,124 @@ def test_vacuum_after_restore_keeps_restored_files(spark, tmp_path):
     deleted = V.vacuum(t, keep_versions=1)
     assert deleted == ["data/v00001"]
     assert _ids(spark, t) == [0, 1, 2]
+
+
+def test_commit_records_file_stats_and_prunes_time_travel(spark, tmp_path):
+    """File-skipping stats (VERDICT r4 #5 / r6 #5): commit records
+    per-file column min/max in the manifest; a selective predicate on an
+    OLD version reads strictly fewer files than the manifest lists, with
+    results byte-identical to the unpruned read + filter."""
+    t = str(tmp_path / "tbl")
+    # v0: 4 range-disjoint files over k = 0..99 (repartitionByRange
+    # gives each file a tight, non-overlapping [min, max] footer).
+    V.commit(_df(spark, 0, 100).repartitionByRange(4, "k"), t)
+    # v1: overwrite with entirely different data — the old version's
+    # stats must keep serving time travel after the table moved on.
+    V.commit(_df(spark, 1000, 1100).repartitionByRange(4, "k"), t,
+             mode="overwrite")
+
+    m0 = V._read_manifest(t, 0)
+    assert len(m0["files"]) == 4
+    assert set(m0["file_stats"]) == set(m0["files"])
+    for f in m0["files"]:
+        lo, hi = m0["file_stats"][f]["k"]
+        assert 0 <= lo <= hi <= 99
+
+    keep, all_files = V.prune_files(t, "k", 10, 15, version=0)
+    assert len(all_files) == 4
+    assert len(keep) < len(all_files), (
+        f"selective predicate should skip files: kept {keep}"
+    )
+    pruned = sorted(
+        r["k"]
+        for r in V.read_version_pruned(spark, t, "k", 10, 15, 0).collect()
+    )
+    full = sorted(
+        r["k"]
+        for r in V.read_version(spark, t, 0)
+        .where("k BETWEEN 10 AND 15").collect()
+    )
+    assert pruned == full == list(range(10, 16))
+
+
+def test_pruning_is_conservative_without_stats(spark, tmp_path):
+    """A manifest written before stats existed (or a column with no
+    encodable bounds) must fall back to reading every file — never an
+    empty result."""
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 50).repartitionByRange(2, "k"), t)
+    # simulate a pre-stats manifest
+    m = V._read_manifest(t, 0)
+    m.pop("file_stats")
+    import json
+
+    with open(V._manifest_path(t, 0), "w") as fh:
+        json.dump(m, fh)
+    keep, all_files = V.prune_files(t, "k", 0, 1, version=0)
+    assert keep == all_files
+    got = sorted(
+        r["k"]
+        for r in V.read_version_pruned(spark, t, "k", 0, 1, 0).collect()
+    )
+    assert got == [0, 1]
+
+
+def test_stats_survive_append_restore_and_schema_evolution(spark, tmp_path):
+    """Append carries the previous version's stats forward; files written
+    BEFORE a column existed have no stats for it and are conservatively
+    read; restore re-publishes the restored version's stats."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    V.commit(_df(spark, 0, 50).repartitionByRange(2, "k"), t)
+    V.commit(
+        _df(spark, 50, 100)
+        .withColumn("extra", F.col("k") * 2)
+        .repartitionByRange(2, "k"),
+        t,
+    )
+    m1 = V._read_manifest(t, 1)
+    assert set(m1["file_stats"]) == set(m1["files"])  # carried + new
+    # pruning on `extra`: v0's files lack the column → must be read
+    keep, all_files = V.prune_files(t, "extra", 100, 110, version=1)
+    v0_files = set(V._read_manifest(t, 0)["files"])
+    assert v0_files <= set(keep)
+    got = sorted(
+        r["k"]
+        for r in V.read_version_pruned(spark, t, "extra", 100, 110, 1)
+        .collect()
+    )
+    assert got == list(range(50, 56))
+    # restore v0 → new version answers pruned reads from v0's stats
+    v2 = V.restore(t, 0)
+    keep2, all2 = V.prune_files(t, "k", 0, 5, version=v2)
+    assert len(keep2) < len(all2)
+
+
+def test_timestamp_stats_prune(spark, tmp_path):
+    """Timestamp columns get usable stats (commit pins INT64
+    TIMESTAMP_MICROS — INT96 carries no footer min/max) and the ISO
+    encoding preserves order for the pruning comparison."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + F.col("id") * 86_400_000_000)
+            .cast("long")
+        ).alias("ts"),
+    ).repartitionByRange(4, "ts")
+    V.commit(df, t)
+    lo, hi = dt.datetime(2023, 11, 20), dt.datetime(2023, 11, 25)
+    keep, all_files = V.prune_files(t, "ts", lo, hi, version=0)
+    assert len(keep) < len(all_files) == 4
+    n = V.read_version_pruned(spark, t, "ts", lo, hi, 0).count()
+    full = (
+        V.read_version(spark, t, 0)
+        .where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        .count()
+    )
+    assert n == full > 0
