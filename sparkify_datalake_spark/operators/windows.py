@@ -257,13 +257,17 @@ def win_ntile_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SAME pid assignment, and without materialization each consumer
     # re-executes the range-sampling partitioner independently — correct
     # only while replanning stays bit-deterministic, which is too fragile
-    # a contract to lean on.
+    # a contract to lean on. eager=False keeps the pin but defers
+    # materialization into the first job that touches it (the broadcast
+    # build), saving a whole scheduled job vs the eager form — once
+    # materialized, every later consumer reads the SAME pinned RDD, so
+    # the pid contract is unchanged.
     ranged = (
         orders.repartitionByRange(
             n_parts, "o_orderstatus", "o_totalprice", "o_orderkey"
         )
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     sizes = ranged.groupBy("pid", "o_orderstatus").agg(

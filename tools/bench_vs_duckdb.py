@@ -1,0 +1,254 @@
+#!/usr/bin/env python
+"""Floor-free bench-gate demonstration (VERDICT r4/r5/r6 item #1).
+
+BASELINE.json's gate is "BENCH within 2× of BASELINE"; the only
+measurable baseline is the DuckDB oracle on the same parquet. At the
+driver's sf0.1 the suite-level ratio is dominated by Spark's fixed
+per-query scheduler/action floor (~0.3 s × 259 queries), which is an
+attribution, not a demonstration. This tool produces the demonstration:
+at a probe scale where the oracles do real work (default 64× ≈ sf6.4
+row counts), run each nontrivial-oracle query in BOTH engines —
+Spark = full physical plan to a noop sink (bench.py's harness),
+DuckDB = execute + Arrow materialization in a fresh subprocess —
+min-of-N each, and publish the per-query and suite ratios.
+
+Selection: a query qualifies when its DuckDB oracle costs ≥ `--floor`
+seconds at the COMPARISON scale (default 0.15 s — below that the
+measurement is scheduler floor on both sides, not compute). A cheap
+pre-pass at the 8× fixture skips oracles that cannot reach the floor
+(pinned-sample oracles are constant in corpus size).
+
+Usage:
+  python tools/bench_vs_duckdb.py --dir /tmp/sparkify_probe_x64_v1 \
+      --pre-dir /tmp/sparkify_probe_x8_v1 --out BENCH_VS_DUCKDB_x64.json
+
+Outputs one JSON file: per-query spark/duck seconds + ratio, suite
+totals, and 8×→64× fitted Spark scaling exponents for the ops in
+tests/test_scale_probe.py's probe set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# Spark ops whose 8×→64× scaling exponent is fitted alongside the
+# ratio table (the heavy hitters from tests/test_scale_probe.py;
+# sim_knn_graph is NOT here — it is quadratic by design and already
+# carries its own documented-quadratic 8× bound in pytest).
+EXPONENT_OPS = [
+    "dedup_near_verified",
+    "mine_basket_pairs",
+    "graph_user_pagerank",
+    "graph_link_prediction",
+    "graph_triangle_count",
+]
+
+# Named-cause exceptions (excluded from selection AND the pre-pass):
+# exact all-pairs kernels where BOTH engines are O(n²) by design —
+# at 64× both sides would burn hours computing the same 16B dot
+# products, demonstrating nothing about engine efficiency. Their
+# Spark-vs-DuckDB story is already measured at sf0.1, where Spark's
+# Arrow-GEMM path BEATS DuckDB (sim_knn_graph 0.20×,
+# sim_threshold_pairs/dedup_embed similar), so exclusion is the
+# DuckDB-favorable choice.
+QUADRATIC_BY_DESIGN = {
+    "sim_knn_graph",
+    "sim_threshold_pairs",
+    "dedup_embed",
+}
+
+_DUCK_RUNNER = r"""
+import json, sys, time
+import duckdb
+spec = json.load(open(sys.argv[1]))
+con = duckdb.connect()
+con.execute(f"SET threads TO {spec['threads']}")
+for t in spec["tables"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{spec['dir']}/{t}.parquet')"
+    )
+best = float("inf")
+for _ in range(spec["repeat"]):
+    t0 = time.perf_counter()
+    n = len(con.execute(spec["sql"]).fetch_arrow_table())
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"sec": best, "rows": n}))
+"""
+
+
+def duck_time(
+    sf_dir: str, sql: str, repeat: int, timeout: float, threads: int
+) -> dict:
+    """Oracle wall time, min-of-`repeat`, in a fresh subprocess (so a
+    runaway oracle is killable and runs don't share buffer state)."""
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+        json.dump(
+            {"dir": sf_dir, "sql": sql, "repeat": repeat,
+             "tables": TABLES, "threads": threads},
+            fh,
+        )
+        spec = fh.name
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _DUCK_RUNNER, spec],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        if out.returncode != 0:
+            return {"err": out.stderr.strip()[-300:]}
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except subprocess.TimeoutExpired:
+        return {"err": f"timeout>{timeout}s"}
+    finally:
+        os.unlink(spec)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/sparkify_probe_x64_v1")
+    ap.add_argument("--pre-dir", default="/tmp/sparkify_probe_x8_v1")
+    ap.add_argument("--scale", type=float, default=64.0)
+    ap.add_argument("--pre-scale", type=float, default=8.0)
+    ap.add_argument("--floor", type=float, default=0.15)
+    ap.add_argument("--pre-floor", type=float, default=0.02)
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--timeout", type=float, default=900.0)
+    ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "BENCH_VS_DUCKDB_x64.json")
+    )
+    args = ap.parse_args()
+
+    from gen_probe_fixture import generate
+
+    from sparkify_datalake_spark.registry import oracle_sql, queries
+    from sparkify_datalake_spark.session import get_spark
+
+    spark = get_spark("bench-vs-duckdb")
+    threads = spark.sparkContext.defaultParallelism
+    generate(spark, args.pre_dir, args.pre_scale)
+    generate(spark, args.dir, args.scale)
+
+    qs, oracles = queries(), oracle_sql()
+
+    if args.only:
+        selected = [n for n in args.only.split(",") if n in oracles]
+        pre = {}
+    else:
+        # Pre-pass: one DuckDB run per oracle at the 8× point; only
+        # oracles that can plausibly reach the floor at the comparison
+        # scale go on (constant pinned-sample oracles drop out here).
+        pre = {}
+        for name in sorted(set(oracles) - QUADRATIC_BY_DESIGN):
+            r = duck_time(args.pre_dir, oracles[name], 1, args.timeout,
+                          threads)
+            pre[name] = r.get("sec", None)
+            tag = "SKIP" if r.get("err") else f"{r.get('sec', 0):.3f}s"
+            print(f"# pre {name}: {tag}", file=sys.stderr, flush=True)
+        selected = [
+            n for n, s in pre.items() if s is not None and s >= args.pre_floor
+        ]
+    print(f"# selected {len(selected)} queries", file=sys.stderr, flush=True)
+
+    # Warm up JVM/codegen before timing (bench.py discipline).
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    rows: dict[str, dict] = {}
+    for name in selected:
+        d = duck_time(args.dir, oracles[name], args.repeat, args.timeout,
+                      threads)
+        entry: dict = {"duck_sec": d.get("sec"), "duck_err": d.get("err")}
+        best = float("inf")
+        try:
+            for _ in range(args.repeat):
+                t0 = time.perf_counter()
+                qs[name](spark, args.dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            entry["spark_sec"] = round(best, 3)
+        except Exception as exc:  # record, keep sweeping
+            entry["spark_err"] = str(exc)[-300:]
+        if entry.get("duck_sec") and entry.get("spark_sec"):
+            entry["duck_sec"] = round(entry["duck_sec"], 3)
+            entry["ratio"] = round(entry["spark_sec"] / entry["duck_sec"], 3)
+        rows[name] = entry
+        print(
+            f"# {name}: spark={entry.get('spark_sec')} "
+            f"duck={entry.get('duck_sec')} ratio={entry.get('ratio')}",
+            file=sys.stderr, flush=True,
+        )
+
+    # 8×→64× Spark scaling exponents for the heavy hitters.
+    exponents: dict[str, dict] = {}
+    for name in EXPONENT_OPS:
+        pts = {}
+        for dirname, scale in ((args.pre_dir, args.pre_scale),
+                               (args.dir, args.scale)):
+            best = float("inf")
+            for _ in range(args.repeat):
+                t0 = time.perf_counter()
+                qs[name](spark, dirname).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            pts[scale] = round(best, 3)
+        e = math.log(pts[args.scale] / pts[args.pre_scale]) / math.log(
+            args.scale / args.pre_scale
+        )
+        exponents[name] = {"t_pre": pts[args.pre_scale],
+                           "t_main": pts[args.scale],
+                           "exponent": round(e, 3)}
+        print(f"# exp {name}: {exponents[name]}", file=sys.stderr, flush=True)
+
+    # Suite rollup over queries where BOTH engines cleared the floor
+    # honestly: oracle ≥ --floor at the comparison scale.
+    gate = {
+        n: r for n, r in rows.items()
+        if r.get("duck_sec") and r["duck_sec"] >= args.floor
+        and r.get("spark_sec")
+    }
+    spark_total = round(sum(r["spark_sec"] for r in gate.values()), 2)
+    duck_total = round(sum(r["duck_sec"] for r in gate.values()), 2)
+    result = {
+        "fixture": args.dir,
+        "scale_vs_sf0.1": args.scale,
+        "floor_sec": args.floor,
+        "repeat": args.repeat,
+        "n_compared": len(gate),
+        "spark_total_sec": spark_total,
+        "duck_total_sec": duck_total,
+        "suite_ratio": round(spark_total / duck_total, 3)
+        if duck_total else None,
+        "queries": rows,
+        "gate_queries": sorted(gate),
+        "excluded_quadratic_by_design": sorted(QUADRATIC_BY_DESIGN),
+        "scaling_exponents_8x_to_64x": exponents,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: result[k] for k in (
+        "n_compared", "spark_total_sec", "duck_total_sec", "suite_ratio"
+    )}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,16 @@ _VOCAB = [
 ]
 _LANGS = ["en", "de", "fr", "zh", "es"]
 _TYPES = ["click", "error", "purchase", "signup", "view"]
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+_SEGMENTS = [
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+]
+_PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+_ADJ = ["cold", "hot", "blue", "old", "large", "red", "dim", "new"]
+_NOUN = ["widget", "ring", "bolt", "plate", "gear", "cap", "rod", "pin"]
 
 _MARKER = "_PROBE_OK"
 
@@ -144,18 +154,115 @@ def gen_lineitem(spark: SparkSession, n: int, n_parts: int) -> DataFrame:
     )
 
 
+def gen_region(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(_REGIONS)],
+        "r_regionkey int, r_name string",
+    )
+
+
+def gen_nation(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, f"NATION_{i}", i % 5) for i in range(25)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+
+
+def gen_customer(spark: SparkSession, n: int) -> DataFrame:
+    return spark.range(n).select(
+        F.col("id").alias("c_custkey"),
+        F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
+        _pm(F.col("id"), 30, 25).cast("int").alias("c_nationkey"),
+        (_pm(F.col("id"), 31, 1_100_000) / 100.0 - 1000.0).alias(
+            "c_acctbal"
+        ),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _SEGMENTS]),
+            (_pm(F.col("id"), 32, 5) + 1).cast("int"),
+        ).alias("c_mktsegment"),
+    )
+
+
+def gen_supplier(spark: SparkSession, n: int) -> DataFrame:
+    return spark.range(n).select(
+        F.col("id").alias("s_suppkey"),
+        F.format_string("Supplier#%09d", F.col("id")).alias("s_name"),
+        _pm(F.col("id"), 33, 25).cast("int").alias("s_nationkey"),
+        (_pm(F.col("id"), 34, 1_100_000) / 100.0 - 1000.0).alias(
+            "s_acctbal"
+        ),
+    )
+
+
+def gen_part(spark: SparkSession, n: int) -> DataFrame:
+    adj = F.array(*[F.lit(w) for w in _ADJ])
+    noun = F.array(*[F.lit(w) for w in _NOUN])
+    return spark.range(n).select(
+        F.col("id").alias("p_partkey"),
+        F.concat_ws(
+            " ",
+            F.element_at(adj, (_pm(F.col("id"), 35, 8) + 1).cast("int")),
+            F.element_at(noun, (_pm(F.col("id"), 36, 8) + 1).cast("int")),
+        ).alias("p_name"),
+        F.concat(
+            F.lit("Brand#"), (_pm(F.col("id"), 37, 25) + 1).cast("string")
+        ).alias("p_brand"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _PTYPES]),
+            (_pm(F.col("id"), 38, 6) + 1).cast("int"),
+        ).alias("p_type"),
+        (_pm(F.col("id"), 39, 50) + 1).cast("int").alias("p_size"),
+        (_pm(F.col("id"), 40, 10_000) / 100.0 + 900.0).alias(
+            "p_retailprice"
+        ),
+    )
+
+
+def gen_orders(spark: SparkSession, n: int, n_cust: int) -> DataFrame:
+    """One order per lineitem group (lineitem keys are id/4 → orders
+    row count must be lineitem/4 for referential integrity)."""
+    day_us = 86_400_000_000
+    base_us = 788_918_400_000_000  # 1995-01-01 UTC
+    return spark.range(n).select(
+        F.col("id").alias("o_orderkey"),
+        _pm(F.col("id"), 41, n_cust).alias("o_custkey"),
+        F.element_at(
+            F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+            (_pm(F.col("id"), 42, 3) + 1).cast("int"),
+        ).alias("o_orderstatus"),
+        (_pm(F.col("id"), 43, 49_900_000) / 100.0 + 1000.0).alias(
+            "o_totalprice"
+        ),
+        F.timestamp_micros(
+            F.lit(base_us) + _pm(F.col("id"), 44, 2400) * day_us
+        ).cast("timestamp_ntz").alias("o_orderdate"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in _PRIORITIES]),
+            (_pm(F.col("id"), 45, 5) + 1).cast("int"),
+        ).alias("o_orderpriority"),
+    )
+
+
 def generate(spark: SparkSession, out_dir: str, scale: float) -> str:
     """Write a probe fixture dir at `scale`×(sf0.1 row counts); returns
-    out_dir. Idempotent: a dir carrying the completion marker is reused
-    (content is deterministic in `scale`)."""
-    marker = os.path.join(out_dir, _MARKER)
-    if os.path.exists(marker):
-        return out_dir
+    out_dir. Idempotent PER TABLE: `{name}.parquet` is only generated
+    if absent (content is deterministic in `scale`, and the tmp-write +
+    os.replace makes each table's appearance atomic), so a dir created
+    before the star tables existed gains them on the next call without
+    touching the original files. Covers the full driver layout: the 4
+    original probe tables plus region/nation/customer/supplier/part/
+    orders with driver-matching domains (FIXTURES.md) and referential
+    integrity (orders = lineitem/4 keys, custkeys/partkeys/suppkeys
+    consistent), so the TPC-H composite queries run at any scale."""
     sizes = {
         "documents": int(5_000 * scale),
         "embeddings": int(2_000 * scale),
         "events": int(100_000 * scale),
         "lineitem": int(600_000 * scale),
+        "orders": int(150_000 * scale),
+        "customer": int(15_000 * scale),
+        "supplier": int(1_000 * scale),
+        "part": int(20_000 * scale),
     }
     gens = {
         "documents": lambda: gen_documents(spark, sizes["documents"]),
@@ -166,21 +273,34 @@ def generate(spark: SparkSession, out_dir: str, scale: float) -> str:
         "lineitem": lambda: gen_lineitem(
             spark, sizes["lineitem"], n_parts=int(20_000 * scale)
         ),
+        "orders": lambda: gen_orders(
+            spark, sizes["orders"], n_cust=int(15_000 * scale)
+        ),
+        "customer": lambda: gen_customer(spark, sizes["customer"]),
+        "supplier": lambda: gen_supplier(spark, sizes["supplier"]),
+        "part": lambda: gen_part(spark, sizes["part"]),
+        "region": lambda: gen_region(spark),
+        "nation": lambda: gen_nation(spark),
     }
     os.makedirs(out_dir, exist_ok=True)
     for name, gen in gens.items():
-        # single file per table, mirroring the driver fixture layout
+        final = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(final):
+            continue
+        # single file per table, mirroring the driver fixture layout;
+        # repartition(1) keeps the expression evaluation parallel and
+        # funnels only the write through one task (matters at 64×).
         tmp = os.path.join(out_dir, f"_tmp_{name}")
-        gen().coalesce(1).write.mode("overwrite").parquet(tmp)
+        gen().repartition(1).write.mode("overwrite").parquet(tmp)
         part = next(
             f for f in os.listdir(tmp)
             if f.endswith(".parquet") and not f.startswith(".")
         )
-        os.replace(
-            os.path.join(tmp, part), os.path.join(out_dir, f"{name}.parquet")
-        )
+        os.replace(os.path.join(tmp, part), final)
         import shutil
 
         shutil.rmtree(tmp)
-    open(marker, "w").close()
+    marker = os.path.join(out_dir, _MARKER)
+    if not os.path.exists(marker):
+        open(marker, "w").close()
     return out_dir
