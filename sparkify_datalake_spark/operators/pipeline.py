@@ -615,28 +615,33 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     first report run after any ingest/backfill, and the generalization
     of dq_constraints' single o_custkey check to the full schema graph.
 
-    Each edge is an ANTI-join of the child's distinct-able FK column
-    against the (broadcastable) parent key set — Catalyst turns the
-    NOT-IN-with-non-null-guard into a broadcast anti join, so no edge
-    shuffles the child table; the 7 one-row audits union into a single
-    bounded frame. At 100 TB each child scan prunes to exactly the FK
-    column (ReadSchema one column), and the audits are independent
-    jobs a scheduler can run concurrently.
+    Each edge is ONE broadcast LEFT-OUTER join of the child's FK column
+    against the deduped (broadcastable) parent key set, aggregated once:
+    n_child = count(*), n_orphans = count(fk non-null ∧ no parent hit).
+    One scan per child per edge — the earlier shape (separate count +
+    anti-join subtrees glued by a crossJoin) scanned every child TWICE
+    and fired a second broadcast per edge, because Spark does not dedupe
+    common plan subtrees (measured 2.07 s → ~1.2 s at sf0.1). The
+    parent dedupe keeps the 1:1 row preservation exact even if a parent
+    ever carried duplicate keys. At 100 TB each child scan prunes to
+    exactly the FK column (ReadSchema one column), the join stays
+    map-side, and the 7 one-row audits union into a single bounded
+    frame of independent jobs.
     """
     out = None
     for child, ck, parent, pk in _FK_EDGES:
         c = load(spark, sf_dir, child).select(ck)
-        p = load(spark, sf_dir, parent).select(pk)
-        n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
-        orphans = (
-            c.filter(F.col(ck).isNotNull())
-            .join(
-                F.broadcast(p), F.col(ck) == F.col(pk), "left_anti"
-            )
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-        )
+        p = load(spark, sf_dir, parent).select(pk).distinct()
         row = (
-            n_child.crossJoin(F.broadcast(orphans))
+            c.join(F.broadcast(p), F.col(ck) == F.col(pk), "left_outer")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count(
+                    F.when(
+                        F.col(ck).isNotNull() & F.col(pk).isNull(), 1
+                    )
+                ).alias("n_orphans"),
+            )
             .select(
                 F.lit(f"{child}.{ck}->{parent}.{pk}").alias("relation"),
                 "n_child",

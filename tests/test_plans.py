@@ -529,7 +529,7 @@ def test_spearman_joins_midranks_broadcast(spark):
 
 def test_referential_integrity_prunes_to_fk_column(spark):
     # each child scan must read exactly the FK column, and every parent
-    # key set must arrive broadcast into an anti join.
+    # key set must arrive broadcast into its edge's single outer join.
     plan = _plan(spark, "dq_referential_integrity")
     assert "ReadSchema: struct<l_orderkey:bigint>" in plan
     assert plan.count("BroadcastHashJoin") >= 7
