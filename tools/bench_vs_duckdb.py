@@ -79,6 +79,7 @@ import duckdb
 spec = json.load(open(sys.argv[1]))
 con = duckdb.connect()
 con.execute(f"SET threads TO {spec['threads']}")
+con.execute("SET enable_progress_bar = false")  # keeps stdout pure JSON
 for t in spec["tables"]:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{spec['dir']}/{t}.parquet')"
@@ -111,7 +112,13 @@ def duck_time(
         )
         if out.returncode != 0:
             return {"err": out.stderr.strip()[-300:]}
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        # defensive parse: take the trailing JSON object even if a
+        # library wrote noise (e.g. a progress bar) to stdout first
+        payload = out.stdout[out.stdout.rfind('{"sec"'):].strip()
+        try:
+            return json.loads(payload)
+        except json.JSONDecodeError:
+            return {"err": f"unparseable runner output: {out.stdout[-200:]!r}"}
     except subprocess.TimeoutExpired:
         return {"err": f"timeout>{timeout}s"}
     finally:
