@@ -23,6 +23,7 @@ from itertools import combinations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sparkify_datalake_spark.operators.percentiles import exact_percentiles
 from sparkify_datalake_spark.registry import query
 from sparkify_datalake_spark.sources.load import load
 
@@ -667,9 +668,11 @@ def stat_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass one sketch-mergeable.
     """
     orders = load(spark, sf_dir, "orders")
-    q = orders.groupBy("o_orderpriority").agg(
-        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
-        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    q = exact_percentiles(
+        orders,
+        ["o_orderpriority"],
+        "o_totalprice",
+        [(0.25, "q1"), (0.75, "q3")],
     )
     joined = orders.join(F.broadcast(q), "o_orderpriority")
     iqr = F.col("q3") - F.col("q1")

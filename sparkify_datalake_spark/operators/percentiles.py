@@ -1,0 +1,267 @@
+"""Distributed exact interpolated percentiles via sketch-bracketed
+selection.
+
+Spark's built-in exact ``percentile``/``median`` is an object-hash
+aggregate: every partition builds a value→count map and the maps MERGE
+on one reducer task per group. With few groups and a large,
+high-cardinality value column (5 priorities × millions of distinct
+prices), the merge runs 5-way on a 32-core box and dominates the query
+(measured 50 s for ``agg_percentile`` at the 64× probe vs ~10 s for
+this plan) — the same single-task-per-group collapse a naive
+``Window.partitionBy(g).orderBy(v)`` rank would hit. At 100 TB it is a
+straight scale-killer.
+
+This module computes the SAME exact linear-interpolated percentile
+(the ``quantile_cont`` contract pinned by ``agg_percentile``) with two
+fully-parallel scans and only KB-sized shuffles:
+
+1. **Bracket scan**: per group, ``approx_percentile(v, p ± 10ε, 1/ε)``
+   (Greenwald–Khanna, mergeable partials, map-side) yields a value
+   band GUARANTEED to contain the exact target ranks: the sketch's
+   rank error is ≤ εn, the probes sit 10εn away, so the band's true
+   rank span covers [k−8εn, k+8εn] ∋ {k_lo, k_hi}. The exact group
+   count n (same scan) turns each p into its two order statistics
+   ``k_lo/k_hi = floor/ceil((n−1)p)+1`` and interpolation fraction.
+2. **Selection scan**: re-scan, counting rows strictly below each
+   band start (partial count, one row per task×spec) and aggregating
+   ``(value, count)`` INSIDE each band (≈ 2·10εn rows per spec,
+   ~2 % of input at ε=1e-3). A windowed cumulative sum over those
+   tiny per-(group, spec) slices — thousands of rows, not millions —
+   locates the values at ranks k_lo and k_hi exactly.
+3. Interpolate ``v_lo + (v_hi − v_lo)·frac`` — the arithmetic DuckDB's
+   ``quantile_cont`` uses, so rounded results stay hash-identical to
+   the oracle. A loud ``assert_true`` guards the band-coverage
+   invariant: if a sketch ever violated its error bound the query
+   fails instead of returning a silently-wrong quantile.
+
+The whole plan is lazy (the bracket frame re-enters as a broadcast
+join, not a driver collect), shuffles O(groups·specs·εn) rows against
+the input's O(n), and every phase is partial-aggregated map-side — the
+shape survives 1000 executors unchanged, which the object-hash merge
+cannot. Multiple value columns share the two scans
+(``exact_percentiles_multi``): ``agg_percentile``'s four quantiles
+over two columns cost one bracket scan + one selection scan total.
+
+Implementation notes that earned their keep at the 64× probe:
+- ``bands``/``contrib`` each feed two join branches; Catalyst does not
+  dedupe common subplans, so both carry a lazy ``localCheckpoint`` —
+  without it each branch re-runs a full input scan.
+- The input is deliberately NOT checkpointed: re-reading a pruned
+  vectorized parquet scan measured 2× faster than re-reading a
+  row-format checkpoint of the same columns.
+- Sketch accuracy 1000 is deliberate: the sketch then costs the same
+  as a plain count scan (1.7 s on 38M rows) where 10000 costs 2.5×,
+  and the wider band still shuffles only ~20εn rows per spec.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["exact_percentiles", "exact_percentiles_multi"]
+
+# GK sketch accuracy: rank error ≤ n/_ACCURACY; probes sit 10× the
+# error bound from p, giving band coverage with 8× slack.
+_ACCURACY = 1_000
+_MARGIN = 10.0 / _ACCURACY
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    specs: Sequence[tuple[float, str]],
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` per group.
+
+    ``specs`` is a list of ``(p, out_name)`` with 0 ≤ p ≤ 1. Returns a
+    DataFrame of ``group_cols`` + one double column per ``out_name``
+    (null group keys are not supported — callers group on non-null
+    dimension columns). Groups with no non-null value are absent from
+    the output, matching ``quantile_cont`` under GROUP BY.
+    """
+    return exact_percentiles_multi(df, group_cols, [(value_col, specs)])
+
+
+def exact_percentiles_multi(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col_specs: Sequence[tuple[str, Sequence[tuple[float, str]]]],
+) -> DataFrame:
+    """Exact percentiles for several value columns in two shared scans.
+
+    ``col_specs`` maps each value column to its ``(p, out_name)`` list;
+    output column order follows the flattened spec order. A group row
+    appears when ANY column has a non-null value; a column's outputs
+    are null for groups where that column is all-null (same as
+    ``quantile_cont`` under GROUP BY with joined per-column frames).
+    """
+    g = list(group_cols)
+    dummy = not g
+    if dummy:  # global percentile: constant group, dropped at the end
+        df = df.withColumn("__g", F.lit(1))
+        g = ["__g"]
+
+    vcols = [c for c, _ in col_specs]
+    vals = df.select(
+        *g,
+        *[
+            F.col(c).cast("double").alias(f"__v{ci}")
+            for ci, c in enumerate(vcols)
+        ],
+    )
+    any_nonnull = F.col("__v0").isNotNull()
+    for ci in range(1, len(vcols)):
+        any_nonnull = any_nonnull | F.col(f"__v{ci}").isNotNull()
+    vals = vals.where(any_nonnull)
+
+    # Bracket scan: per column, the exact count + one probe pair per p.
+    aggs: list[Column] = []
+    for ci, (_, specs) in enumerate(col_specs):
+        probes: list[float] = []
+        for p, _ in specs:
+            probes.append(max(float(p) - _MARGIN, 0.0))
+            probes.append(min(float(p) + _MARGIN, 1.0))
+        aggs.append(F.count(F.col(f"__v{ci}")).alias(f"__n{ci}"))
+        aggs.append(
+            F.expr(
+                f"approx_percentile(__v{ci},"
+                f" array({', '.join(map(repr, probes))}), {_ACCURACY})"
+            ).alias(f"__qs{ci}")
+        )
+    stats = vals.groupBy(*g).agg(*aggs)
+
+    # One band row per (group, spec): probe values widened to ±inf when
+    # the probe clamped at 0/1 (the sketch endpoint is not guaranteed
+    # to be the true min/max). __i is the global spec index, __c the
+    # value-column index.
+    band_structs: list[Column] = []
+    names: list[str] = []
+    for ci, (_, specs) in enumerate(col_specs):
+        for si, (p, name) in enumerate(specs):
+            p = float(p)
+            i = len(names)
+            names.append(str(name))
+            lo = (
+                F.lit(float("-inf"))
+                if p - _MARGIN <= 0.0
+                else F.col(f"__qs{ci}").getItem(2 * si)
+            )
+            hi = (
+                F.lit(float("inf"))
+                if p + _MARGIN >= 1.0
+                else F.col(f"__qs{ci}").getItem(2 * si + 1)
+            )
+            pos = (F.col(f"__n{ci}") - F.lit(1)).cast("double") * F.lit(p)
+            band_structs.append(
+                F.struct(
+                    F.lit(i).alias("__i"),
+                    F.lit(ci).alias("__c"),
+                    lo.alias("__a"),
+                    hi.alias("__b"),
+                    (F.floor(pos) + 1).alias("__k_lo"),
+                    (F.ceil(pos) + 1).alias("__k_hi"),
+                    (pos - F.floor(pos).cast("double")).alias("__frac"),
+                )
+            )
+    bands = (
+        stats.select(*g, F.explode(F.array(*band_structs)).alias("__band"))
+        .select(*g, "__band.*")
+        .where(F.col("__a").isNotNull())  # all-null column in a group
+        .localCheckpoint(eager=False)  # feeds two join branches
+    )
+
+    # Selection scan: row × spec fan-out is map-side only; the partial
+    # aggregate collapses below-counts to one row per (task, spec) and
+    # in-band values to their distinct-value counts before any shuffle.
+    j = vals.join(F.broadcast(bands), g)
+    vsel: Column = F.col("__v0")
+    for ci in range(1, len(vcols)):
+        vsel = F.when(F.col("__c") == ci, F.col(f"__v{ci}")).otherwise(vsel)
+    j = j.withColumn("__vs", vsel).where(F.col("__vs").isNotNull())
+    in_band = F.col("__vs").between(F.col("__a"), F.col("__b"))
+    contrib = (
+        j.groupBy(
+            *g,
+            "__i",
+            F.when(in_band, F.col("__vs")).alias("__bv"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(
+                F.when(F.col("__vs") < F.col("__a"), 1).otherwise(0)
+            ).alias("__nbelow"),
+        )
+        .localCheckpoint(eager=False)  # feeds two join branches
+    )
+    # Rows below the band share the __bv=null key → their __nbelow sum
+    # is the exact rank offset; in-band keys carry value weights.
+    below = contrib.groupBy(*g, "__i").agg(
+        F.sum("__nbelow").alias("__c_below")
+    )
+    w_cum = (
+        Window.partitionBy(*g, "__i")
+        .orderBy("__bv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        contrib.where(F.col("__bv").isNotNull())
+        .withColumn("__cum", F.sum("__cnt").over(w_cum))
+        .join(F.broadcast(below), [*g, "__i"])
+        .join(
+            F.broadcast(
+                bands.select(*g, "__i", "__k_lo", "__k_hi", "__frac")
+            ),
+            [*g, "__i"],
+        )
+    )
+    picked = ranked.groupBy(*g, "__i", "__k_lo", "__k_hi", "__frac").agg(
+        F.min(
+            F.when(
+                F.col("__c_below") + F.col("__cum") >= F.col("__k_lo"),
+                F.col("__bv"),
+            )
+        ).alias("__v_lo"),
+        F.min(
+            F.when(
+                F.col("__c_below") + F.col("__cum") >= F.col("__k_hi"),
+                F.col("__bv"),
+            )
+        ).alias("__v_hi"),
+        F.min("__c_below").alias("__cb"),
+    )
+    # Coverage invariant, loudly enforced: the band must straddle both
+    # target ranks (c_below < k_lo and the band's last cumulative rank
+    # ≥ k_hi ⇒ both picks are non-null). assert_true yields NULL when
+    # the invariant holds, so the coalesce is arithmetic identity.
+    ok = (
+        F.col("__v_lo").isNotNull()
+        & F.col("__v_hi").isNotNull()
+        & (F.col("__cb") < F.col("__k_lo"))
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            ok, F.lit("exact_percentiles: sketch band missed target rank")
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    interp = (
+        F.col("__v_lo")
+        + (F.col("__v_hi") - F.col("__v_lo")) * F.col("__frac")
+        + guard
+    )
+    per = picked.select(*g, "__i", interp.alias("__val"))
+
+    idx_name = F.array(*[F.lit(n) for n in names]).getItem(F.col("__i"))
+    out = (
+        per.withColumn("__name", idx_name)
+        .groupBy(*g)
+        .pivot("__name", names)
+        .agg(F.first("__val"))
+    )
+    if dummy:
+        out = out.drop("__g")
+    return out

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sparkify_datalake_spark.operators.percentiles import exact_percentiles
 from sparkify_datalake_spark.registry import query
 from sparkify_datalake_spark.sources.load import load
 
@@ -513,21 +514,30 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    gaps = ev.select(
-        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
-    ).filter(F.col("gap_us").isNotNull())
-    return gaps.groupBy("event_type").agg(
+    # checkpoint: the sketch-bracketed exact percentile reads its input
+    # twice, and recomputing the lag window costs more than re-reading
+    # the materialized (type, gap) pairs.
+    gaps = (
+        ev.select("event_type", (us - F.lag(us).over(w)).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    pct = exact_percentiles(
+        gaps, ["event_type"], "gap_us", [(0.5, "p50"), (0.95, "p95")]
+    )
+    base = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.round(F.expr("percentile(gap_us, 0.5)") / 1_000_000.0, 6).alias(
-            "p50_sec"
-        ),
-        F.round(F.expr("percentile(gap_us, 0.95)") / 1_000_000.0, 6).alias(
-            "p95_sec"
-        ),
         F.round(
             F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1_000_000.0,
             6,
         ).alias("mean_sec"),
+    )
+    return base.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "n_gaps",
+        F.round(F.col("p50") / 1_000_000.0, 6).alias("p50_sec"),
+        F.round(F.col("p95") / 1_000_000.0, 6).alias("p95_sec"),
+        "mean_sec",
     )
 
 

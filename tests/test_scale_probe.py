@@ -25,8 +25,8 @@ sys_path_marker = True  # tools/ import resolved via conftest's repo root
 
 _SMALL_SCALE = 1.0
 _LARGE_SCALE = 8.0
-_DIR_SMALL = "/tmp/sparkify_probe_x1_v1"
-_DIR_LARGE = "/tmp/sparkify_probe_x8_v1"
+_DIR_SMALL = "/tmp/sparkify_probe_x1_v2"
+_DIR_LARGE = "/tmp/sparkify_probe_x8_v2"
 
 # op → (driving table, exponent bound, repeats)
 _PROBES = {

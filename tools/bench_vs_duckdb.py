@@ -19,8 +19,8 @@ pre-pass at the 8× fixture skips oracles that cannot reach the floor
 (pinned-sample oracles are constant in corpus size).
 
 Usage:
-  python tools/bench_vs_duckdb.py --dir /tmp/sparkify_probe_x64_v1 \
-      --pre-dir /tmp/sparkify_probe_x8_v1 --out BENCH_VS_DUCKDB_x64.json
+  python tools/bench_vs_duckdb.py --dir /tmp/sparkify_probe_x64_v2 \
+      --pre-dir /tmp/sparkify_probe_x8_v2 --out BENCH_VS_DUCKDB_x64.json
 
 Outputs one JSON file: per-query spark/duck seconds + ratio, suite
 totals, and 8×→64× fitted Spark scaling exponents for the ops in
@@ -127,8 +127,8 @@ def duck_time(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dir", default="/tmp/sparkify_probe_x64_v1")
-    ap.add_argument("--pre-dir", default="/tmp/sparkify_probe_x8_v1")
+    ap.add_argument("--dir", default="/tmp/sparkify_probe_x64_v2")
+    ap.add_argument("--pre-dir", default="/tmp/sparkify_probe_x8_v2")
     ap.add_argument("--scale", type=float, default=64.0)
     ap.add_argument("--pre-scale", type=float, default=8.0)
     ap.add_argument("--floor", type=float, default=0.15)

@@ -290,8 +290,15 @@ def generate(spark: SparkSession, out_dir: str, scale: float) -> str:
         # single file per table, mirroring the driver fixture layout;
         # repartition(1) keeps the expression evaluation parallel and
         # funnels only the write through one task (matters at 64×).
+        # parquet.block.size 16 MB: scan parallelism in BOTH engines is
+        # bounded by row-group count, and the default 128 MB groups gave
+        # orders-at-64× only 2 row groups — a 2-way scan on a 32-core
+        # box, which benchmarks the file layout, not the engine. ~16 MB
+        # groups give the big tables 10–50 groups so splits land work.
         tmp = os.path.join(out_dir, f"_tmp_{name}")
-        gen().repartition(1).write.mode("overwrite").parquet(tmp)
+        gen().repartition(1).write.mode("overwrite").option(
+            "parquet.block.size", 16 * 1024 * 1024
+        ).parquet(tmp)
         part = next(
             f for f in os.listdir(tmp)
             if f.endswith(".parquet") and not f.startswith(".")
