@@ -67,6 +67,13 @@ __all__ = ["exact_percentiles", "exact_percentiles_multi"]
 # error bound from p, giving band coverage with 8× slack.
 _ACCURACY = 1_000
 _MARGIN = 10.0 / _ACCURACY
+# Below this group size the probe margin (10εn ranks) can be under the
+# 2-rank spread between k_lo's and k_hi's guarantees, so the band could
+# exclude a target rank (n=2, p=0.25 reproduces it). Such groups skip
+# the sketch band entirely — ±inf bounds mean the group aggregates all
+# its (few) values, which is exactly as cheap as it sounds. The 9εn ≥ 2
+# bound needs n ≥ 223 at ε=1e-3; 1000 adds 4× slack.
+_N_MIN = 1_000
 
 
 def exact_percentiles(
@@ -145,15 +152,20 @@ def exact_percentiles_multi(
             p = float(p)
             i = len(names)
             names.append(str(name))
+            small = F.col(f"__n{ci}") < _N_MIN
             lo = (
                 F.lit(float("-inf"))
                 if p - _MARGIN <= 0.0
-                else F.col(f"__qs{ci}").getItem(2 * si)
+                else F.when(small, F.lit(float("-inf"))).otherwise(
+                    F.col(f"__qs{ci}").getItem(2 * si)
+                )
             )
             hi = (
                 F.lit(float("inf"))
                 if p + _MARGIN >= 1.0
-                else F.col(f"__qs{ci}").getItem(2 * si + 1)
+                else F.when(small, F.lit(float("inf"))).otherwise(
+                    F.col(f"__qs{ci}").getItem(2 * si + 1)
+                )
             )
             pos = (F.col(f"__n{ci}") - F.lit(1)).cast("double") * F.lit(p)
             band_structs.append(
