@@ -801,16 +801,30 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     qty = F.col("l_quantity").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(12,4)")
+    # products in integer units (cents × 1e-4-discount = 1e-6 units):
+    # Spark's Decimal multiply routes through java.math.BigDecimal (the
+    # q1_pricing_summary finding — 4 products/row measured 24× the
+    # oracle at the 64× probe); long×long codegens to imuls. The sums
+    # accumulate the longs in decimal(28,0) and the single ÷10⁶ per
+    # GROUP is an exact decimal division, so the doubles entering the
+    # final quotient are bit-identical to the oracle's
+    # CAST(sum(decimal·decimal) AS DOUBLE).
+    d4 = cents_long("l_discount", 4)
+    num_p = (
+        F.sum((cents_long("l_extendedprice") * d4).cast("decimal(28,0)"))
+        / F.lit(10**6)
+    ).cast("double")
+    num_q = (
+        F.sum((cents_long("l_quantity") * d4).cast("decimal(28,0)"))
+        / F.lit(10**6)
+    ).cast("double")
     return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.sum(price * disc).cast("double")
-            / F.sum(price).cast("double"),
-            6,
-        ).alias("wavg_discount"),
-        F.round(
-            F.sum(qty * disc).cast("double") / F.sum(qty).cast("double"), 6
-        ).alias("qty_wavg_discount"),
+        F.round(num_p / F.sum(price).cast("double"), 6).alias(
+            "wavg_discount"
+        ),
+        F.round(num_q / F.sum(qty).cast("double"), 6).alias(
+            "qty_wavg_discount"
+        ),
     )
 
 

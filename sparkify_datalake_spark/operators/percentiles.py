@@ -6,7 +6,7 @@ aggregate: every partition builds a value→count map and the maps MERGE
 on one reducer task per group. With few groups and a large,
 high-cardinality value column (5 priorities × millions of distinct
 prices), the merge runs 5-way on a 32-core box and dominates the query
-(measured 50 s for ``agg_percentile`` at the 64× probe vs ~10 s for
+(measured 50 s for ``agg_percentile`` at the 64× probe vs ~8 s for
 this plan) — the same single-task-per-group collapse a naive
 ``Window.partitionBy(g).orderBy(v)`` rank would hit. At 100 TB it is a
 straight scale-killer.
@@ -22,36 +22,44 @@ fully-parallel scans and only KB-sized shuffles:
    rank span covers [k−8εn, k+8εn] ∋ {k_lo, k_hi}. The exact group
    count n (same scan) turns each p into its two order statistics
    ``k_lo/k_hi = floor/ceil((n−1)p)+1`` and interpolation fraction.
-2. **Selection scan**: re-scan, counting rows strictly below each
-   band start (partial count, one row per task×spec) and aggregating
-   ``(value, count)`` INSIDE each band (≈ 2·10εn rows per spec,
-   ~2 % of input at ε=1e-3). A windowed cumulative sum over those
-   tiny per-(group, spec) slices — thousands of rows, not millions —
-   locates the values at ranks k_lo and k_hi exactly.
+   The band frame re-enters the selection scan as a broadcast join —
+   never a driver collect — so the whole query stays one lazy plan.
+2. **Selection scan**: re-scan, bucketing every row per spec into a
+   single sort key: ``−inf`` below the band (these collapse to one
+   below-count row per task — the rank offset), the row's own value
+   inside the band (≈ 20εn rows per spec, ~2 % of input at ε=1e-3),
+   ``+inf`` above. A windowed cumulative count over those tiny
+   per-(group, spec) slices — thousands of rows, not millions —
+   locates the values at ranks k_lo and k_hi exactly; the −inf
+   sentinel folds the below-count into the same cumulative sum, so no
+   second aggregate or join is needed.
 3. Interpolate ``v_lo + (v_hi − v_lo)·frac`` — the arithmetic DuckDB's
    ``quantile_cont`` uses, so rounded results stay hash-identical to
    the oracle. A loud ``assert_true`` guards the band-coverage
-   invariant: if a sketch ever violated its error bound the query
-   fails instead of returning a silently-wrong quantile.
+   invariant (a pick landing on a ±inf sentinel or null means the
+   sketch violated its error bound): the query fails instead of
+   returning a silently-wrong quantile.
 
-The whole plan is lazy (the bracket frame re-enters as a broadcast
-join, not a driver collect), shuffles O(groups·specs·εn) rows against
-the input's O(n), and every phase is partial-aggregated map-side — the
-shape survives 1000 executors unchanged, which the object-hash merge
-cannot. Multiple value columns share the two scans
-(``exact_percentiles_multi``): ``agg_percentile``'s four quantiles
-over two columns cost one bracket scan + one selection scan total.
+The plan shuffles O(groups·specs·εn) rows against the input's O(n),
+and every phase is partial-aggregated map-side — the shape survives
+1000 executors unchanged, which the object-hash merge cannot. Multiple
+value columns share the two scans (``exact_percentiles_multi``):
+``agg_percentile``'s four quantiles over two columns cost one bracket
+scan + one selection scan total.
 
 Implementation notes that earned their keep at the 64× probe:
-- ``bands``/``contrib`` each feed two join branches; Catalyst does not
-  dedupe common subplans, so both carry a lazy ``localCheckpoint`` —
-  without it each branch re-runs a full input scan.
 - The input is deliberately NOT checkpointed: re-reading a pruned
   vectorized parquet scan measured 2× faster than re-reading a
-  row-format checkpoint of the same columns.
+  row-format checkpoint of the same columns (callers whose input is a
+  derived frame — a window, a join — SHOULD checkpoint it themselves,
+  as events_inter_arrival does).
 - Sketch accuracy 1000 is deliberate: the sketch then costs the same
   as a plain count scan (1.7 s on 38M rows) where 10000 costs 2.5×,
   and the wider band still shuffles only ~20εn rows per spec.
+- Groups smaller than ``_N_MIN`` bypass the sketch band (±inf bounds):
+  below ~223 values the probe margin (10εn ranks) can be under the
+  2-rank spread between k_lo's and k_hi's guarantees (n=2, p=0.25
+  reproduces the miss — the coverage assert caught it).
 """
 
 from __future__ import annotations
@@ -67,13 +75,12 @@ __all__ = ["exact_percentiles", "exact_percentiles_multi"]
 # error bound from p, giving band coverage with 8× slack.
 _ACCURACY = 1_000
 _MARGIN = 10.0 / _ACCURACY
-# Below this group size the probe margin (10εn ranks) can be under the
-# 2-rank spread between k_lo's and k_hi's guarantees, so the band could
-# exclude a target rank (n=2, p=0.25 reproduces it). Such groups skip
-# the sketch band entirely — ±inf bounds mean the group aggregates all
-# its (few) values, which is exactly as cheap as it sounds. The 9εn ≥ 2
-# bound needs n ≥ 223 at ε=1e-3; 1000 adds 4× slack.
+# Minimum group size for the sketch band to be trustworthy: 9εn ≥ 2
+# needs n ≥ 223 at ε=1e-3; 1000 adds 4× slack. Smaller groups use ±inf
+# bounds and aggregate all their (few) values.
 _N_MIN = 1_000
+
+_INF = float("inf")
 
 
 def exact_percentiles(
@@ -87,8 +94,9 @@ def exact_percentiles(
     ``specs`` is a list of ``(p, out_name)`` with 0 ≤ p ≤ 1. Returns a
     DataFrame of ``group_cols`` + one double column per ``out_name``
     (null group keys are not supported — callers group on non-null
-    dimension columns). Groups with no non-null value are absent from
-    the output, matching ``quantile_cont`` under GROUP BY.
+    dimension columns; values must be finite). Groups with no non-null
+    value are absent from the output, matching ``quantile_cont`` under
+    GROUP BY.
     """
     return exact_percentiles_multi(df, group_cols, [(value_col, specs)])
 
@@ -141,10 +149,12 @@ def exact_percentiles_multi(
         )
     stats = vals.groupBy(*g).agg(*aggs)
 
-    # One band row per (group, spec): probe values widened to ±inf when
-    # the probe clamped at 0/1 (the sketch endpoint is not guaranteed
-    # to be the true min/max). __i is the global spec index, __c the
-    # value-column index.
+    # One band row per (group, spec), carrying the rank targets and
+    # interpolation fraction through the whole pipeline (constants per
+    # spec, so they ride the group-by keys — no re-join later). Probe
+    # values widen to ±inf when the probe clamped at 0/1 (the sketch
+    # endpoint is not guaranteed to be the true min/max) or the group
+    # is too small for the margin guarantee.
     band_structs: list[Column] = []
     names: list[str] = []
     for ci, (_, specs) in enumerate(col_specs):
@@ -154,16 +164,16 @@ def exact_percentiles_multi(
             names.append(str(name))
             small = F.col(f"__n{ci}") < _N_MIN
             lo = (
-                F.lit(float("-inf"))
+                F.lit(-_INF)
                 if p - _MARGIN <= 0.0
-                else F.when(small, F.lit(float("-inf"))).otherwise(
+                else F.when(small, F.lit(-_INF)).otherwise(
                     F.col(f"__qs{ci}").getItem(2 * si)
                 )
             )
             hi = (
-                F.lit(float("inf"))
+                F.lit(_INF)
                 if p + _MARGIN >= 1.0
-                else F.when(small, F.lit(float("inf"))).otherwise(
+                else F.when(small, F.lit(_INF)).otherwise(
                     F.col(f"__qs{ci}").getItem(2 * si + 1)
                 )
             )
@@ -182,77 +192,57 @@ def exact_percentiles_multi(
     bands = (
         stats.select(*g, F.explode(F.array(*band_structs)).alias("__band"))
         .select(*g, "__band.*")
-        .where(F.col("__a").isNotNull())  # all-null column in a group
-        .localCheckpoint(eager=False)  # feeds two join branches
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
     )
 
     # Selection scan: row × spec fan-out is map-side only; the partial
-    # aggregate collapses below-counts to one row per (task, spec) and
-    # in-band values to their distinct-value counts before any shuffle.
+    # aggregate collapses below-band rows onto the −inf sentinel (one
+    # row per task × spec) and in-band values onto their distinct-value
+    # counts before any shuffle. Above-band rows collapse onto +inf.
     j = vals.join(F.broadcast(bands), g)
     vsel: Column = F.col("__v0")
     for ci in range(1, len(vcols)):
         vsel = F.when(F.col("__c") == ci, F.col(f"__v{ci}")).otherwise(vsel)
     j = j.withColumn("__vs", vsel).where(F.col("__vs").isNotNull())
-    in_band = F.col("__vs").between(F.col("__a"), F.col("__b"))
-    contrib = (
-        j.groupBy(
-            *g,
-            "__i",
-            F.when(in_band, F.col("__vs")).alias("__bv"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.sum(
-                F.when(F.col("__vs") < F.col("__a"), 1).otherwise(0)
-            ).alias("__nbelow"),
-        )
-        .localCheckpoint(eager=False)  # feeds two join branches
+    key = (
+        F.when(F.col("__vs") < F.col("__a"), F.lit(-_INF))
+        .when(F.col("__vs") > F.col("__b"), F.lit(_INF))
+        .otherwise(F.col("__vs"))
     )
-    # Rows below the band share the __bv=null key → their __nbelow sum
-    # is the exact rank offset; in-band keys carry value weights.
-    below = contrib.groupBy(*g, "__i").agg(
-        F.sum("__nbelow").alias("__c_below")
-    )
+    contrib = j.groupBy(
+        *g,
+        "__i",
+        "__k_lo",
+        "__k_hi",
+        "__frac",
+        key.alias("__bv"),
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+
+    # The −inf sentinel sorts first, so the running count over each
+    # tiny (group, spec) slice IS the global rank at each value.
     w_cum = (
         Window.partitionBy(*g, "__i")
         .orderBy("__bv")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    ranked = (
-        contrib.where(F.col("__bv").isNotNull())
-        .withColumn("__cum", F.sum("__cnt").over(w_cum))
-        .join(F.broadcast(below), [*g, "__i"])
-        .join(
-            F.broadcast(
-                bands.select(*g, "__i", "__k_lo", "__k_hi", "__frac")
-            ),
-            [*g, "__i"],
-        )
-    )
+    ranked = contrib.withColumn("__cum", F.sum("__cnt").over(w_cum))
     picked = ranked.groupBy(*g, "__i", "__k_lo", "__k_hi", "__frac").agg(
         F.min(
-            F.when(
-                F.col("__c_below") + F.col("__cum") >= F.col("__k_lo"),
-                F.col("__bv"),
-            )
+            F.when(F.col("__cum") >= F.col("__k_lo"), F.col("__bv"))
         ).alias("__v_lo"),
         F.min(
-            F.when(
-                F.col("__c_below") + F.col("__cum") >= F.col("__k_hi"),
-                F.col("__bv"),
-            )
+            F.when(F.col("__cum") >= F.col("__k_hi"), F.col("__bv"))
         ).alias("__v_hi"),
-        F.min("__c_below").alias("__cb"),
     )
-    # Coverage invariant, loudly enforced: the band must straddle both
-    # target ranks (c_below < k_lo and the band's last cumulative rank
-    # ≥ k_hi ⇒ both picks are non-null). assert_true yields NULL when
+    # Coverage invariant, loudly enforced: a null pick means the band's
+    # total rank mass fell short of a target; a ±inf pick means the
+    # target rank sat outside the band. assert_true yields NULL when
     # the invariant holds, so the coalesce is arithmetic identity.
     ok = (
         F.col("__v_lo").isNotNull()
         & F.col("__v_hi").isNotNull()
-        & (F.col("__cb") < F.col("__k_lo"))
+        & (F.col("__v_lo") > F.lit(-_INF))
+        & (F.col("__v_hi") < F.lit(_INF))
     )
     guard = F.coalesce(
         F.assert_true(
