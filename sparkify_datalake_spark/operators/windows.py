@@ -230,67 +230,77 @@ def win_ntile_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """win_range_ntile semantics without the 3-value-partition-key sort.
 
     The de-skewed 100 TB plan (same oracle as win_range_ntile — results
-    are identical, only the physical strategy changes):
+    are identical, only the physical strategy changes). Everything runs
+    over BAND-WIDTH PRICE BINS, bin = floor(price/1000): thousands of
+    bounded (status, bin) window partitions instead of the 3-value
+    status key, so no task ever sorts more than one bin's rows.
 
-    1. repartitionByRange on (status, price, orderkey): the range
-       partitioner's sampling splits hot statuses across many
-       partitions, so no task ever sorts more than ~n/64 rows.
-    2. Per-(partition, status) counts roll into running offsets (a
-       window over the tiny counts table), and each row's global
-       per-status rank = offset + row_number within its bounded range
-       partition — classic two-phase distributed ranking.
-    3. ntile(4) is computed arithmetically from (rank, status total)
+    1. Two-phase distributed ranking with bins as the ranges: the tiny
+       (status, bin) → count table rolls into running offsets (a window
+       over ~status×#bins rows, broadcast back), and each row's global
+       per-status rank = bin offset + row_number within its bin. Same
+       trick as sampled range-partitioned ranking, but the ranges are
+       data-defined and deterministic — no repartitionByRange sampling,
+       no pinned-partitioning materialization.
+    2. ntile(4) is computed arithmetically from (rank, status total)
        with exact SQL NTILE semantics (first n%4 tiles get the extra
        row).
-    4. The RANGE band count aggregates to one row per distinct (status,
-       price) FIRST (pennies-level prices: orders of magnitude smaller),
-       runs the ±1000 band as a windowed sum over that compact table,
-       and joins back — the same two-phase trick applies recursively if
-       even the distinct-price table were skewed.
+    3. The RANGE band count [p-1000, p] spans exactly bins {b-1, b}
+       because the bin width equals the frame width:
+       n_in_band = (same-bin rows with price' ≤ p: a RANGE running
+       count, sharing the step-1 exchange) + (prev-bin rows with
+       price' ≥ p-1000: a probe row at p-1000 unioned into bin b-1,
+       running data-count subtracted from the bin total). Each
+       partition's size is the intrinsic band cardinality — the rows
+       any engine must touch to answer the query. An earlier cut
+       aggregated to distinct (status, price) first and windowed THAT
+       by status alone — at the 64× probe, prices are 97% unique
+       (9.3M distinct of 9.6M), making the "compact" table the full
+       table and the status window a single-task 3M-row sort: 446 s.
+       The binned rewrite runs in seconds at the same scale.
     """
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
-    # localCheckpoint pins the physical partitioning: both consumers of
-    # `ranged` (the offsets/totals build and the final scan) must see the
-    # SAME pid assignment, and without materialization each consumer
-    # re-executes the range-sampling partitioner independently — correct
-    # only while replanning stays bit-deterministic, which is too fragile
-    # a contract to lean on. eager=False keeps the pin but defers
-    # materialization into the first job that touches it (the broadcast
-    # build), saving a whole scheduled job vs the eager form — once
-    # materialized, every later consumer reads the SAME pinned RDD, so
-    # the pid contract is unchanged.
-    ranged = (
-        orders.repartitionByRange(
-            n_parts, "o_orderstatus", "o_totalprice", "o_orderkey"
+    BAND = 1000.0
+    base = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn(
+            "bin", F.floor(F.col("o_totalprice") / F.lit(BAND)).cast("long")
         )
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
     )
 
-    sizes = ranged.groupBy("pid", "o_orderstatus").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # Tiny per-bin counts → running offsets and status totals. The
+    # table is (status × #bins) rows — bounded by the price domain over
+    # the band width, not by the row count; broadcastable.
+    bin_totals = base.groupBy("o_orderstatus", "bin").agg(
+        F.count(F.lit(1)).alias("bin_cnt")
     )
     w_off = (
         Window.partitionBy("o_orderstatus")
-        .orderBy("pid")
+        .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = sizes.select(
-        "pid",
+    offsets = bin_totals.select(
         "o_orderstatus",
-        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        "bin",
+        "bin_cnt",
+        F.coalesce(F.sum("bin_cnt").over(w_off), F.lit(0)).alias("off"),
     )
-    totals = sizes.groupBy("o_orderstatus").agg(
-        F.sum("cnt").alias("n_status")
+    totals = bin_totals.groupBy("o_orderstatus").agg(
+        F.sum("bin_cnt").alias("n_status")
     )
 
-    w_local = Window.partitionBy("pid", "o_orderstatus").orderBy(
+    # One exchange on (status, bin) serves BOTH window specs: the
+    # within-bin rank order (price, orderkey) and the same-bin RANGE
+    # count (price' <= p with exact tie handling).
+    w_bin_rank = Window.partitionBy("o_orderstatus", "bin").orderBy(
         "o_totalprice", "o_orderkey"
     )
-    rn = F.row_number().over(w_local) + F.col("off")
+    w_same = (
+        Window.partitionBy("o_orderstatus", "bin")
+        .orderBy("o_totalprice")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    rn = F.row_number().over(w_bin_rank) + F.col("off")
     q = F.col("n_status") - (F.col("n_status") % 4)  # 4 * (n div 4)
     r = F.col("n_status") % 4
     big = (q / 4 + 1).cast("long")  # size of the first r tiles
@@ -303,33 +313,66 @@ def win_ntile_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= r * big, F.ceil(F.col("rn") / big)
     ).otherwise(r + F.ceil((F.col("rn") - r * big) / small))
 
-    prices = orders.groupBy("o_orderstatus", "o_totalprice").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    w_band = (
-        Window.partitionBy("o_orderstatus")
-        .orderBy("o_totalprice")
-        .rangeBetween(-1000, 0)
-    )
-    band = prices.select(
-        "o_orderstatus",
-        "o_totalprice",
-        F.sum("c").over(w_band).alias("n_in_band"),
-    )
-
-    return (
-        ranged.join(F.broadcast(offsets), ["pid", "o_orderstatus"])
+    ranked = (
+        base.join(F.broadcast(offsets), ["o_orderstatus", "bin"])
         .join(F.broadcast(totals), "o_orderstatus")
+        .withColumn("same_le", F.count(F.lit(1)).over(w_same))
         .withColumn("rn", rn)
         .withColumn("quartile", quartile.cast("int"))
-        .join(band, ["o_orderstatus", "o_totalprice"])
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            "o_totalprice",
-            "n_in_band",
-            "quartile",
+    )
+
+    # Prev-bin contribution via probe rows: a probe at qprice = p-BAND
+    # lands in bin b-1 (exactly one band below p). Ordering
+    # (price, is_data) puts the probe BEFORE data rows tied at qprice,
+    # so the running data-count at the probe = #rows with price' <
+    # qprice strictly; the band wants price' >= qprice inclusive, i.e.
+    # bin_total - that count. Tied probes all see the same prefix and
+    # contribute 0 to the sum, so row-frame tie nondeterminism cannot
+    # reach the output.
+    data = base.select(
+        "o_orderstatus",
+        "bin",
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("is_data"),
+        F.lit(None).cast("long").alias("probe_key"),
+    )
+    probes = base.select(
+        "o_orderstatus",
+        (F.col("bin") - 1).alias("bin"),
+        (F.col("o_totalprice") - F.lit(BAND)).alias("price"),
+        F.lit(0).alias("is_data"),
+        F.col("o_orderkey").alias("probe_key"),
+    )
+    w_scan = (
+        Window.partitionBy("o_orderstatus", "bin")
+        .orderBy("price", "is_data")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_ge = (
+        data.unionByName(probes)
+        .withColumn("lt", F.sum("is_data").over(w_scan))
+        .where(F.col("is_data") == 0)
+        .join(
+            F.broadcast(
+                bin_totals.withColumnRenamed("bin_cnt", "prev_cnt")
+            ),
+            ["o_orderstatus", "bin"],
+            "left",
         )
+        .select(
+            F.col("probe_key").alias("o_orderkey"),
+            (F.coalesce(F.col("prev_cnt"), F.lit(0)) - F.col("lt")).alias(
+                "prev_ge"
+            ),
+        )
+    )
+
+    return ranked.join(prev_ge, "o_orderkey").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("same_le") + F.col("prev_ge")).alias("n_in_band"),
+        "quartile",
     )
 
 

@@ -99,18 +99,26 @@ def test_sampling_is_map_side_only(spark):
 
 
 def test_two_phase_ntile_has_no_status_only_window_sort(spark):
-    # the de-skewed variant range-partitions and MATERIALIZES the frame
-    # (localCheckpoint → Scan ExistingRDD carrying the pid column, so
-    # both consumers see one pid assignment), and the row-level
-    # row_number window partitions by (pid, status) — never status alone
+    # the de-skewed variant keys EVERY full-size window on
+    # (status, bin) — thousands of bounded band-width partitions —
+    # never on the 3-value status alone; the only status-keyed window
+    # allowed is the bin-offset rollup over the tiny
+    # (status × #bins) counts table, which orders by `bin`
     plan = _plan(spark, "win_ntile_twophase")
-    assert re.search(r"Scan ExistingRDD\[[^\]]*pid", plan), plan[:2000]
     assert "row_number()" in plan
-    assert "windowspecdefinition(pid" in plan
-    # no row_number/ntile window keyed on status alone
-    assert not re.search(
-        r"windowspecdefinition\(o_orderstatus[^)]*row_number", plan
-    )
+    assert re.search(
+        r"windowspecdefinition\(o_orderstatus#\d+, bin#\d+", plan
+    ), plan[:2000]
+    for m in re.finditer(
+        r"windowspecdefinition\(o_orderstatus#\d+, (\w+)#\d+", plan
+    ):
+        assert m.group(1) in {"bin"}, m.group(0)
+    # status-alone windows may only be the tiny offset rollup
+    # (ordered by bin) — never a row-level price sort
+    for m in re.finditer(
+        r"windowspecdefinition\(o_orderstatus#\d+, o_totalprice", plan
+    ):
+        raise AssertionError(f"status-only row-level window: {m.group(0)}")
 
 
 def test_ivf_probe_scan_reads_only_probed_partitions(spark):
