@@ -1443,12 +1443,15 @@ def orders_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: orders collapse to the (year, customer) revenue
     grain first — one partial-aggregatable shuffle, the only pass
-    over the fact table. The cohort pairing is a self LEFT join of
-    that (tiny relative to facts) grain on (customer, adjacent-year);
-    the trailing-edge year is censored via a 1-row broadcast max.
-    Money stays DECIMAL through grouping, joining, least() and the
-    final sums — only the ratio divides as double (identical IEEE
-    inputs in both engines, 6dp display rounding).
+    over the fact table. The adjacent-year pairing is a lead()
+    window over per-customer partitions (millions of ≤|years|-row
+    groups — the ideal window shape), NOT a self-join of the grain
+    on (customer, year+1): the join form shuffles the grain twice
+    and sort-merges it against itself, the window form shuffles it
+    once. The trailing-edge year is censored via a 1-row broadcast
+    max. Money stays DECIMAL through grouping, lead(), least() and
+    the final sums — only the ratio divides as double (identical
+    IEEE inputs in both engines, 6dp display rounding).
     """
     from sparkify_datalake_spark.functions.determinism import dec2
 
@@ -1465,21 +1468,20 @@ def orders_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     mx = yr.agg(F.max("y").alias("max_y"))
-    a = yr.alias("a")
-    b = yr.alias("b")
+    w_next = Window.partitionBy("o_custkey").orderBy("y")
     paired = (
-        a.join(
-            b,
-            (F.col("b.o_custkey") == F.col("a.o_custkey"))
-            & (F.col("b.y") == F.col("a.y") + 1),
-            "left",
-        )
+        yr.withColumn("lead_y", F.lead("y").over(w_next))
+        .withColumn("lead_rev", F.lead("rev").over(w_next))
         .crossJoin(F.broadcast(mx))
-        .filter(F.col("a.y") + 1 <= F.col("max_y"))
+        .filter(F.col("y") + 1 <= F.col("max_y"))
         .select(
-            (F.col("a.y") + 1).alias("y"),
-            F.col("a.rev").alias("rev0"),
-            F.coalesce(F.col("b.rev"), F.lit(0)).alias("rev1"),
+            (F.col("y") + 1).alias("y"),
+            F.col("rev").alias("rev0"),
+            F.when(
+                F.col("lead_y") == F.col("y") + 1, F.col("lead_rev")
+            )
+            .otherwise(F.lit(0))
+            .alias("rev1"),
         )
     )
     sum0 = F.sum("rev0")
