@@ -561,9 +561,12 @@ def stat_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms by a deterministic md5 split (the same stable-bucketing
     discipline as sample_hash_pct — assignment survives reruns and
     engine swaps, which real experiment pipelines require), conversion
-    = any purchase over 100 (every fixture user makes SOME purchase,
-    so a value gate keeps both rates interior and the pooled variance
-    nonzero). The per-user reduce is one user-keyed aggregate,
+    = any purchase over 100. A degenerate experiment (pooled rate 0
+    or 1 — e.g. at the 64× probe every user eventually clears the
+    value gate) has ZERO pooled variance: the z statistic is NULL
+    then, via try_divide, which mirrors DuckDB's division-by-zero →
+    NULL semantics where ANSI Spark would raise DIVIDE_BY_ZERO.
+    The per-user reduce is one user-keyed aggregate,
     the arms table is 2 rows, and the pooled-variance z statistic is
     closed-form arithmetic on 6 numbers — so the whole test costs one
     shuffle of events at any scale. z > 1.96 ⇒ 95% two-sided
@@ -620,11 +623,13 @@ def stat_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rate_b", 6).alias("rate_b"),
         F.round(F.col("rate_b") - F.col("rate_a"), 6).alias("lift_abs"),
         F.round(
-            (F.col("rate_b") - F.col("rate_a"))
-            / F.sqrt(
-                pooled
-                * (1 - pooled)
-                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            F.try_divide(
+                F.col("rate_b") - F.col("rate_a"),
+                F.sqrt(
+                    pooled
+                    * (1 - pooled)
+                    * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+                ),
             ),
             6,
         ).alias("z_stat"),
