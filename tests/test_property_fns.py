@@ -231,3 +231,28 @@ def test_band_lookup_covers_every_order_exactly_once(spark):
     n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
     assert df.count() == n_orders
     assert df.select("o_orderkey").distinct().count() == n_orders
+
+
+def test_ztest_degenerate_arms_yield_null_z(spark, tmp_path):
+    # 64x-probe regression: when every user converts, the pooled rate
+    # is 1.0 and the z denominator is sqrt(0) — the query must return
+    # a NULL z statistic (DuckDB's division-by-zero semantics), not
+    # raise ANSI DIVIDE_BY_ZERO
+    import datetime
+
+    from sparkify_datalake_spark.registry import queries
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, 0, i % 60), i % 97,
+         "purchase", 500.0, "{}")
+        for i in range(400)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = queries()["stat_abtest_ztest"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["rate_a"] == 1.0 and r["rate_b"] == 1.0
+    assert r["z_stat"] is None
