@@ -137,6 +137,11 @@ def main() -> None:
     ap.add_argument("--timeout", type=float, default=900.0)
     ap.add_argument("--only", default=None)
     ap.add_argument(
+        "--skip-exponents", action="store_true",
+        help="skip the 8x->64x exponent fits (they re-run the heavy "
+             "ops at both scales; pointless for a small --only patch)",
+    )
+    ap.add_argument(
         "--out", default=os.path.join(REPO, "BENCH_VS_DUCKDB_x64.json")
     )
     args = ap.parse_args()
@@ -205,7 +210,7 @@ def main() -> None:
 
     # 8×→64× Spark scaling exponents for the heavy hitters.
     exponents: dict[str, dict] = {}
-    for name in EXPONENT_OPS:
+    for name in [] if args.skip_exponents else EXPONENT_OPS:
         pts = {}
         for dirname, scale in ((args.pre_dir, args.pre_scale),
                                (args.dir, args.scale)):
