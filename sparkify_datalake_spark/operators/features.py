@@ -1574,3 +1574,72 @@ def stat_pairwise_ttest_bonferroni(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "feat_woe_iv",
+    """
+WITH c AS (
+  SELECT o_orderpriority AS category,
+    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_bad,
+    sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_good
+  FROM orders GROUP BY 1
+),
+t AS (SELECT category, n_bad, n_good,
+        sum(n_bad) OVER () AS tot_bad,
+        sum(n_good) OVER () AS tot_good
+      FROM c)
+SELECT category,
+  CAST(n_good AS BIGINT) AS n_good,
+  CAST(n_bad AS BIGINT) AS n_bad,
+  round(ln((n_good / CAST(tot_good AS DOUBLE))
+           / (n_bad / CAST(tot_bad AS DOUBLE))), 6) AS woe,
+  round(((n_good / CAST(tot_good AS DOUBLE))
+         - (n_bad / CAST(tot_bad AS DOUBLE)))
+        * ln((n_good / CAST(tot_good AS DOUBLE))
+             / (n_bad / CAST(tot_bad AS DOUBLE))), 8) AS iv_component
+FROM t
+WHERE n_good > 0 AND n_bad > 0
+""",
+)
+def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value per category —
+    the credit-scoring / risk-model feature transform (WOE replaces a
+    categorical level with ln(P(level|good)/P(level|bad)); summing
+    (pg−pb)·WOE over levels gives the feature's IV, the classic
+    keep/drop screen). Event definition: order status 'F' is the
+    "bad" outcome, o_orderpriority the encoded categorical.
+
+    One partial-aggregated scan to the |categories|-row grid; the
+    class totals come from an unpartitioned window over that grid
+    (feat_target_encode's no-second-fact-scan discipline — 5 rows, so
+    the single-partition window is free). Zero-count cells are
+    excluded (standard WOE practice: bins with an empty class get
+    merged upstream) — which also makes ln's argument strictly
+    positive in both engines. Counts are exact integers, the ratios
+    divide identical doubles, and 6/8dp rounding absorbs libm's
+    ≤1-ulp ln drift (the agg_entropy argument). At 100 TB: one
+    map-side-combinable fact pass, KB-sized everything after.
+    """
+    orders = load(spark, sf_dir, "orders")
+    bad = (F.col("o_orderstatus") == "F").cast("int")
+    c = orders.groupBy(
+        F.col("o_orderpriority").alias("category")
+    ).agg(
+        F.sum(bad).alias("n_bad"),
+        F.sum(1 - bad).alias("n_good"),
+    )
+    w_all = Window.partitionBy()
+    pg = F.col("n_good") / F.sum("n_good").over(w_all).cast("double")
+    pb = F.col("n_bad") / F.sum("n_bad").over(w_all).cast("double")
+    woe = F.log(pg / pb)
+    return (
+        c.select(
+            "category",
+            F.col("n_good").cast("long").alias("n_good"),
+            F.col("n_bad").cast("long").alias("n_bad"),
+            F.round(woe, 6).alias("woe"),
+            F.round((pg - pb) * woe, 8).alias("iv_component"),
+        )
+        .where((F.col("n_good") > 0) & (F.col("n_bad") > 0))
+    )

@@ -1631,3 +1631,77 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lid_guess")
     )
+
+
+@query(
+    "text_bigram_surprisal",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+pairs AS (
+  SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(ws)),
+          i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS pr
+    FROM t)
+),
+f2 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+f1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(avg(-log2(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))), 4)
+    AS bits_per_bigram
+FROM pairs JOIN f2 USING (w1, w2) JOIN f1 USING (w1)
+GROUP BY doc_id
+""",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram surprisal per document (bits/bigram): mean
+    -log2 p(w2|w1) under the corpus's own bigram LM — one model order
+    above text_unigram_surprisal, and the sharper template detector
+    (boilerplate repeats bigrams it fully predicts: near-0 bits;
+    natural prose stays several bits). The perplexity-filter shape of
+    CCNet/Gopher corpus pruning, closed over the fixture so it is
+    exactly checkable.
+
+    Same two-pass scale shape as the unigram twin: bigram and
+    first-token frequency tables are vocabulary-sized groupBys
+    (partial-aggregated map-side), then join back onto the pair
+    stream. The conditional denominator is c(w1,·) — counted over the
+    SAME pair stream, so p(w2|w1) = c12/c1 is a proper distribution
+    per w1. Docs with a single token have no bigram and are absent in
+    both engines. At 100 TB the unigram table still broadcasts; the
+    bigram table (~100M types on web corpora) crosses the broadcast
+    threshold and AQE picks the shuffle join — both joins here are
+    left unhinted for exactly that reason. Averaging in DOUBLE with
+    4dp rounding absorbs libm log2 drift (counts ≤ 6 digits ⇒ ratios
+    exact to 2^-47).
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    ).where(F.size("ws") >= 2)
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)-1),"
+                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("pr"),
+    ).select("doc_id", "pr.w1", "pr.w2")
+    f2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    f1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    surprisal = -F.log2(
+        F.col("c12").cast("double") / F.col("c1").cast("double")
+    )
+    return (
+        pairs.join(f2, ["w1", "w2"])
+        .join(f1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(surprisal), 4).alias("bits_per_bigram"),
+        )
+    )
