@@ -1679,6 +1679,13 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact to 2^-47).
     """
     docs = load(spark, sf_dir, "documents")
+    # Re-deriving tokenize+explode per consumer is the measured-best
+    # plan at the 64× probe (11.3 s): checkpointing the token frame
+    # gains nothing (11.6 s — split isn't the bottleneck, the three
+    # 16M-row explode+aggregate passes are), checkpointing the pair
+    # stream LOSES (14.6 s — row-format re-reads of 16M rows), and a
+    # (doc,w1,w2)-cell pre-aggregation loses badly (22.4 s — 3-key
+    # shuffle of the whole stream with no map-side reduction).
     t = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
     ).where(F.size("ws") >= 2)
