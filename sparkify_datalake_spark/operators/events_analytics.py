@@ -120,18 +120,22 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle: users grouped by first-seen
     week, counted in each subsequent activity week.
 
-    The cohort frame is user-sized and broadcasts back onto events; the
-    week offset is exact integer arithmetic on week-truncated
-    timestamps (both engines truncate to Monday 00:00, so the µs delta
-    is an exact multiple of a week — no date_diff boundary-counting
-    semantics to disagree about).
+    The cohort week comes from a whole-partition min() window over
+    user_id — ONE shuffle of events, no join. The earlier shape built
+    a per-user cohort frame and broadcast it back onto events: a
+    broadcast that scales with the user population (fine at fixture
+    SFs, impossible at 100 TB) AND a second derivation of the events
+    scan. The week offset is exact integer arithmetic on
+    week-truncated timestamps (both engines truncate to Monday 00:00,
+    so the µs delta is an exact multiple of a week — no date_diff
+    boundary-counting semantics to disagree about).
     """
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
-    cohort = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    cohort_week = F.date_trunc(
+        "week", F.min("ts").over(Window.partitionBy("user_id"))
     )
     return (
-        ev.join(F.broadcast(cohort), "user_id")
+        ev.withColumn("cohort_week", cohort_week)
         .select(
             F.col("cohort_week").cast("date").alias("cohort_wk_date"),
             (

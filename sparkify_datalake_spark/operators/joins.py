@@ -617,11 +617,14 @@ GROUP BY l.l_suppkey
 def join_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier fulfillment lead time (order date → ship date):
     mean/min/max days — the SLA/operations metric every supply chain
-    tracks, and a fact-to-fact join whose aggregate rides the join
-    output without a second shuffle (the groupBy key is a join-side
-    column, so Catalyst reuses the exchange where partitioning allows;
-    at fixture scale orders broadcasts and the whole query is
-    scan → broadcast-join → partial agg).
+    tracks. The join is fact-to-fact and deliberately UNHINTED:
+    orders is not a dimension, so forcing a broadcast is a scale bug
+    — at sf0.1 a broadcast happens to win, but at the 64× probe the
+    9.6M-row single-threaded hash build measured 10.6 s where AQE's
+    shuffle join runs the same query in ~6 s, and at 100 TB a fact
+    broadcast simply does not fit. AQE picks broadcast exactly while
+    the side stays under the threshold and crosses to shuffle when it
+    grows — the decision belongs to the planner, not the query.
 
     Day gaps are exact integers (datediff on DATE casts — the same
     cross-engine contract win_lag_lead pinned), so the mean is an
@@ -633,7 +636,7 @@ def join_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

@@ -292,11 +292,24 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     )
-    bcnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    # Checkpoint the vocabulary-sized count tables: each has multiple
+    # consumers (the u1/u2 joins and the corpus totals), and without
+    # the pin every consumer re-runs its corpus explode+groupBy. The
+    # totals tt/bb come from SUMS over these tiny frames, never from
+    # a second count() pass over the exploded corpus — the original
+    # shape ran the tokenize+explode FOUR times (16.0 s at the 64×
+    # probe; 2 passes after this fix). At web scale the bigram table
+    # crosses checkpoint-in-memory comfort — persist(DISK_ONLY) is
+    # the drop-in swap.
+    bcnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb")).localCheckpoint(
+        eager=False
+    )
     uni = toks.select(F.explode("toks").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-    stats = uni.agg(F.count(F.lit(1)).alias("tt")).crossJoin(
-        bg.agg(F.count(F.lit(1)).alias("bb"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=False
+    )
+    stats = ucnt.agg(F.sum("n").alias("tt")).crossJoin(
+        bcnt.agg(F.sum("nb").alias("bb"))
     )
     u1 = ucnt.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
     u2 = ucnt.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
