@@ -122,6 +122,16 @@ def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     money products codegen to imuls instead of BigDecimal multiplies,
     while accumulation stays exact decimal — identical output, ~2× on
     the per-row arithmetic of this full-lineitem aggregate.
+
+    Join ORDER is the load-bearing choice: orders ⋈ customer ⋈ nation
+    resolves n_name onto the 1-orders-per-key side FIRST (a shuffle of
+    |orders| + |customer| rows), and lineitem attaches last on
+    l_orderkey. Written left-deep from lineitem, the 4× larger
+    li ⋈ orders output re-shuffles in FULL on o_custkey to reach
+    customer — a second fact-sized exchange that Catalyst won't
+    reorder away without CBO stats (measured at the 64× probe: 9.0 s
+    left-deep vs ~5 s this shape). At 100 TB the saved exchange is
+    the whole game: facts should move once.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -130,10 +140,16 @@ def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev4 = cents_long("l_extendedprice") * (
         F.lit(100) - cents_long("l_discount")
     )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
+    ord_nat = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(customer.select("c_custkey", "c_nationkey"),
+              orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "n_name")
+    )
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord_nat, li.l_orderkey == ord_nat.o_orderkey)
         .groupBy("n_name")
         .agg(
             unit_sum(rev4, 4, "revenue"),
