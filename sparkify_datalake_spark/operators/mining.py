@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sparkify_datalake_spark.functions.determinism import cents_long
 from sparkify_datalake_spark.registry import query
 from sparkify_datalake_spark.sources.load import load
 
@@ -441,4 +442,165 @@ def mine_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(share), 6).alias("top_share"),
         )
         .orderBy("p_brand")
+    )
+
+
+@query(
+    "mine_skyline_orders",
+    """
+WITH pd AS (
+  SELECT o_totalprice AS p, CAST(o_orderdate AS DATE) AS d, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+top AS (
+  SELECT p, d, n FROM (
+    SELECT p, d, n,
+      row_number() OVER (PARTITION BY p ORDER BY d DESC) AS rn
+    FROM pd) t WHERE rn = 1
+),
+sky AS (
+  SELECT p, d, n,
+    max(d) OVER (
+      ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS md
+  FROM top
+)
+SELECT p AS o_totalprice, d AS skyline_date, n AS n_orders
+FROM sky WHERE md IS NULL OR d > md
+""",
+)
+def mine_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query over orders: the set of orders no
+    other order beats on BOTH price (lower better) and recency (newer
+    better) — the multi-criteria shortlist operator (cheapest-and-
+    freshest) relational engines answer with dominance semantics.
+
+    The 2-D skyline needs no quadratic dominance join: sort the distinct
+    price points ascending and keep a point iff its date beats the
+    running max date of all strictly-cheaper points (equal-price groups
+    first reduce to their newest date, which dominates the rest). The
+    oracle states exactly that single-pass formulation; dominance-
+    definition equivalence is pinned separately by a brute-force
+    NOT-EXISTS twin over sf0.001 in tests/test_skyline.py.
+
+    Scale shape: the running max is an UNPARTITIONED window — a
+    single-task sort at 100 TB — so it runs two-phase over band-width
+    price bins exactly like win_ntile_twophase's rank offsets: per-bin
+    max dates (a bins-sized frame, broadcastable) prefix-max into
+    "best date below this bin", and the within-bin running max is a
+    (bin)-partitioned window no task of which exceeds one bin. The
+    same trick linearizes any 2-D skyline; higher dimensions need the
+    block-nested-loop partition variant instead.
+    """
+    BAND = 1000.0
+    pd_ = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_totalprice").alias("p"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_top = Window.partitionBy("p").orderBy(F.col("d").desc())
+    top = (
+        pd_.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("bin", F.floor(F.col("p") / F.lit(BAND)).cast("long"))
+    )
+    bin_max = top.groupBy("bin").agg(F.max("d").alias("bin_max_d"))
+    w_pref = (
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = bin_max.select(
+        "bin", F.max("bin_max_d").over(w_pref).alias("below_bin_d")
+    )
+    w_run = (
+        Window.partitionBy("bin")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        top.join(F.broadcast(prev), "bin")
+        .withColumn("in_bin_d", F.max("d").over(w_run))
+        .withColumn(
+            "best_below",
+            F.greatest(
+                F.coalesce(F.col("below_bin_d"), F.lit("0001-01-01").cast("date")),
+                F.coalesce(F.col("in_bin_d"), F.lit("0001-01-01").cast("date")),
+            ),
+        )
+        .filter(F.col("d") > F.col("best_below"))
+    )
+    return sky.select(
+        F.col("p").alias("o_totalprice"),
+        F.col("d").alias("skyline_date"),
+        F.col("n").alias("n_orders"),
+    )
+
+
+@query(
+    "mine_price_elasticity",
+    """
+WITH pts AS (
+  SELECT p.p_type,
+    ln(sum(CAST(floor(round(l.l_extendedprice * 100)) AS BIGINT)) / 100.0
+       / sum(CAST(floor(round(l.l_quantity)) AS BIGINT))) AS lx,
+    ln(CAST(sum(CAST(floor(round(l.l_quantity)) AS BIGINT)) AS DOUBLE)) AS ly
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_type, l.l_partkey
+)
+SELECT p_type,
+  count(*) AS n_parts,
+  round(regr_slope(ly, lx), 6) AS elasticity,
+  round(regr_intercept(ly, lx), 6) AS intercept,
+  round(regr_r2(ly, lx), 6) AS r2
+FROM pts GROUP BY p_type
+""",
+)
+def mine_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per part type: each part
+    contributes one (ln avg unit price, ln total quantity) point, and
+    the per-type OLS slope of ln-quantity on ln-price IS the elasticity
+    — the pricing-analytics regression run straight in the engine, no
+    export to a stats stack.
+
+    Determinism: both sums feeding the logs are EXACT integers (cents
+    via the cents_long discipline, quantities are integral doubles), so
+    the division and ln see bit-identical operands in both engines and
+    the REGR_* moment arithmetic differences stay ~1e-12 — absorbed by
+    6dp rounding exactly like agg_linreg. Scale: the part join is
+    unhinted (AQE broadcasts the dimension while it fits), the per-part
+    grid partial-aggregates map-side, and the regression itself is
+    moment arithmetic over |parts| rows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    qty_long = F.round(F.col("l_quantity")).cast("long")
+    pts = (
+        li.join(
+            part.select("p_partkey", "p_type"),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_type", "l_partkey")
+        .agg(
+            F.sum(cents_long("l_extendedprice")).alias("cents"),
+            F.sum(qty_long).alias("qty"),
+        )
+        .select(
+            "p_type",
+            F.log(
+                (F.col("cents") / F.lit(100.0)) / F.col("qty")
+            ).alias("lx"),
+            F.log(F.col("qty").cast("double")).alias("ly"),
+        )
+    )
+    return pts.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.regr_slope(F.col("ly"), F.col("lx")), 6).alias(
+            "elasticity"
+        ),
+        F.round(F.regr_intercept(F.col("ly"), F.col("lx")), 6).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2(F.col("ly"), F.col("lx")), 6).alias("r2"),
     )

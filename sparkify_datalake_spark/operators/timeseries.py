@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sparkify_datalake_spark.functions.determinism import cents_long
 from sparkify_datalake_spark.operators.percentiles import exact_percentiles
 from sparkify_datalake_spark.registry import query
 from sparkify_datalake_spark.sources.load import load
@@ -1660,3 +1661,175 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     ).orderBy("month")
+
+
+@query(
+    "ts_theil_sen",
+    """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+    sum(CAST(floor(round(o_totalprice * 100)) AS BIGINT)) / 100.0 AS rev
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT (b.rev - a.rev) / (b.mi - a.mi) AS slope
+  FROM m a JOIN m b ON a.mi < b.mi
+),
+fit AS (
+  SELECT
+    (SELECT count(*) FROM m) AS n_months,
+    count(*) AS n_pairs,
+    quantile_cont(slope, 0.5) AS ts_slope
+  FROM slopes
+)
+SELECT CAST(n_months AS BIGINT) AS n_months,
+  CAST(n_pairs AS BIGINT) AS n_pairs,
+  round(ts_slope, 6) AS ts_slope,
+  round((SELECT quantile_cont(m.rev - fit.ts_slope * m.mi, 0.5) FROM m),
+        4) AS ts_intercept,
+  round((SELECT regr_slope(rev, mi) FROM m), 6) AS ols_slope
+FROM fit
+""",
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly revenue: the median of all
+    pairwise month-over-month slopes, with the median-residual
+    intercept and the OLS slope alongside (the robust/classical gap IS
+    the outlier diagnostic). The breakdown point is 29% — one crazy
+    month cannot move it, which is why ops dashboards prefer it over
+    OLS for run-rate trends.
+
+    Scale: the O(k²) pair enumeration runs on the MONTHLY rollup — k
+    is calendar-bounded (~36 rows → ~630 pairs at any data scale), so
+    the quadratic part is a broadcast self-join over a KB-sized frame;
+    the only full-scan work is the one partial-aggregated monthly
+    rollup. Determinism: monthly revenues are exact cents, slopes are
+    exact-double ratios of identical operands, and both engines
+    interpolate the median identically (the agg_percentile contract).
+    """
+    orders = load(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("mi")
+        )
+        .agg(F.sum(cents_long("o_totalprice")).alias("cents"))
+        .select("mi", (F.col("cents") / F.lit(100.0)).alias("rev"))
+        .localCheckpoint(eager=False)
+    )
+    a = m.select(F.col("mi").alias("mia"), F.col("rev").alias("reva"))
+    b = m.select(F.col("mi").alias("mib"), F.col("rev").alias("revb"))
+    slopes = a.join(
+        F.broadcast(b), F.col("mia") < F.col("mib")
+    ).select(
+        (
+            (F.col("revb") - F.col("reva")) / (F.col("mib") - F.col("mia"))
+        ).alias("slope")
+    )
+    fit = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("ts_slope"),
+    )
+    months = m.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(F.expr("regr_slope(rev, mi)"), 6).alias("ols_slope"),
+    )
+    resid = (
+        m.crossJoin(F.broadcast(fit))
+        .agg(
+            F.expr(
+                "percentile(rev - ts_slope * mi, 0.5)"
+            ).alias("ts_intercept_raw")
+        )
+    )
+    return (
+        fit.crossJoin(F.broadcast(months))
+        .crossJoin(F.broadcast(resid))
+        .select(
+            F.col("n_months").cast("long").alias("n_months"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("ts_slope"), 6).alias("ts_slope"),
+            F.round(F.col("ts_intercept_raw"), 4).alias("ts_intercept"),
+            "ols_slope",
+        )
+    )
+
+
+@query(
+    "events_cusum_chart",
+    """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT day, x,
+    row_number() OVER (ORDER BY day) AS t,
+    sum(x) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS run_sum,
+    sum(x) OVER () AS total,
+    count(*) OVER () AS n,
+    sum(x * x) OVER () AS total2
+  FROM daily
+)
+SELECT day, CAST(x AS BIGINT) AS x,
+  round(run_sum - t * (CAST(total AS DOUBLE) / n), 4) AS cusum,
+  round((run_sum - t * (CAST(total AS DOUBLE) / n))
+        / (sqrt(CAST(total2 AS DOUBLE) / n
+                - (CAST(total AS DOUBLE) / n) * (CAST(total AS DOUBLE) / n))
+           * sqrt(CAST(n AS DOUBLE))), 6) AS cusum_std,
+  (abs((run_sum - t * (CAST(total AS DOUBLE) / n))
+       / (sqrt(CAST(total2 AS DOUBLE) / n
+               - (CAST(total AS DOUBLE) / n) * (CAST(total AS DOUBLE) / n))
+          * sqrt(CAST(n AS DOUBLE)))) > 1.358) AS drifted
+FROM s
+""",
+)
+def events_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift chart over daily event volume: the cumulative sum of
+    deviations from the series mean, standardized by σ√n so the
+    excursion maximum follows the Brownian-bridge law under H0 — the
+    change-DETECTION twin of events_ewma_chart (EWMA reacts to recent
+    shifts, CUSUM accumulates small persistent ones), flagged at the
+    95% critical value 1.358.
+
+    Determinism: the running and total sums are INTEGER counts (exact
+    in any order), the mean/σ arithmetic applies identical IEEE ops to
+    identical operands in both engines, and t·μ uses the exact integer
+    rank — so 4/6dp rounds are belt-and-braces, not load-bearing.
+    Scale: one partial-agg daily rollup; every window runs over the
+    calendar-bounded daily frame (the unpartitioned windows are over
+    ~35 rows — at 100 TB the frame is still only days-in-retention).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = daily.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("x").over(w_run).alias("run_sum"),
+        F.sum("x").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum(F.col("x") * F.col("x")).over(w_all).alias("total2"),
+    )
+    mu = F.col("total").cast("double") / F.col("n")
+    cusum = F.col("run_sum") - F.col("t") * mu
+    sigma = F.sqrt(F.col("total2").cast("double") / F.col("n") - mu * mu)
+    std = cusum / (sigma * F.sqrt(F.col("n").cast("double")))
+    return s.select(
+        "day",
+        F.col("x").cast("long").alias("x"),
+        F.round(cusum, 4).alias("cusum"),
+        F.round(std, 6).alias("cusum_std"),
+        (F.abs(std) > 1.358).alias("drifted"),
+    )
