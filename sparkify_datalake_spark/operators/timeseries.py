@@ -503,26 +503,54 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind capacity planning, anomaly baselines and synthetic-load
     generation.
 
-    One lag window over the per-type time order produces integer-µs
-    gaps; percentiles interpolate over those exact integers (the same
-    linear-interpolation contract agg_percentile pinned across engines)
-    and the mean divides an exact integer sum — so 6dp rounding is
-    engine-exact. Scale: gaps are computed within event_type partitions
-    (entity-keyed window) and the percentile state is per-group — at
+    The gap multiset comes from a TWO-PHASE lag: event_type has only 5
+    values, so a window partitioned on it alone is five single-task
+    sorts of the whole stream (the documented low-cardinality window
+    hazard — measured 9.7 s at the 64× probe, ~6 s after this
+    rewrite). Phase 1 lags within (type, day) partitions —
+    calendar-bounded, hundreds of parallel tasks; phase 2 adds the one
+    cross-midnight gap per (type, day) from a days-sized first/last
+    frame (min/max epoch-µs per day, lagged over days). Consecutive-
+    in-full-order = consecutive-within-day ∪ day boundaries, so the
+    union is exactly the oracle's single-window gap multiset — and the
+    aggregate only sees the multiset. Percentiles interpolate over
+    exact integer µs (the agg_percentile contract) and the mean
+    divides an exact integer sum, so 6dp rounding is engine-exact; at
     100 TB swap the exact percentile for percentile_approx exactly as
     agg_approx_percentile demonstrates.
     """
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    # checkpoint: the sketch-bracketed exact percentile reads its input
-    # twice, and recomputing the lag window costs more than re-reading
-    # the materialized (type, gap) pairs.
-    gaps = (
-        ev.select("event_type", (us - F.lag(us).over(w)).alias("gap_us"))
-        .filter(F.col("gap_us").isNotNull())
-        .localCheckpoint(eager=False)
+    day = F.col("ts").cast("date")
+    w_day = Window.partitionBy("event_type", "day").orderBy(
+        "ts", "event_id"
     )
+    within = (
+        ev.select("event_type", day.alias("day"), us.alias("us"), "ts",
+                  "event_id")
+        .select(
+            "event_type",
+            (F.col("us") - F.lag("us").over(w_day)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    ends = ev.groupBy("event_type", day.alias("day")).agg(
+        F.min(us).alias("first_us"), F.max(us).alias("last_us")
+    )
+    w_days = Window.partitionBy("event_type").orderBy("day")
+    boundary = (
+        ends.select(
+            "event_type",
+            (
+                F.col("first_us") - F.lag("last_us").over(w_days)
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    # checkpoint: the sketch-bracketed exact percentile reads its input
+    # twice, and recomputing the lag windows costs more than re-reading
+    # the materialized (type, gap) pairs.
+    gaps = within.unionAll(boundary).localCheckpoint(eager=False)
     pct = exact_percentiles(
         gaps, ["event_type"], "gap_us", [(0.5, "p50"), (0.95, "p95")]
     )
