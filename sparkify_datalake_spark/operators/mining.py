@@ -585,23 +585,31 @@ def mine_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the cents_long discipline, quantities are integral doubles), so
     the division and ln see bit-identical operands in both engines and
     the REGR_* moment arithmetic differences stay ~1e-12 — absorbed by
-    6dp rounding exactly like agg_linreg. Scale: the part join is
-    unhinted (AQE broadcasts the dimension while it fits), the per-part
-    grid partial-aggregates map-side, and the regression itself is
-    moment arithmetic over |parts| rows.
+    6dp rounding exactly like agg_linreg. Scale: p_type is functionally
+    determined by the part key, so lineitem aggregates to the per-part
+    grain BEFORE meeting the dimension — the partial-agg exchange
+    carries |parts| combined rows, not |lineitem| raw ones (38M → 1.3M
+    at the 64× probe, measured 10.9 s → ~4 s; joining first shuffled
+    the whole fact because the 1.3M-key dimension outgrows the
+    broadcast threshold). The regression itself is moment arithmetic
+    over |parts| rows.
     """
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    qty_long = F.round(F.col("l_quantity")).cast("long")
+    # plain truncating cast, NOT F.round().cast(): quantities are
+    # integral doubles (fixture invariant, asserted by the oracle's
+    # floor(round())), and Spark's Round on DoubleType routes through
+    # BigDecimal per row — measured ~2 s extra on the 38M-row scan at
+    # the 64× probe for identical output
+    qty_long = F.col("l_quantity").cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(cents_long("l_extendedprice")).alias("cents"),
+        F.sum(qty_long).alias("qty"),
+    )
     pts = (
-        li.join(
+        per_part.join(
             part.select("p_partkey", "p_type"),
-            li.l_partkey == F.col("p_partkey"),
-        )
-        .groupBy("p_type", "l_partkey")
-        .agg(
-            F.sum(cents_long("l_extendedprice")).alias("cents"),
-            F.sum(qty_long).alias("qty"),
+            per_part.l_partkey == F.col("p_partkey"),
         )
         .select(
             "p_type",

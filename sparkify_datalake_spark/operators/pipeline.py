@@ -615,31 +615,41 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     first report run after any ingest/backfill, and the generalization
     of dq_constraints' single o_custkey check to the full schema graph.
 
-    Each edge is ONE broadcast LEFT-OUTER join of the child's FK column
-    against the deduped (broadcastable) parent key set, aggregated once:
-    n_child = count(*), n_orphans = count(fk non-null ∧ no parent hit).
-    One scan per child per edge — the earlier shape (separate count +
-    anti-join subtrees glued by a crossJoin) scanned every child TWICE
-    and fired a second broadcast per edge, because Spark does not dedupe
-    common plan subtrees (measured 2.07 s → ~1.2 s at sf0.1). The
-    parent dedupe keeps the 1:1 row preservation exact even if a parent
-    ever carried duplicate keys. At 100 TB each child scan prunes to
-    exactly the FK column (ReadSchema one column), the join stays
-    map-side, and the 7 one-row audits union into a single bounded
-    frame of independent jobs.
+    Each edge pre-aggregates the child to its FK KEY GRAIN first —
+    ``groupBy(fk).count()`` partial-aggregates map-side, so the
+    exchange carries one row per distinct key instead of one per child
+    row (38M → 9.6M for lineitem→orders at the 64× probe) — then runs
+    ONE key-grain LEFT-OUTER join against the deduped parent keys and
+    folds both audit numbers from the same join output: n_child =
+    Σcnt, n_orphans = Σcnt where the FK is non-null with no parent
+    hit. The join is deliberately UNHINTED: an earlier shape forced
+    ``broadcast(parent_keys)``, but parent key sets here grow with the
+    data (orders is 9.6M keys at 64× — a single-threaded hash build
+    today, impossible at 100 TB); AQE still broadcasts the genuinely
+    small parents (region, nation) and crosses to a co-partitioned
+    shuffle join for the fact-sized ones, whose child side is already
+    the deduped key grain. Two earlier defects stay fixed: each child
+    is scanned ONCE per edge pruned to the FK column (Spark does not
+    dedupe common subtrees — a count + anti-join pair scanned twice),
+    and the 7 one-row audits union into a single bounded frame.
     """
     out = None
     for child, ck, parent, pk in _FK_EDGES:
-        c = load(spark, sf_dir, child).select(ck)
+        kc = (
+            load(spark, sf_dir, child)
+            .groupBy(ck)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
         p = load(spark, sf_dir, parent).select(pk).distinct()
         row = (
-            c.join(F.broadcast(p), F.col(ck) == F.col(pk), "left_outer")
+            kc.join(p, F.col(ck) == F.col(pk), "left_outer")
             .agg(
-                F.count(F.lit(1)).alias("n_child"),
-                F.count(
+                F.sum("cnt").alias("n_child"),
+                F.sum(
                     F.when(
-                        F.col(ck).isNotNull() & F.col(pk).isNull(), 1
-                    )
+                        F.col(ck).isNotNull() & F.col(pk).isNull(),
+                        F.col("cnt"),
+                    ).otherwise(F.lit(0))
                 ).alias("n_orphans"),
             )
             .select(

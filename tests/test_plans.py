@@ -536,8 +536,11 @@ def test_spearman_joins_midranks_broadcast(spark):
 
 
 def test_referential_integrity_prunes_to_fk_column(spark):
-    # each child scan must read exactly the FK column, and every parent
-    # key set must arrive broadcast into its edge's single outer join.
+    # each child scan must read exactly the FK column and pre-aggregate
+    # to key grain; the joins are UNHINTED — at fixture scale the
+    # planner still broadcasts every (small) parent key set, while at
+    # 64×+ AQE crosses the fact-sized parents to shuffle joins (the
+    # old forced broadcast of 9.6M orders keys was a scale bug).
     plan = _plan(spark, "dq_referential_integrity")
     assert "ReadSchema: struct<l_orderkey:bigint>" in plan
     assert plan.count("BroadcastHashJoin") >= 7
