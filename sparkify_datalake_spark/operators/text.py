@@ -1712,3 +1712,78 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(surprisal), 4).alias("bits_per_bigram"),
         )
     )
+
+
+@query(
+    "text_burstiness",
+    """
+WITH tf AS (
+  SELECT doc_id, w, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents) t
+  GROUP BY 1, 2
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+term AS (
+  SELECT w, sum(c) AS total, sum(c * c) AS sq, count(*) AS df
+  FROM tf GROUP BY w
+),
+top AS (
+  SELECT w, total, sq, df FROM term
+  ORDER BY total DESC, w LIMIT 30
+)
+SELECT w AS term,
+  CAST(total AS BIGINT) AS total,
+  CAST(df AS BIGINT) AS doc_freq,
+  round(CAST(total AS DOUBLE) / n.n_docs, 6) AS mean_per_doc,
+  round((CAST(sq AS DOUBLE) / n.n_docs)
+        - (CAST(total AS DOUBLE) / n.n_docs)
+          * (CAST(total AS DOUBLE) / n.n_docs), 6) AS var_per_doc,
+  round(((CAST(sq AS DOUBLE) / n.n_docs)
+         - (CAST(total AS DOUBLE) / n.n_docs)
+           * (CAST(total AS DOUBLE) / n.n_docs))
+        / (CAST(total AS DOUBLE) / n.n_docs), 6) AS fano
+FROM top CROSS JOIN n
+""",
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness profile: per high-frequency term, the Fano
+    factor (variance-to-mean of its per-document count, zeros
+    included) — bursty terms (Fano ≫ 1) cluster in few documents
+    (topical/template markers) while Fano ≈ 1 is Poisson background;
+    the lexical-dispersion screen beside text_zipf_fit (head shape)
+    and text_freq_spectrum (tail shape).
+
+    The zero-count documents never materialize: with Σc and Σc² over
+    the documents CONTAINING the term, the all-docs moments follow
+    from the corpus size alone (zeros add nothing to either sum) — so
+    the plan is the standard tf grain, a vocabulary-sized rollup, a
+    top-30 bounded heap, and one broadcast scalar. All inputs to the
+    ratios are exact integers, so 6dp rounding is engine-exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = tf.groupBy("w").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    top = term.orderBy(F.col("total").desc(), "w").limit(30)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    mean = F.col("total").cast("double") / F.col("n_docs")
+    var = (F.col("sq").cast("double") / F.col("n_docs")) - mean * mean
+    return top.crossJoin(F.broadcast(n)).select(
+        F.col("w").alias("term"),
+        F.col("total").cast("long").alias("total"),
+        F.col("df").cast("long").alias("doc_freq"),
+        F.round(mean, 6).alias("mean_per_doc"),
+        F.round(var, 6).alias("var_per_doc"),
+        F.round(var / mean, 6).alias("fano"),
+    )

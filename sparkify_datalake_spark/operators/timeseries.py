@@ -1861,3 +1861,83 @@ def events_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(std, 6).alias("cusum_std"),
         (F.abs(std) > 1.358).alias("drifted"),
     )
+
+
+@query(
+    "events_imr_chart",
+    """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY 1
+),
+mr AS (
+  SELECT day, x,
+    abs(x - lag(x) OVER (ORDER BY day)) AS mr
+  FROM daily
+),
+s AS (
+  SELECT day, x, mr,
+    avg(CAST(x AS DOUBLE)) OVER () AS xbar,
+    avg(CAST(mr AS DOUBLE)) OVER () AS mrbar
+  FROM mr
+)
+SELECT day, CAST(x AS BIGINT) AS x, CAST(mr AS BIGINT) AS mr,
+  round(xbar, 4) AS center,
+  round(xbar + 2.66 * mrbar, 4) AS ucl_x,
+  round(xbar - 2.66 * mrbar, 4) AS lcl_x,
+  round(3.267 * mrbar, 4) AS ucl_mr,
+  (x > xbar + 2.66 * mrbar OR x < xbar - 2.66 * mrbar) AS x_out,
+  (mr IS NOT NULL AND mr > 3.267 * mrbar) AS mr_out
+FROM s
+""",
+)
+def events_imr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individuals / moving-range (I-MR) control chart on daily event
+    volume — the SPC chart for n=1 subgroups, completing the quartet
+    with events_error_pchart (proportions), events_ewma_chart (small
+    sustained shifts) and events_cusum_chart (accumulated drift). The
+    moving range |x_t − x_{t−1}| estimates short-term σ without
+    subgroups; limits use the standard d2-derived constants 2.66 and
+    3.267 (literals on both sides).
+
+    Determinism: x and mr are exact integers; x̄ and M̄R are integer
+    sums over the same row sets divided identically, so every limit
+    comparison sees bit-identical doubles. Scale: one partial-agg
+    daily rollup; the lag and the chart constants run over the
+    calendar-bounded daily frame.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    mr = daily.select(
+        "day",
+        "x",
+        F.abs(
+            F.col("x") - F.lag("x").over(Window.orderBy("day"))
+        ).alias("mr"),
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = mr.select(
+        "day",
+        "x",
+        "mr",
+        F.avg(F.col("x").cast("double")).over(w_all).alias("xbar"),
+        F.avg(F.col("mr").cast("double")).over(w_all).alias("mrbar"),
+    )
+    ucl_x = F.col("xbar") + 2.66 * F.col("mrbar")
+    lcl_x = F.col("xbar") - 2.66 * F.col("mrbar")
+    ucl_mr = 3.267 * F.col("mrbar")
+    return s.select(
+        "day",
+        F.col("x").cast("long").alias("x"),
+        F.col("mr").cast("long").alias("mr"),
+        F.round(F.col("xbar"), 4).alias("center"),
+        F.round(ucl_x, 4).alias("ucl_x"),
+        F.round(lcl_x, 4).alias("lcl_x"),
+        F.round(ucl_mr, 4).alias("ucl_mr"),
+        ((F.col("x") > ucl_x) | (F.col("x") < lcl_x)).alias("x_out"),
+        (F.col("mr").isNotNull() & (F.col("mr") > ucl_mr)).alias("mr_out"),
+    )
