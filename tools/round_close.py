@@ -1,23 +1,31 @@
 #!/usr/bin/env python
-"""Round-close artifact runner (VERDICT r5 item #2): one command that
-regenerates BOTH per-round artifacts so no round can ship hash-query
-edits without them again.
+"""Round-close artifact runner (VERDICT r5 #2, hardened per r6 #2): one
+command that gates and regenerates the per-round artifacts so no round
+can seal with a red contract or stale evidence again.
 
     python tools/round_close.py <round_number>
 
 Runs, in order (sequential on purpose — concurrent Spark sessions on
 this VM contend for all 32 cores and poison each other's timings):
 
+0. pytest tests/test_survey_contract.py — the §2↔registry drift guard.
+   Red contract → NO artifact is written (the r6 failure mode: queries
+   registered without their SURVEY rows, sealed unchecked).
 1. tools/local_correctness.py <round> → LOCAL_CORRECTNESS_r<N>.json
    (full-surface sf0.01 oracle sweep; exits nonzero on any hash fail,
    which aborts step 2 — a bench map for a wrong engine is worthless).
 2. bench.py at sf0.1 → refreshed BENCH_FULL_local.json.
+3. Freshness assert: both artifacts' query sets must equal
+   registry.queries() EXACTLY — a registered query missing a fresh row
+   (or a stale row for a deleted query) fails the close.
 
-Commit both files with the round-close commit.
+The commit carrying these artifacts must be the LAST commit of the
+round; any query edit after it re-runs this script.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -25,9 +33,34 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _assert_fresh(rnd: str) -> None:
+    sys.path.insert(0, REPO)
+    from sparkify_datalake_spark.registry import queries
+
+    declared = set(queries())
+    with open(os.path.join(REPO, f"LOCAL_CORRECTNESS_r{rnd}.json")) as f:
+        corr = set(json.load(f))  # top-level keys are the query names
+    with open(os.path.join(REPO, "BENCH_FULL_local.json")) as f:
+        bench = set(json.load(f)["queries"])
+    for label, got in (("LOCAL_CORRECTNESS", corr), ("BENCH_FULL", bench)):
+        if got != declared:
+            missing = sorted(declared - got)
+            stale = sorted(got - declared)
+            print(
+                f"STALE {label}: missing rows for {missing}; "
+                f"rows for unregistered {stale}",
+                file=sys.stderr,
+            )
+            sys.exit(3)
+    print(f"freshness ok: both artifacts cover exactly "
+          f"{len(declared)} registered queries")
+
+
 def main() -> None:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "X"
     steps = [
+        [sys.executable, "-m", "pytest",
+         os.path.join(REPO, "tests/test_survey_contract.py"), "-x", "-q"],
         [sys.executable, os.path.join(REPO, "tools/local_correctness.py"),
          rnd],
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -36,10 +69,11 @@ def main() -> None:
         print(f"== {' '.join(cmd)}", file=sys.stderr, flush=True)
         r = subprocess.run(cmd, cwd=REPO)
         if r.returncode != 0:
-            print(f"step failed ({r.returncode}): {' '.join(cmd)}",
-                  file=sys.stderr)
+            print(f"step failed ({r.returncode}): {' '.join(cmd)} — "
+                  "refusing to seal", file=sys.stderr)
             sys.exit(r.returncode)
-    print("round-close artifacts refreshed: "
+    _assert_fresh(rnd)
+    print("round-close artifacts refreshed + freshness-asserted: "
           f"LOCAL_CORRECTNESS_r{rnd}.json + BENCH_FULL_local.json")
 
 
