@@ -1720,7 +1720,8 @@ SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
   round(skew, 6) AS skewness,
   round(exkurt, 6) AS excess_kurtosis,
   round(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0), 4) AS jb_stat,
-  (n / 6.0 * (skew * skew + exkurt * exkurt / 4.0) > 5.991465) AS reject_normal
+  (round(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0), 4) > 5.991465)
+    AS reject_normal
 FROM m
 """,
 )
@@ -1732,9 +1733,14 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     yes. Shares agg_moments' raw-power-sum formulation (one partial
     aggregation, identical moment arithmetic both engines — NOT the
     builtin skewness/kurtosis, whose bias conventions differ); the χ²
-    threshold enters as the same literal on both sides, and rejection
-    on heavy-tailed revenue data is the expected (and informative)
-    outcome.
+    threshold enters as the same literal on both sides, compared
+    against the ROUNDED statistic so near-threshold rows can't flip on
+    summation-order noise, and rejection on heavy-tailed revenue data
+    is the expected (and informative) outcome. Scale note (as
+    agg_moments documents): raw power sums (s4 ~1e23 per row) lose
+    precision at very large n — the 100 TB path is pairwise co-moment
+    merging (Chan et al.), which this oracle-mirroring formulation
+    trades away for cross-engine bit-agreement at fixture scales.
     """
     orders = load(spark, sf_dir, "orders")
     x = F.col("o_totalprice")
@@ -1759,5 +1765,10 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
         F.round(jb, 4).alias("jb_stat"),
-        (jb > F.lit(5.991465)).alias("reject_normal"),
+        # compare the ROUNDED statistic (both engines): JB grows
+        # linearly with n while the raw power sums' summation order
+        # differs between engines, so the unrounded comparison could
+        # flip near the threshold at large SFs even with 6dp-identical
+        # skew/kurtosis
+        (F.round(jb, 4) > F.lit(5.991465)).alias("reject_normal"),
     )

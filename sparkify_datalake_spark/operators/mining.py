@@ -541,10 +541,14 @@ def mine_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") > F.col("run_d"))
         .select("p", "d")
     )
-    # per-point order counts: re-scan against the broadcast skyline —
-    # a map-side semi-join + small-key aggregate, never a fact shuffle
+    # per-point order counts: re-scan against the skyline. UNHINTED on
+    # purpose: the skyline is KB-sized on independent dimensions (AQE
+    # broadcasts it → map-side semi-join), but on anticorrelated
+    # price/date data it approaches the distinct-price count, and a
+    # forced broadcast there is a driver-OOM hazard — AQE falls back
+    # to a shuffle join whose child side is the tiny skyline grain
     return (
-        orders.join(F.broadcast(sky), ["p", "d"])
+        orders.join(sky, ["p", "d"])
         .groupBy("p", "d")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -596,12 +600,13 @@ def mine_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    # plain truncating cast, NOT F.round().cast(): quantities are
-    # integral doubles (fixture invariant, asserted by the oracle's
-    # floor(round())), and Spark's Round on DoubleType routes through
-    # BigDecimal per row — measured ~2 s extra on the 38M-row scan at
-    # the 64× probe for identical output
-    qty_long = F.col("l_quantity").cast("long")
+    # floor(x + 0.5), NOT F.round().cast(): matches the oracle's
+    # floor(round()) half-up semantics on any positive quantity
+    # (2.6 → 3, 24.999999 → 25 — a truncating cast diverged on
+    # non-integral values) while staying in codegen-native floor;
+    # Spark's Round on DoubleType routes through BigDecimal per row —
+    # measured ~2 s extra on the 38M-row scan at the 64× probe
+    qty_long = F.floor(F.col("l_quantity") + F.lit(0.5))
     per_part = li.groupBy("l_partkey").agg(
         F.sum(cents_long("l_extendedprice")).alias("cents"),
         F.sum(qty_long).alias("qty"),

@@ -644,12 +644,18 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = (
             kc.join(p, F.col(ck) == F.col(pk), "left_outer")
             .agg(
-                F.sum("cnt").alias("n_child"),
-                F.sum(
-                    F.when(
-                        F.col(ck).isNotNull() & F.col(pk).isNull(),
-                        F.col("cnt"),
-                    ).otherwise(F.lit(0))
+                # coalesce: sum over ZERO rows is NULL — an empty (or
+                # fully-pruned) child table must still audit as 0/0,
+                # not silently null out the relation's row
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_child"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(ck).isNotNull() & F.col(pk).isNull(),
+                            F.col("cnt"),
+                        ).otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
                 ).alias("n_orphans"),
             )
             .select(
