@@ -58,6 +58,7 @@ def _load_all_modules() -> None:
     import sparkify_datalake_spark.operators.events_analytics  # noqa: F401
     import sparkify_datalake_spark.operators.features  # noqa: F401
     import sparkify_datalake_spark.operators.mining  # noqa: F401
+    import sparkify_datalake_spark.operators.bpe  # noqa: F401
     import sparkify_datalake_spark.functions.scalar  # noqa: F401
     import sparkify_datalake_spark.functions.udfs  # noqa: F401
     import sparkify_datalake_spark.plans.composite  # noqa: F401
