@@ -536,14 +536,20 @@ def test_spearman_joins_midranks_broadcast(spark):
 
 
 def test_referential_integrity_prunes_to_fk_column(spark):
-    # each child scan must read exactly the FK column and pre-aggregate
-    # to key grain; the joins are UNHINTED — at fixture scale the
-    # planner still broadcasts every (small) parent key set, while at
-    # 64×+ AQE crosses the fact-sized parents to shuffle joins (the
-    # old forced broadcast of 9.6M orders keys was a scale bug).
+    # lineitem anchors 3 FK edges but must be scanned ONCE, pruned to
+    # exactly its 3 FK columns, with GROUPING SETS (Expand) computing
+    # every key grain in that single pass; the parent joins are
+    # UNHINTED — at fixture scale the planner still broadcasts every
+    # (small) parent key set, while at 64×+ AQE crosses the fact-sized
+    # parents to shuffle joins (the old forced broadcast of 9.6M
+    # orders keys was a scale bug).
     plan = _plan(spark, "dq_referential_integrity")
-    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
-    assert plan.count("BroadcastHashJoin") >= 7
+    li_scans = re.findall(r"FileScan parquet \[l_orderkey[^\]]*\]", plan)
+    assert len(li_scans) == 1, li_scans
+    assert "l_orderkey" in li_scans[0] and "l_partkey" in li_scans[0] \
+        and "l_suppkey" in li_scans[0]
+    assert "Expand" in plan, "grouping sets must expand in one pass"
+    assert plan.count("BroadcastHashJoin") >= 6
     assert "SortMergeJoin" not in plan
 
 
