@@ -304,9 +304,20 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("nb")).localCheckpoint(
         eager=False
     )
-    uni = toks.select(F.explode("toks").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
-        eager=False
+    # Unigram counts roll up from the SHARED session tf grain
+    # (corpus_grain.whitespace_tf_grain) — the burstiness/spectrum/
+    # surprisal siblings tokenize once between them and this query
+    # rides it, leaving the bigram explode above as its only own
+    # corpus pass.
+    from sparkify_datalake_spark.operators.corpus_grain import (
+        whitespace_tf_grain,
+    )
+
+    ucnt = (
+        whitespace_tf_grain(spark, sf_dir)
+        .groupBy("w")
+        .agg(F.sum("c").alias("n"))
+        .localCheckpoint(eager=False)
     )
     stats = ucnt.agg(F.sum("n").alias("tt")).crossJoin(
         bcnt.agg(F.sum("nb").alias("bb"))

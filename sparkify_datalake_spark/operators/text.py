@@ -784,33 +784,42 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tails; here the LM is the corpus's own unigram distribution, so the
     operator is closed over the fixture and exactly checkable).
 
-    Two aggregation passes over the token stream: (1) the unigram
-    frequency table — ONE groupBy whose output is vocabulary-sized, not
-    corpus-sized; (2) per-doc mean of -log2 p(token), with the
-    vocabulary table broadcast back onto the stream. At 100 TB the
-    vocabulary still fits comfortably in a broadcast (real corpora:
-    ~10M types) and both passes are partial-aggregated map-side.
-    Surprisal is averaged in DOUBLE: every addend is the same IEEE
-    double in both engines, and the 4dp round absorbs summation-order
-    noise at fixture scale (counts ≤ 6 digits ⇒ log2 exact to 2^-47).
+    Both aggregation passes ride the SHARED session tf grain
+    (corpus_grain.whitespace_tf_grain): (1) the unigram frequency
+    table is a vocabulary-sized rollup of it; (2) the per-doc mean of
+    -log2 p(token) folds as Σ(c·surprisal)/Σc over the grain with the
+    vocabulary table broadcast back on — token counts are additive, so
+    neither pass re-tokenizes the corpus. At 100 TB the vocabulary
+    still fits comfortably in a broadcast (real corpora: ~10M types)
+    and both rollups are partial-aggregated map-side. Surprisal stays
+    in DOUBLE: every addend is the same IEEE double in both engines
+    (the weighted fold multiplies each by an exact small integer), and
+    the 4dp round absorbs summation-order noise at fixture scale
+    (counts ≤ 6 digits ⇒ log2 exact to 2^-47).
     """
-    docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"),
+    from sparkify_datalake_spark.operators.corpus_grain import (
+        whitespace_tf_grain,
     )
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+
+    grain = whitespace_tf_grain(spark, sf_dir).select(
+        "doc_id", F.col("w").alias("t"), F.col("c").alias("dc")
+    )
+    freq = grain.groupBy("t").agg(F.sum("dc").alias("c"))
     total = freq.agg(F.sum("c").alias("n"))
     surprisal = -F.log2(
         F.col("c").cast("double") / F.col("n").cast("double")
     )
     return (
-        tok.join(F.broadcast(freq), "t")
+        grain.join(F.broadcast(freq), "t")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(surprisal), 4).alias("bits_per_token"),
+            F.sum("dc").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("dc").cast("double") * surprisal)
+                / F.sum("dc").cast("double"),
+                4,
+            ).alias("bits_per_token"),
         )
     )
 
@@ -1321,16 +1330,22 @@ def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     share — the lexical-statistics profile (hapax legomena = the k=1
     row) that distinguishes natural text from templated spam and
     complements text_zipf_fit's head-rank fit with the tail shape
-    Zipf's law actually lives in. Two partial-aggregatable groupBys
-    (token frequencies, then the spectrum over the vocab-sized frame)
-    plus a broadcast of the 5-row vocabulary totals; the k ≤ 10 cut
-    bounds the output at langs × 10 regardless of corpus size.
+    Zipf's law actually lives in. Rides the SHARED session tf grain
+    (corpus_grain.whitespace_tf_grain) — (lang, w) counts are a
+    partial-aggregatable rollup of it since lang is functional on
+    doc_id — then the spectrum over the vocab-sized frame plus a
+    broadcast of the 5-row vocabulary totals; the k ≤ 10 cut bounds
+    the output at langs × 10 regardless of corpus size.
     """
-    docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    from sparkify_datalake_spark.operators.corpus_grain import (
+        whitespace_tf_grain,
     )
-    tf = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n"))
+
+    tf = (
+        whitespace_tf_grain(spark, sf_dir)
+        .groupBy("lang", "w")
+        .agg(F.sum("c").alias("n"))
+    )
     vocab = tf.groupBy("lang").agg(F.count(F.lit(1)).alias("v"))
     return (
         tf.filter(F.col("n") <= 10)
@@ -1757,19 +1772,18 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     The zero-count documents never materialize: with Σc and Σc² over
     the documents CONTAINING the term, the all-docs moments follow
     from the corpus size alone (zeros add nothing to either sum) — so
-    the plan is the standard tf grain, a vocabulary-sized rollup, a
-    top-30 bounded heap, and one broadcast scalar. All inputs to the
-    ratios are exact integers, so 6dp rounding is engine-exact.
+    the plan is the SHARED tf grain (corpus_grain.whitespace_tf_grain —
+    tokenized once per session, reused by the spectrum/surprisal/
+    collocation siblings), a vocabulary-sized rollup, a top-30 bounded
+    heap, and one broadcast scalar. All inputs to the ratios are exact
+    integers, so 6dp rounding is engine-exact.
     """
-    docs = load(spark, sf_dir, "documents")
-    tf = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
-        )
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
+    from sparkify_datalake_spark.operators.corpus_grain import (
+        whitespace_tf_grain,
     )
+
+    docs = load(spark, sf_dir, "documents")
+    tf = whitespace_tf_grain(spark, sf_dir)
     term = tf.groupBy("w").agg(
         F.sum("c").alias("total"),
         F.sum(F.col("c") * F.col("c")).alias("sq"),
