@@ -749,18 +749,14 @@ def ivf_probe_scan(
     )
 
 
-@query("sim_ivf_topk")
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 for vec_id=0 via IVF: k-means buckets + nprobe search.
-
-    The inverted-file scale path the LSH variant complements: ivf_build
-    trains the k=8 coarse quantizer and persists the corpus PARTITIONED
-    BY cluster assignment once; a probe ranks the centroids against the
-    query and scans only the nprobe=3 nearest partitions (partition
-    pruning skips the rest — nprobe/k of the corpus, the actual IVF
-    win). Rows-only: recall is probabilistic by design; tests assert
-    overlap with the brute-force twin (sim_cosine_topk).
-    """
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
+) -> DataFrame:
+    """IVF ANN top-10 for vec_id=0 at an explicit nprobe — the
+    parameterized engine behind sim_ivf_topk, exposed so the
+    recall-vs-cost curve (tools/ann_curves.py, 64×-asserted in
+    tests/test_scaling.py) can sweep nprobe over the SAME plan the
+    registered query runs."""
     import numpy as np
     import pandas as pd
 
@@ -770,7 +766,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"],
         dtype=np.float64,
     )
-    probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:_IVF_NPROBE]
+    probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:nprobe]
 
     def score(batches):
         for pdf in batches:
@@ -802,6 +798,24 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for vec_id=0 via IVF: k-means buckets + nprobe search.
+
+    The inverted-file scale path the LSH variant complements: ivf_build
+    trains the k=8 coarse quantizer and persists the corpus PARTITIONED
+    BY cluster assignment once; a probe ranks the centroids against the
+    query and scans only the nprobe=3 nearest partitions (partition
+    pruning skips the rest — nprobe/k of the corpus, the actual IVF
+    win). Rows-only: recall is probabilistic by design; tests assert
+    overlap with the brute-force twin (sim_cosine_topk), and the
+    nprobe∈{1,2,4,8} recall-vs-scanned-fraction curve at the 64× probe
+    fixture is pinned in tests/test_scaling.py (artifact
+    ANN_CURVES_x64.json).
+    """
+    return ivf_topk(spark, sf_dir, _IVF_NPROBE)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the compression path that complements
 # LSH (bucketing) and IVF (partition pruning): 64-dim float vectors
@@ -810,12 +824,24 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB corpus's codes fit in cluster memory and the search scans
 # codes, not floats.
 
-_PQ_M = 8          # subspaces (64 dims → 8 per subspace)
-_PQ_K = 32         # centroids per subspace (5-bit codes)
-_PQ_TRAIN_N = 512  # training-sample size (FAISS-style sampled training)
-_PQ_RERANK = 200   # ADC candidates re-ranked exactly (recall-tested at
-                   # sf0.001/0.01/0.1; PQ at k=32 is still coarse, so
-                   # the refine pool is deliberately generous — ≪ corpus)
+_PQ_M = 8           # subspaces (64 dims → 8 per subspace)
+_PQ_K = 64          # centroids per subspace (6-bit codes). k=32 (40-bit
+                    # sketches) measured recall@10 = 0.4–0.6 at the 64×
+                    # probe even with a 2000-candidate refine pool — the
+                    # sketch itself ran out of resolution at 128k
+                    # near-isotropic vectors; k=64 restores the bound
+                    # (see ANN_CURVES_x64.json).
+_PQ_TRAIN_N = 2048  # training-sample size (FAISS-style sampled
+                    # training; ≥32 samples per centroid at full size,
+                    # the vec_id< filter self-clamps on small corpora)
+_PQ_RERANK = 2000  # ADC candidates re-ranked exactly. PQ at k=32 is a
+                   # coarse 40-bit sketch, so the refine pool must grow
+                   # with the corpus's ADC-collision mass: 200 measured
+                   # recall@10 = 0.4 at the 64× probe (128k vectors);
+                   # 2000 (1.6% of that corpus, still ≪ any real one)
+                   # restores it — see ANN_CURVES_x64.json. The pool is
+                   # a broadcast of ids + one pruned rejoin, so the
+                   # exact-rerank cost stays O(pool), not O(corpus).
 _PQ_CODEBOOKS: dict[str, "object"] = {}
 
 
@@ -840,7 +866,10 @@ def pq_build(spark: SparkSession, sf_dir: str, force: bool = False):
     """
     import numpy as np
 
-    kind_dir = _index_dir(sf_dir, "pq")
+    # hyperparameters are part of the index identity: retuning m/k/train
+    # must NEVER silently reuse codes built under the old geometry (a
+    # k=32 codebook read into a k=64 array is garbage, not an error)
+    kind_dir = _index_dir(sf_dir, f"pq_m{_PQ_M}_k{_PQ_K}_t{_PQ_TRAIN_N}")
     books_path = os.path.join(kind_dir, "codebooks")
     codes_path = os.path.join(kind_dir, "codes")
     built = (

@@ -63,3 +63,44 @@ def test_scaling_is_roughly_linear(spark, name):
         f"{name}: time grew {t_ratio:.1f}x for {n_ratio:.0f}x rows "
         f"({t_small:.2f}s -> {t_large:.2f}s)"
     )
+
+
+# --- ANN recall-vs-cost curves at the 64× probe (VERDICT r6 #6) -----------
+# The committed artifact ANN_CURVES_x64.json is produced by
+# tools/ann_curves.py; this test re-derives the same numbers from the
+# live index when the 64× fixture exists, so artifact and assertions
+# cannot drift apart silently. Claims: recall@10 is monotone
+# non-decreasing in nprobe and exact at nprobe=k (candidates only
+# grow; full scan is brute force), and the scanned fraction tracks
+# the nprobe/k pruning budget (1.25× headroom for quantizer
+# imbalance — a hot cluster would blow far past it).
+
+_X64 = "/tmp/sparkify_probe_x64_v2"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").path.exists(f"{_X64}/_PROBE_OK"),
+    reason="64x probe fixture not generated (tools/ann_curves.py builds it)",
+)
+def test_ann_recall_cost_curves_at_64x(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from ann_curves import ivf_curve, pq_recall
+
+    curve = ivf_curve(spark, _X64)
+    recalls = [p["recall_at_10"] for p in curve["points"]]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0, (
+        f"nprobe=k must be exact (full scan), got {recalls[-1]}"
+    )
+    for p in curve["points"]:
+        assert p["scanned_frac"] <= p["budget_frac"] * 1.25, (
+            f"nprobe={p['nprobe']} scanned {p['scanned_frac']:.3f} "
+            f"of corpus vs budget {p['budget_frac']:.3f} — skewed quantizer"
+        )
+    assert pq_recall(spark, _X64)["recall_at_10"] >= 0.7, (
+        "PQ ADC+rerank recall collapsed at 64x"
+    )
