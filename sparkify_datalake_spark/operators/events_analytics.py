@@ -2123,3 +2123,73 @@ def orders_purchase_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_gap_days",
         )
     )
+
+
+@query(
+    "events_entropy_rate",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+tr AS (
+  SELECT prev AS state, event_type AS nxt, count(*) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+st AS (
+  SELECT state, sum(n) AS n_out FROM tr GROUP BY 1
+),
+tot AS (SELECT sum(n) AS nt FROM tr),
+h AS (
+  SELECT tr.state, st.n_out,
+    -sum((CAST(tr.n AS DOUBLE) / st.n_out)
+         * log2(CAST(tr.n AS DOUBLE) / st.n_out)) AS h_bits
+  FROM tr JOIN st ON tr.state = st.state GROUP BY 1, 2
+)
+SELECT h.state,
+  CAST(h.n_out AS BIGINT) AS n_out,
+  round(CAST(h.n_out AS DOUBLE) / t.nt, 6) AS pi,
+  round(h.h_bits, 6) AS h_bits,
+  round((CAST(h.n_out AS DOUBLE) / t.nt) * h.h_bits, 6) AS rate_contrib
+FROM h CROSS JOIN tot t
+""",
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov entropy rate of the per-user event stream,
+    by state: H(next|state) in bits with the stationary weight π(state)
+    and the per-state contribution π·H whose sum is the chain's entropy
+    rate — the predictability number behind events_markov's transition
+    matrix (a low-rate stream is templated/bot-like; a rate near
+    log2(#types) is memoryless noise). Same lag-window grain as
+    events_markov, one transition-count rollup (25 rows at 5 types),
+    then vocabulary-sized arithmetic: every probability is a ratio of
+    exact integers and the ≤5-term log2 sums reduce identical doubles
+    in both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    tr = (
+        seq.groupBy(F.col("prev").alias("state"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    st = tr.groupBy("state").agg(F.sum("n").alias("n_out"))
+    tot = tr.agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("n_out")
+    h = (
+        tr.join(F.broadcast(st), "state")
+        .groupBy("state", "n_out")
+        .agg((-F.sum(p * F.log2(p))).alias("h_bits"))
+    )
+    pi = F.col("n_out").cast("double") / F.col("nt")
+    return h.crossJoin(F.broadcast(tot)).select(
+        "state",
+        F.col("n_out").cast("long").alias("n_out"),
+        F.round(pi, 6).alias("pi"),
+        F.round("h_bits", 6).alias("h_bits"),
+        F.round(pi * F.col("h_bits"), 6).alias("rate_contrib"),
+    )

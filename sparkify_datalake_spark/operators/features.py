@@ -1772,3 +1772,164 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         # skew/kurtosis
         (F.round(jb, 4) > F.lit(5.991465)).alias("reject_normal"),
     )
+
+
+@query(
+    "stat_brown_forsythe",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+z AS (
+  SELECT e.event_type,
+    CAST(round(abs(e.value - m.med) * 200) AS BIGINT) AS z
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+g AS (
+  SELECT event_type, count(*) AS n, sum(z) AS s, sum(z * z) AS ss
+  FROM z GROUP BY 1
+),
+tot AS (
+  SELECT sum(n) AS nt, count(*) AS k,
+         sum(CAST(s AS DOUBLE) * s / n) AS group_sq,
+         sum(CAST(s AS DOUBLE)) AS st, sum(CAST(ss AS DOUBLE)) AS sst,
+         max(CAST(s AS DOUBLE) / n) AS max_dev,
+         min(CAST(s AS DOUBLE) / n) AS min_dev
+  FROM g
+)
+SELECT
+  CAST(k AS BIGINT) AS n_groups,
+  CAST(nt AS BIGINT) AS n_total,
+  round(((group_sq - st * st / nt) / (k - 1))
+        / ((sst - group_sq) / (nt - k)), 6) AS w_stat,
+  round(max_dev / min_dev, 6) AS dev_ratio
+FROM tot
+""",
+)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test for equal variances across the five event
+    types: a one-way ANOVA on |x − group MEDIAN| (Levene's W with the
+    robust center) — the homogeneity-of-variance gate run BEFORE
+    trusting stat_anova_oneway/stat_welch_ttest defaults, plus the
+    max/min mean-deviation ratio as the effect size.
+
+    Numeric discipline: group medians come from exact_percentiles (the
+    sketch-bracketed exact-selection engine — cross-engine interpolated-
+    median equality is already hash-proven by agg_percentile/agg_mad);
+    deviations are then rounded to HALF-cents (×200 — a median of
+    cent-exact doubles lands on the half-cent lattice) so every
+    downstream sum is an exact integer, and the W statistic reduces the
+    5-row group frame exactly as stat_anova_oneway does. Scale: one
+    median pass + one integer-aggregated pass, both partial-aggregated;
+    the 5-row median frame broadcasts back.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = exact_percentiles(ev, ["event_type"], "value", [(0.5, "med")])
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.round(F.abs(F.col("value") - F.col("med")) * 200)
+        .cast("long")
+        .alias("z"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("ss"),
+    )
+    sd, nd = F.col("s").cast("double"), F.col("n")
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(sd * F.col("s") / nd).alias("group_sq"),
+        F.sum(sd).alias("st"),
+        F.sum(F.col("ss").cast("double")).alias("sst"),
+        F.max(sd / nd).alias("max_dev"),
+        F.min(sd / nd).alias("min_dev"),
+    )
+    nt, k = F.col("nt"), F.col("k")
+    gsq, st, sst = F.col("group_sq"), F.col("st"), F.col("sst")
+    return tot.select(
+        k.cast("long").alias("n_groups"),
+        nt.cast("long").alias("n_total"),
+        F.round(
+            ((gsq - st * st / nt) / (k - 1)) / ((sst - gsq) / (nt - k)), 6
+        ).alias("w_stat"),
+        F.round(F.col("max_dev") / F.col("min_dev"), 6).alias("dev_ratio"),
+    )
+
+
+@query(
+    "stat_grubbs_max",
+    """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT event_type, count(*) AS n, sum(cents) AS s,
+         sum(cents * cents) AS ss
+  FROM c GROUP BY 1
+),
+m AS (
+  SELECT c.event_type, max(abs(c.cents * g.n - g.s)) AS mdev
+  FROM c JOIN g ON c.event_type = g.event_type
+  GROUP BY 1
+)
+SELECT g.event_type,
+  CAST(g.n AS BIGINT) AS n,
+  round(CAST(m.mdev AS DOUBLE) / g.n / 100, 2) AS max_absdev,
+  round((CAST(m.mdev AS DOUBLE) / g.n)
+        / sqrt((g.ss - CAST(g.s AS DOUBLE) * g.s / g.n) / (g.n - 1)),
+        6) AS g_stat
+FROM g JOIN m ON g.event_type = m.event_type
+""",
+)
+def stat_grubbs_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' extreme-studentized-deviate statistic per event type:
+    G = max|x − x̄| / s — the parametric single-outlier screen
+    complementing stat_iqr_outliers (quartile fences flag the bulk
+    tail; G asks whether the single most extreme point is implausible
+    under normality, the first question after a feed glitch).
+
+    Exact-integer trick: max|x − s/n| rescales to max|x·n − s| — an
+    exact BIGINT per row (cents ≤ 1e8, n ≤ 1e7 at sf10: within int64
+    headroom; beyond that the documented path is the DECIMAL(38,0)
+    co-moment discipline of stat_cuped_adjustment) — so both engines
+    reduce identical integers and only the final two divisions are
+    doubles. Two partial-aggregated passes (moments, then the max-dev
+    fold with the 5-row moment frame broadcast back).
+    """
+    c = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    m = (
+        c.join(F.broadcast(g), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") * F.col("n") - F.col("s")).alias("dev"),
+        )
+        .groupBy("event_type")
+        .agg(F.max("dev").alias("mdev"))
+    )
+    sd = F.col("s").cast("double")
+    return g.join(m, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("mdev").cast("double") / F.col("n") / 100, 2).alias(
+            "max_absdev"
+        ),
+        F.round(
+            (F.col("mdev").cast("double") / F.col("n"))
+            / F.sqrt(
+                (F.col("ss") - sd * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("g_stat"),
+    )

@@ -634,3 +634,62 @@ def mine_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.regr_r2(F.col("ly"), F.col("lx")), 6).alias("r2"),
     )
+
+
+@query(
+    "orders_hill_tail_index",
+    """
+WITH top AS (
+  SELECT o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 501
+),
+thr AS (SELECT min(o_totalprice) AS xk FROM top),
+hd AS (
+  SELECT o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 500
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS k_used,
+  round(any_value(t.xk), 2) AS x_threshold,
+  round(count(*) / sum(ln(hd.o_totalprice / t.xk)), 6) AS hill_alpha,
+  round(avg(ln(hd.o_totalprice / t.xk)), 6) AS mean_log_excess
+FROM hd CROSS JOIN thr t
+""",
+)
+def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index over the top-500
+    orders: α̂ = k / Σ ln(x_i / x_(k+1)) — the standard power-law
+    heaviness gauge (α ≤ 2 ⇒ infinite variance: percentile SLAs and
+    mean-based capacity planning stop working). Complements
+    mine_abc_pareto (cumulative concentration) and stat_benford (digit
+    law) with the extreme-value view.
+
+    The only corpus-sized work is two bounded top-k heaps
+    (TakeOrderedAndProject — per-partition heaps, no global sort);
+    ties pin deterministically via the (price DESC, orderkey) total
+    order. The 500-term ln sum reduces identical doubles in both
+    engines; 6dp rounding absorbs summation-order noise (the
+    text_zipf_fit precedent).
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    ordered = orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    thr = ordered.limit(501).agg(F.min("o_totalprice").alias("xk"))
+    hd = ordered.limit(500).select("o_totalprice")
+    lx = F.log(F.col("o_totalprice") / F.col("xk"))
+    return (
+        hd.crossJoin(F.broadcast(thr))
+        .agg(
+            F.count(F.lit(1)).alias("_k"),
+            F.any_value(F.col("xk")).alias("_xk"),
+            F.sum(lx).alias("_slog"),
+            F.avg(lx).alias("_mlog"),
+        )
+        .select(
+            F.col("_k").cast("long").alias("k_used"),
+            F.round("_xk", 2).alias("x_threshold"),
+            F.round(F.col("_k") / F.col("_slog"), 6).alias("hill_alpha"),
+            F.round("_mlog", 6).alias("mean_log_excess"),
+        )
+    )

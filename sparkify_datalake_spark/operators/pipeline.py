@@ -873,3 +873,68 @@ def dq_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_gap_days") / F.col("n_days").cast("double"), 6
         ).alias("gap_share"),
     ).orderBy("month")
+
+
+@query(
+    "dq_freshness_lag",
+    """
+WITH f AS (
+  SELECT 'orders' AS feed, max(o_orderdate) AS latest FROM orders
+  UNION ALL
+  SELECT 'lineitem', max(l_shipdate) FROM lineitem
+  UNION ALL
+  SELECT 'events', max(ts) FROM events
+),
+ref AS (SELECT max(latest) AS now_ts FROM f)
+SELECT f.feed, f.latest,
+  CAST(date_diff('hour', f.latest, r.now_ts) AS BIGINT) AS lag_hours,
+  f.latest = r.now_ts AS is_freshest
+FROM f CROSS JOIN ref r
+ORDER BY f.feed
+""",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness audit: each feed's latest timestamp and its lag
+    (hours) behind the freshest feed in the lake — the silent-stall
+    detector (a connector that stopped three days ago still passes
+    row-count and FK audits; it fails THIS one). Completes the dq
+    family's time axis alongside dq_calendar_gaps (holes inside a
+    feed) with the cross-feed staleness view.
+
+    Three column-pruned max() scans (partial-aggregated — each reads
+    one column and reduces map-side to per-partition maxima), a 3-row
+    union, and a broadcast 1-row reference. Timestamp comparisons are
+    exact; the hour diff truncates identically in both engines
+    (timestamps are microsecond-exact fixture values).
+    """
+    feeds = [
+        ("orders", "o_orderdate"),
+        ("lineitem", "l_shipdate"),
+        ("events", "ts"),
+    ]
+    f = None
+    for feed, col in feeds:
+        row = (
+            load(spark, sf_dir, feed)
+            .agg(F.max(col).alias("latest"))
+            .select(F.lit(feed).alias("feed"), "latest")
+        )
+        f = row if f is None else f.unionByName(row)
+    ref = f.agg(F.max("latest").alias("now_ts"))
+    # DuckDB's date_diff('hour', a, b) counts hour-BOUNDARY crossings,
+    # not floor(elapsed/3600): truncate both ends to the hour first so
+    # the Spark arithmetic is that same crossing count by construction
+    lag_h = (
+        F.unix_timestamp(F.date_trunc("hour", F.col("now_ts")))
+        - F.unix_timestamp(F.date_trunc("hour", F.col("latest")))
+    ) / 3600
+    return (
+        f.crossJoin(F.broadcast(ref))
+        .select(
+            "feed",
+            "latest",
+            lag_h.cast("long").alias("lag_hours"),
+            (F.col("latest") == F.col("now_ts")).alias("is_freshest"),
+        )
+        .orderBy("feed")
+    )

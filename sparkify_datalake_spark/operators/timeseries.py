@@ -1941,3 +1941,127 @@ def events_imr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("x") > ucl_x) | (F.col("x") < lcl_x)).alias("x_out"),
         (F.col("mr").isNotNull() & (F.col("mr") > ucl_mr)).alias("mr_out"),
     )
+
+
+@query(
+    "ts_hurst_rs",
+    """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT x, row_number() OVER (ORDER BY h) - 1 AS i FROM hourly
+),
+blk AS (
+  SELECT ms.m, idx.i // ms.m AS b, idx.x, idx.i
+  FROM idx CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS m) ms
+),
+stats AS (
+  SELECT m, b, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+  FROM blk GROUP BY 1, 2
+),
+fullb AS (
+  SELECT * FROM stats
+  WHERE n = m AND CAST(ss AS DOUBLE) / n
+        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+),
+cum AS (
+  SELECT bl.m, bl.b,
+    sum(bl.x) OVER (PARTITION BY bl.m, bl.b ORDER BY bl.i)
+      - row_number() OVER (PARTITION BY bl.m, bl.b ORDER BY bl.i)
+        * (CAST(f.s AS DOUBLE) / f.n) AS cd
+  FROM blk bl JOIN fullb f ON bl.m = f.m AND bl.b = f.b
+),
+rng AS (
+  SELECT m, b, max(cd) - min(cd) AS r FROM cum GROUP BY 1, 2
+),
+rstat AS (
+  SELECT r.m,
+    r.r / sqrt(CAST(f.ss AS DOUBLE) / f.n
+               - (CAST(f.s AS DOUBLE) / f.n)
+                 * (CAST(f.s AS DOUBLE) / f.n)) AS rs
+  FROM rng r JOIN fullb f ON r.m = f.m AND r.b = f.b
+),
+curve AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+         round(avg(rs), 6) AS mean_rs
+  FROM rstat GROUP BY 1
+)
+SELECT m, n_blocks, mean_rs,
+  round((SELECT regr_slope(ln(mean_rs), ln(m)) FROM curve), 6)
+    AS hurst_exponent
+FROM curve ORDER BY m
+""",
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-volume series via classical
+    rescaled-range (R/S) analysis: split the series into blocks of
+    m ∈ {8,16,32,64} hours, per block compute R (range of cumulative
+    deviations from the block mean) over S (population σ), average per
+    m, and fit ln(R/S) ~ H·ln(m) — H ≈ 0.5 is memoryless, H > 0.5
+    long-range-dependent (bursty load that does NOT average out, the
+    capacity-planning regime where naive Poisson sizing fails),
+    complementing ts_autocorr (fixed-lag) with the scaling view.
+
+    Determinism: hourly counts are exact integers; cumulative
+    deviations subtract an exact-integer-ratio mean, so per-row cd
+    doubles are identical in both engines (the unique hour index pins
+    window order); per-m means round to 6dp BEFORE the ln-ln slope so
+    the 4-point regression consumes identical literals. Scale: one
+    partial-aggregated hour rollup, then all arithmetic on the
+    bounded (hours × 4) frame — the corpus is touched once.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    idx = hourly.select(
+        "x", (F.row_number().over(Window.orderBy("h")) - 1).alias("i")
+    )
+    ms = spark.createDataFrame([(8,), (16,), (32,), (64,)], "m int")
+    blk = idx.crossJoin(F.broadcast(ms)).select(
+        "m", (F.col("i") / F.col("m")).cast("long").alias("b"), "x", "i"
+    )
+    stats = blk.groupBy("m", "b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    fullb = stats.filter((F.col("n") == F.col("m")) & (var > 0)).select(
+        "m", "b", "n", "s", "ss"
+    )
+    w = Window.partitionBy("m", "b").orderBy("i")
+    cum = blk.join(fullb, ["m", "b"]).select(
+        "m",
+        "b",
+        (
+            F.sum("x").over(w)
+            - F.row_number().over(w)
+            * (F.col("s").cast("double") / F.col("n"))
+        ).alias("cd"),
+    )
+    rng = cum.groupBy("m", "b").agg(
+        (F.max("cd") - F.min("cd")).alias("r")
+    )
+    rstat = rng.join(fullb, ["m", "b"]).select(
+        "m", (F.col("r") / F.sqrt(var)).alias("rs")
+    )
+    curve = rstat.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.round(F.avg("rs"), 6).alias("mean_rs"),
+    )
+    hurst = curve.agg(
+        F.round(
+            F.regr_slope(F.log("mean_rs"), F.log("m")), 6
+        ).alias("hurst_exponent")
+    )
+    return (
+        curve.crossJoin(F.broadcast(hurst))
+        .select("m", "n_blocks", "mean_rs", "hurst_exponent")
+        .orderBy("m")
+    )
