@@ -1933,3 +1933,105 @@ def stat_grubbs_max(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("g_stat"),
     )
+
+
+@query(
+    "stat_runs_test",
+    """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS x
+  FROM events GROUP BY 1
+),
+med AS (SELECT quantile_cont(x, 0.5) AS m FROM hourly),
+signs AS (
+  SELECT h, x > m.m AS up FROM hourly CROSS JOIN med m
+  WHERE x <> m.m
+),
+seq AS (
+  SELECT up, lag(up) OVER (ORDER BY h) AS prev FROM signs
+),
+agg AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN up THEN 1 ELSE 0 END) AS n1,
+    sum(CASE WHEN up THEN 0 ELSE 1 END) AS n2,
+    1 + sum(CASE WHEN prev IS NOT NULL AND up <> prev THEN 1 ELSE 0 END)
+      AS runs
+  FROM seq
+)
+SELECT
+  CAST(n AS BIGINT) AS n_points,
+  CAST(n1 AS BIGINT) AS n_above,
+  CAST(n2 AS BIGINT) AS n_below,
+  CAST(runs AS BIGINT) AS n_runs,
+  round((runs - (2.0 * n1 * n2 / n + 1))
+        / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+               / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z_stat,
+  abs(round((runs - (2.0 * n1 * n2 / n + 1))
+        / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+               / (CAST(n AS DOUBLE) * n * (n - 1))), 6)) <= 1.96
+    AS looks_random
+FROM agg
+""",
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the hourly event
+    volume: dichotomize each hour as above/below the series median
+    (median-equal points dropped, standard practice), count sign runs,
+    and z-score against the null E[R] = 2n₁n₂/n + 1 — too FEW runs
+    means trending/clustered load (the regime ts_hurst_rs quantifies),
+    too many means oscillation; |z| ≤ 1.96 passes. The nonparametric
+    sequencing check beside stat_ks_test's distributional one.
+
+    One partial-aggregated hour rollup (the only corpus pass), the
+    exact median via the percentile engine, a lag window over the
+    bounded hours frame, and closed-form integer arithmetic — the
+    decision compares the ROUNDED z to the critical literal on both
+    sides (the stat_jarque_bera discipline).
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    med = exact_percentiles(
+        hourly.select(F.lit(1).alias("g"), "x"), ["g"], "x", [(0.5, "m")]
+    ).select("m")
+    signs = (
+        hourly.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("m"))
+        .select("h", (F.col("x") > F.col("m")).alias("up"))
+    )
+    seq = signs.select(
+        "up", F.lag("up").over(Window.orderBy("h")).alias("prev")
+    )
+    agg = seq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("up"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("up"), 0).otherwise(1)).alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("up") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    n, n1, n2, runs = (F.col(c) for c in ("n", "n1", "n2", "runs"))
+    mu = 2.0 * n1 * n2 / n + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    z = F.round((runs - mu) / F.sqrt(var), 6)
+    return agg.select(
+        n.cast("long").alias("n_points"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        runs.cast("long").alias("n_runs"),
+        z.alias("z_stat"),
+        (F.abs(z) <= 1.96).alias("looks_random"),
+    )

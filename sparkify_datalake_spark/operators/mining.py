@@ -693,3 +693,110 @@ def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_mlog", 6).alias("mean_log_excess"),
         )
     )
+
+
+# Triples are a ×basket fan-out beyond pairs: cap baskets harder and
+# keep only pairs that clear a support floor before extending (the
+# a-priori property — every sub-pair of a frequent triple is frequent).
+_TRIPLE_MAX_BASKET = 25
+_TRIPLE_MIN_PAIR_N = 3
+_TOP_TRIPLES = 15
+
+
+@query(
+    "mine_basket_triples",
+    f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+sized AS (
+  SELECT l_orderkey FROM items
+  GROUP BY 1 HAVING count(*) <= {_TRIPLE_MAX_BASKET}
+),
+kept AS (
+  SELECT i.l_orderkey, i.l_partkey FROM items i
+  JOIN sized s ON i.l_orderkey = s.l_orderkey
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+  FROM kept a JOIN kept b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRIPLE_MIN_PAIR_N}
+),
+tri AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+         count(*) AS triple_n
+  FROM kept a
+  JOIN kept b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN pairs p ON p.pa = a.l_partkey AND p.pb = b.l_partkey
+  JOIN kept c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+  GROUP BY 1, 2, 3
+),
+stats AS (SELECT (SELECT count(*) FROM sized) AS n_orders)
+SELECT pa AS part_a, pb AS part_b, pc AS part_c,
+  CAST(triple_n AS BIGINT) AS triple_n,
+  round(triple_n / CAST(s.n_orders AS DOUBLE), 6) AS support
+FROM tri CROSS JOIN stats s
+ORDER BY triple_n DESC, part_a, part_b, part_c
+LIMIT {_TOP_TRIPLES}
+""",
+)
+def mine_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori second pass: the top-15 co-purchased part TRIPLES with
+    support — the 3-itemset extension of mine_basket_pairs (pair lift
+    finds affinities; triples find bundles).
+
+    Scale shape is the a-priori pruning ladder: baskets dedupe and cap
+    at {_TRIPLE_MAX_BASKET} items (fan-out for triples is basket³ — the
+    cap bounds the worst task), candidate (a,b) prefixes must first be
+    frequent pairs (support ≥ {_TRIPLE_MIN_PAIR_N} — every sub-pair of
+    a frequent triple is frequent, so the filter is lossless), and only
+    THEN does the third self-join extend them. The frequent-pair frame
+    is vocabulary-sized and arrives broadcast onto the pair stream; all
+    joins are equi-joins on the order key. Ratios divide identical
+    integers (6dp-exact); the total ORDER BY makes the top-15 a bounded
+    heap.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("basket"))
+        .filter(F.col("basket") <= _TRIPLE_MAX_BASKET)
+        .select("l_orderkey")
+    )
+    kept = items.join(sized, "l_orderkey").localCheckpoint(eager=False)
+    a = kept.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = kept.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    c = kept.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pc"))
+    ab = a.join(b, "k").filter(F.col("pa") < F.col("pb"))
+    pairs = (
+        ab.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRIPLE_MIN_PAIR_N)
+        .select("pa", "pb")
+    )
+    tri = (
+        ab.join(F.broadcast(pairs), ["pa", "pb"])
+        .join(c, "k")
+        .filter(F.col("pb") < F.col("pc"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).alias("triple_n"))
+    )
+    stats = sized.agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("pc").alias("part_c"),
+            F.col("triple_n").cast("long").alias("triple_n"),
+            F.round(
+                F.col("triple_n") / F.col("n_orders").cast("double"), 6
+            ).alias("support"),
+        )
+        .orderBy(
+            F.col("triple_n").desc(), "part_a", "part_b", "part_c"
+        )
+        .limit(_TOP_TRIPLES)
+    )

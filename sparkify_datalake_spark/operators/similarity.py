@@ -1587,3 +1587,49 @@ def sim_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_RANGE_TAU = 0.25
+
+
+@query(
+    "sim_range_search",
+    f"""
+WITH t AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label, round({_COS_SQL}, 6) AS cos_sim
+FROM embeddings e, t
+WHERE e.vec_id <> 0 AND round({_COS_SQL}, 6) >= {_RANGE_TAU}
+ORDER BY cos_sim DESC, e.vec_id
+""",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (threshold) similarity search: ALL vectors within cosine
+    ≥ τ = {_RANGE_TAU} of the query — the dual of sim_cosine_topk
+    (top-k asks "the nearest k whatever their quality"; range asks
+    "everything good enough", the retrieval mode dedup candidate
+    generation and recall-oriented RAG filters actually use, where the
+    result size is data-dependent rather than fixed).
+
+    One broadcast of the query vector, one map-side scan with the
+    filter fused into it — no shuffle at all until the bounded result
+    sorts. The predicate compares the ROUNDED similarity on both
+    engines so the result SET is engine-deterministic at the τ
+    boundary. At 100 TB the same plan runs unchanged; the IVF/LSH
+    variants bound the scan when τ is tight.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("t_embedding")
+    )
+    cos = F.round(
+        _dot("embedding", "t_embedding")
+        / (_norm("embedding") * _norm("t_embedding")),
+        6,
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(target))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _RANGE_TAU)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    )
