@@ -2035,3 +2035,108 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_stat"),
         (F.abs(z) <= 1.96).alias("looks_random"),
     )
+
+
+_PSI_DECILES = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+@query(
+    "stat_psi_drift",
+    """
+WITH bounds AS (
+  SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+),
+tagged AS (
+  SELECT o_totalprice AS x,
+    epoch(o_orderdate) * 2 <= epoch(b.lo) + epoch(b.hi) AS early
+  FROM orders CROSS JOIN bounds b
+),
+qs AS (
+  SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+  FROM tagged WHERE early
+),
+binned AS (
+  SELECT early,
+    1 + len(list_filter(qs.q, b -> x > b)) AS bin
+  FROM tagged CROSS JOIN qs
+),
+cnt AS (
+  SELECT bin,
+    sum(CASE WHEN early THEN 1 ELSE 0 END) AS n_ref,
+    sum(CASE WHEN early THEN 0 ELSE 1 END) AS n_cur
+  FROM binned GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM cnt
+)
+SELECT c.bin,
+  CAST(c.n_ref AS BIGINT) AS n_ref,
+  CAST(c.n_cur AS BIGINT) AS n_cur,
+  round((CAST(c.n_cur AS DOUBLE) / t.tc)
+        - (CAST(c.n_ref AS DOUBLE) / t.tr), 6) AS frac_delta,
+  round(((CAST(c.n_cur AS DOUBLE) / t.tc)
+         - (CAST(c.n_ref AS DOUBLE) / t.tr))
+        * ln((CAST(c.n_cur AS DOUBLE) / t.tc)
+             / (CAST(c.n_ref AS DOUBLE) / t.tr)), 6) AS psi_term
+FROM cnt c CROSS JOIN tot t
+ORDER BY c.bin
+""",
+)
+def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of order values, early half vs late
+    half of the date range: decile boundaries fit on the EARLY
+    (reference) period, both periods bucketed against them, and the
+    per-bin PSI terms (Δp · ln ratio) whose sum is the headline PSI —
+    the standard ML-ops drift monitor (PSI < 0.1 stable, > 0.25
+    retrain) completing stat_ks_test (two fixed cohorts) with the
+    train-vs-serve temporal framing.
+
+    The period split is a pure row predicate on the broadcast (lo, hi)
+    bounds (2·epoch ≤ lo+hi — integer arithmetic, no double midpoint);
+    decile boundaries come from the exact percentile engine on the
+    reference half; bucketing is a 9-literal comparison fused into the
+    scan side (broadcast boundary frame); all counts integer, PSI
+    terms exact-integer ratios behind 6dp rounds.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    tagged = o.crossJoin(F.broadcast(bounds)).select(
+        F.col("o_totalprice").alias("x"),
+        (
+            F.unix_timestamp("o_orderdate") * 2
+            <= F.unix_timestamp("lo") + F.unix_timestamp("hi")
+        ).alias("early"),
+    )
+    ref = tagged.filter("early").select(F.lit(1).alias("g"), "x")
+    qs = exact_percentiles(
+        ref, ["g"], "x", [(p, f"q{i}") for i, p in enumerate(_PSI_DECILES)]
+    ).select(F.array(*[f"q{i}" for i in range(9)]).alias("q"))
+    binned = tagged.crossJoin(F.broadcast(qs)).select(
+        "early",
+        (
+            1
+            + F.size(F.filter("q", lambda b: F.col("x") > b))
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("n_cur"),
+    )
+    tot = cnt.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    p_ref = F.col("n_ref").cast("double") / F.col("tr")
+    p_cur = F.col("n_cur").cast("double") / F.col("tc")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round(p_cur - p_ref, 6).alias("frac_delta"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bin")
+    )

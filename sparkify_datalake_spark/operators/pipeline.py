@@ -938,3 +938,79 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feed")
     )
+
+
+@query(
+    "dq_duplicate_orders",
+    """
+WITH g AS (
+  SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         count(*) AS n, min(o_orderkey) AS first_key,
+         min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+         max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+  FROM orders
+  GROUP BY 1, 2 HAVING count(*) > 1
+),
+tot AS (SELECT count(*) AS n_orders FROM orders)
+SELECT g.o_custkey, g.d AS order_day,
+  CAST(g.n AS BIGINT) AS n_same_day,
+  CAST(g.first_key AS BIGINT) AS first_orderkey,
+  round(g.min_cents / 100.0, 2) AS min_price,
+  round(g.max_cents / 100.0, 2) AS max_price,
+  g.min_cents = g.max_cents AS amounts_identical,
+  round((g.n - 1) / CAST(t.n_orders AS DOUBLE), 6) AS excess_frac
+FROM g CROSS JOIN tot t
+ORDER BY g.n DESC, g.o_custkey, g.d
+""",
+)
+def dq_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-submission audit: customers with MULTIPLE orders on
+    the same day, with the amount spread as evidence — retry storms,
+    at-least-once ingestion and double-submits all land here, and
+    amounts_identical = true is the double-charge smoking gun (the
+    transactional sibling of dedup_exact, survivor-keyed via the min
+    orderkey).
+
+    One partial-aggregated groupBy on the (customer, day) grain with
+    exact-cent min/max (the round(×100) lattice keeps float pennies
+    from faking a spread); HAVING n>1 bounds the output to the
+    collision set; the corpus total rides a broadcast 1-row frame.
+    Total ORDER BY keeps the report deterministic.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        o.select(
+            "o_custkey",
+            F.date_trunc("day", "o_orderdate").cast("date").alias("d"),
+            cents.alias("cents"),
+            "o_orderkey",
+        )
+        .groupBy("o_custkey", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("first_key"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    tot = o.agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            F.col("d").alias("order_day"),
+            F.col("n").cast("long").alias("n_same_day"),
+            F.col("first_key").cast("long").alias("first_orderkey"),
+            F.round(F.col("min_cents") / 100.0, 2).alias("min_price"),
+            F.round(F.col("max_cents") / 100.0, 2).alias("max_price"),
+            (F.col("min_cents") == F.col("max_cents")).alias(
+                "amounts_identical"
+            ),
+            F.round(
+                (F.col("n") - 1) / F.col("n_orders").cast("double"), 6
+            ).alias("excess_frac"),
+        )
+        .orderBy(F.col("n_same_day").desc(), "o_custkey", "order_day")
+    )

@@ -2065,3 +2065,128 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("m", "n_blocks", "mean_rs", "hurst_exponent")
         .orderBy("m")
     )
+
+
+@query(
+    "ts_stl_strength",
+    """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+trend AS (
+  SELECT d, cnt,
+    CASE WHEN count(*) OVER w = 7 THEN avg(cnt) OVER w END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas_raw AS (
+  SELECT isodow(d) - 1 AS dow, avg(cnt - trend) AS s
+  FROM trend WHERE trend IS NOT NULL GROUP BY 1
+),
+seas AS (
+  SELECT dow, s - avg(s) OVER () AS seasonal FROM seas_raw
+),
+comp AS (
+  SELECT round(t.trend, 4) AS tr, round(se.seasonal, 4) AS se,
+    round(t.cnt - t.trend - se.seasonal, 4) AS r
+  FROM trend t JOIN seas se ON isodow(t.d) - 1 = se.dow
+  WHERE t.trend IS NOT NULL
+),
+v AS (
+  SELECT count(*) AS n,
+    sum(r) AS sr, sum(r * r) AS srr,
+    sum(se + r) AS ssr, sum((se + r) * (se + r)) AS ssrr,
+    sum(tr + r) AS str_, sum((tr + r) * (tr + r)) AS strr
+  FROM comp
+)
+SELECT
+  CAST(n AS BIGINT) AS n_days,
+  round(greatest(0, 1 - (srr / n - (sr / n) * (sr / n))
+                      / (ssrr / n - (ssr / n) * (ssr / n))), 6)
+    AS seasonal_strength,
+  round(greatest(0, 1 - (srr / n - (sr / n) * (sr / n))
+                      / (strr / n - (str_ / n) * (str_ / n))), 6)
+    AS trend_strength
+FROM v
+""",
+)
+def ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal and trend STRENGTH of the daily event series (Hyndman's
+    F_s = max(0, 1 − Var(R)/Var(S+R)) and F_t with T+R) — the scalar
+    summary of ts_seasonal_decompose that answers 'is this series
+    weekday-driven or trend-driven?' before anyone reads 30 rows of
+    components; the routing signal between snaive and drift forecasts
+    (ts_forecast_snaive assumes F_s high).
+
+    Same decomposition CTEs as ts_seasonal_decompose (grain-then-
+    window on the bounded daily frame), with components ROUNDED to 4dp
+    BEFORE the variance fold so both engines reduce identical literals
+    (the ts_hurst_rs discipline); variances come from integer-free but
+    identical (Σ, Σ²) folds over ≤30 rows, ratios behind 6dp rounds.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trend = daily.select(
+        "d",
+        "cnt",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.avg("cnt").over(w)).alias(
+            "trend"
+        ),
+    )
+    seas_raw = (
+        trend.filter(F.col("trend").isNotNull())
+        .groupBy(F.weekday("d").alias("dow"))
+        .agg(F.avg(F.col("cnt") - F.col("trend")).alias("s"))
+    )
+    seas = seas_raw.select(
+        "dow",
+        (F.col("s") - F.avg("s").over(Window.partitionBy())).alias(
+            "seasonal"
+        ),
+    )
+    comp = (
+        trend.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(seas), F.weekday("d") == F.col("dow"))
+        .select(
+            F.round("trend", 4).alias("tr"),
+            F.round("seasonal", 4).alias("se"),
+            F.round(
+                F.col("cnt") - F.col("trend") - F.col("seasonal"), 4
+            ).alias("r"),
+        )
+    )
+    sr_ = F.col("se") + F.col("r")
+    tr_ = F.col("tr") + F.col("r")
+    v = comp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+        F.sum(sr_).alias("ssr"),
+        F.sum(sr_ * sr_).alias("ssrr"),
+        F.sum(tr_).alias("str_"),
+        F.sum(tr_ * tr_).alias("strr"),
+    )
+    n = F.col("n")
+
+    def var(ss, s):
+        return F.col(ss) / n - (F.col(s) / n) * (F.col(s) / n)
+
+    return v.select(
+        n.cast("long").alias("n_days"),
+        F.round(
+            F.greatest(F.lit(0), 1 - var("srr", "sr") / var("ssrr", "ssr")),
+            6,
+        ).alias("seasonal_strength"),
+        F.round(
+            F.greatest(
+                F.lit(0), 1 - var("srr", "sr") / var("strr", "str_")
+            ),
+            6,
+        ).alias("trend_strength"),
+    )
