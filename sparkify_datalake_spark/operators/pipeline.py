@@ -1014,3 +1014,105 @@ def dq_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_same_day").desc(), "o_custkey", "order_day")
     )
+
+
+@query(
+    "pipeline_corpus_e2e",
+    f"""
+WITH kept AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+  FROM documents
+  WHERE len(string_split(lower(text), ' ')) BETWEEN 5 AND 1000
+    AND CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                                     t -> len(t))) AS DOUBLE)
+        / len(string_split(lower(text), ' ')) BETWEEN 2 AND 10
+    AND CAST(len(list_filter(string_split(lower(text), ' '),
+                             t -> regexp_matches(t, '^[a-z]+$')))
+             AS DOUBLE)
+        / len(string_split(lower(text), ' ')) >= 0.8
+),
+surv AS (
+  SELECT min(doc_id) AS doc_id, any_value(len(toks)) AS n_toks
+  FROM kept GROUP BY text
+),
+labeled AS (
+  SELECT n_toks,
+    CASE WHEN {_MD5_BUCKET_SQL} <= 'cb' THEN 'train'
+         WHEN {_MD5_BUCKET_SQL} <= 'e5' THEN 'valid'
+         ELSE 'test' END AS split
+  FROM surv
+),
+corpus AS (SELECT count(*) AS n_raw FROM documents)
+SELECT l.split,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(l.n_toks) AS BIGINT) AS n_tokens,
+  round(avg(CAST(l.n_toks AS DOUBLE)), 4) AS mean_tokens,
+  round(count(*) / CAST(any_value(c.n_raw) AS DOUBLE), 6) AS yield_frac
+FROM labeled l CROSS JOIN corpus c
+GROUP BY l.split ORDER BY l.split
+""",
+)
+def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus pipeline END-TO-END as one plan: Gopher
+    quality gate → byte-exact dedup (min-doc_id survivor per text) →
+    deterministic md5 train/valid/test split → per-split doc/token
+    counts and end-to-end yield — the integration query proving the
+    pieces (text_gopher_rules, dedup_exact, split_train_valid_test)
+    compose into the shape a real data-curation run executes nightly.
+
+    One corpus scan feeds the per-row quality gate (whole-stage
+    codegen); dedup is the single groupBy(text) shuffle carrying only
+    survivors' (doc_id, token count); the split is a pure function of
+    the SURVIVOR id (so re-ingest can't migrate docs between splits —
+    the leak-proofing property); the final rollup is 3 rows. Every
+    stage is the same expression its standalone §2 operator uses, so
+    this row is also an integration test of their composability.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    total_len = F.expr(
+        "aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)"
+    )
+    base = docs.select("doc_id", "text", toks.alias("toks"))
+    mean_len = total_len.cast("double") / F.size("toks")
+    alpha_frac = (
+        F.size(F.filter("toks", lambda t: t.rlike("^[a-z]+$"))).cast(
+            "double"
+        )
+        / F.size("toks")
+    )
+    kept = base.filter(
+        F.size("toks").between(5, 1000)
+        & mean_len.between(2, 10)
+        & (alpha_frac >= 0.8)
+    )
+    surv = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value(F.size("toks")).alias("n_toks"),
+    )
+    b = F.expr(_MD5_BUCKET_SPARK)
+    labeled = surv.select(
+        "n_toks",
+        F.when(b <= "cb", "train")
+        .when(b <= "e5", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    corpus = docs.agg(F.count(F.lit(1)).alias("n_raw"))
+    return (
+        labeled.crossJoin(F.broadcast(corpus))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.round(F.avg(F.col("n_toks").cast("double")), 4).alias(
+                "mean_tokens"
+            ),
+            F.round(
+                F.count(F.lit(1))
+                / F.any_value("n_raw").cast("double"),
+                6,
+            ).alias("yield_frac"),
+        )
+        .orderBy("split")
+    )
