@@ -2140,3 +2140,361 @@ def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "stat_kruskal_wallis",
+    """
+WITH pv AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS v, l_returnflag AS g,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+tv AS (SELECT v, sum(c) AS t FROM pv GROUP BY 1),
+rk AS (
+  SELECT v, t,
+    2 * sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) - t + 1 AS arank2
+  FROM tv
+),
+pg AS (
+  SELECT pv.g, sum(pv.c) AS n_j, sum(pv.c * rk.arank2) AS s2_j
+  FROM pv JOIN rk ON pv.v = rk.v GROUP BY 1
+),
+tot AS (SELECT sum(n_j) AS nt, count(*) AS k FROM pg),
+tie AS (SELECT sum(t * t * t - t) AS tt FROM tv),
+pg2 AS (
+  SELECT g, n_j, s2_j, nt, k,
+    (s2_j - n_j * (nt + 1)) / (2.0 * n_j) AS d
+  FROM pg CROSS JOIN tot
+),
+gsum AS (SELECT sum(n_j * d * d) AS ssq FROM pg2)
+SELECT pg2.g AS l_returnflag,
+  CAST(pg2.n_j AS BIGINT) AS n_group,
+  round(pg2.s2_j / (2.0 * pg2.n_j), 6) AS mean_rank,
+  round(12.0 / (pg2.nt * (pg2.nt + 1)) * gsum.ssq, 6) AS h_stat,
+  round(12.0 / (pg2.nt * (pg2.nt + 1)) * gsum.ssq
+        / (1 - tie.tt / (CAST(pg2.nt AS DOUBLE) * pg2.nt * pg2.nt
+                         - pg2.nt)), 6) AS h_corrected,
+  CAST(pg2.k - 1 AS BIGINT) AS df,
+  round(12.0 / (pg2.nt * (pg2.nt + 1)) * gsum.ssq
+        / (1 - tie.tt / (CAST(pg2.nt AS DOUBLE) * pg2.nt * pg2.nt
+                         - pg2.nt)), 6) > 5.991465 AS reject_5pct
+FROM pg2 CROSS JOIN gsum CROSS JOIN tie
+ORDER BY l_returnflag
+""",
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: does the l_quantity distribution differ
+    across the three return-flag populations? The k-sample
+    generalization of stat_mannwhitney (k=2) and the nonparametric
+    sibling of stat_anova_oneway, with the full tie correction
+    C = 1 - SUM(t^3 - t)/(N^3 - N) -- mandatory here because quantity
+    is a 50-value integer lattice, so EVERY observation is tied.
+
+    Scale shape (the corr_spearman/mannwhitney two-phase discipline):
+    ranks are never assigned to raw rows -- one partial-aggregatable
+    groupBy collapses the stream to (value, group) counts, midranks
+    derive from a running sum over the 50-row DISTINCT-value frame,
+    and everything downstream is KB-sized. Numerical shape: H is
+    computed in the CENTERED form 12/(N(N+1)) * SUM n_j*d_j^2 with
+    d_j = (S2_j - n_j(N+1)) / (2 n_j) where S2_j = SUM c*arank2 is an
+    exact integer rank-sum double -- the textbook SUM R_j^2/n_j form
+    cancels two ~3(N+1)-sized terms and its summation-order noise
+    (~1e-4 at sf0.1) could flip the 6dp rounding, while the centered
+    numerator is exact integer arithmetic and the residual float work
+    is O(H) magnitude. chi2(2) 95% critical compared against the
+    ROUNDED statistic (the jarque_bera discipline). At ~2e9 rows the
+    long rank-sums approach 2^63; the 100 TB path switches S2_j to
+    decimal(38,0) -- same plan, wider lattice.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy(
+            F.round(F.col("l_quantity")).cast("long").alias("v"),
+            F.col("l_returnflag").alias("g"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    tv = pv.groupBy("v").agg(F.sum("c").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    rk = tv.select(
+        "v",
+        "t",
+        (2 * F.sum("t").over(w) - F.col("t") + 1).alias("arank2"),
+    )
+    pg = (
+        pv.join(rk.select("v", "arank2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_j"),
+            F.sum(F.col("c") * F.col("arank2")).alias("s2_j"),
+        )
+    )
+    tot = pg.agg(F.sum("n_j").alias("nt"), F.count(F.lit(1)).alias("k"))
+    tie = tv.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tt")
+    )
+    pg2 = pg.crossJoin(F.broadcast(tot)).withColumn(
+        "d",
+        (F.col("s2_j") - F.col("n_j") * (F.col("nt") + 1))
+        / (2.0 * F.col("n_j")),
+    )
+    glob = pg2.agg(
+        F.sum(F.col("n_j") * F.col("d") * F.col("d")).alias("ssq")
+    )
+    res = pg2.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tie))
+    nt = F.col("nt")
+    h = 12.0 / (nt * (nt + 1)) * F.col("ssq")
+    hc = h / (
+        1
+        - F.col("tt") / (nt.cast("double") * nt * nt - nt)
+    )
+    return res.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n_j").cast("long").alias("n_group"),
+        F.round(F.col("s2_j") / (2.0 * F.col("n_j")), 6).alias("mean_rank"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(hc, 6).alias("h_corrected"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        (F.round(hc, 6) > F.lit(5.991465)).alias("reject_5pct"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "stat_kendall_tau",
+    """
+WITH s AS (
+  SELECT l_orderkey * 10 + l_linenumber AS pk,
+    CAST(round(l_quantity) AS BIGINT) AS x,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem WHERE l_orderkey <= 400
+),
+p AS (
+  SELECT sign(b.x - a.x) AS dx, sign(b.y - a.y) AS dy
+  FROM s a JOIN s b ON a.pk < b.pk
+),
+g AS (
+  SELECT count(*) AS n0,
+    sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS nc,
+    sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS nd,
+    sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS tx,
+    sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS ty
+  FROM p
+),
+n AS (SELECT count(*) AS ns FROM s)
+SELECT CAST(n.ns AS BIGINT) AS n_sample,
+  CAST(g.n0 AS BIGINT) AS n_pairs,
+  CAST(g.nc AS BIGINT) AS n_concordant,
+  CAST(g.nd AS BIGINT) AS n_discordant,
+  CAST(g.tx AS BIGINT) AS n_ties_x,
+  CAST(g.ty AS BIGINT) AS n_ties_y,
+  round((g.nc - g.nd)
+        / sqrt(CAST(g.n0 - g.tx AS DOUBLE) * (g.n0 - g.ty)), 6) AS tau_b
+FROM g CROSS JOIN n
+""",
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between quantity and extended
+    price, by exact pair counting on a bounded key-range sample -- the
+    robust ordinal-association measure beside corr_spearman (which IS
+    the full-scale monotone-correlation path: Spearman's value-grain
+    rank algebra scales, Kendall's pair enumeration cannot). tau-b
+    applies the tie adjustment in both margins -- required here since
+    quantity is a 50-value lattice (every x is tied many times).
+
+    Pinned-sample discipline (dedup_near_exact): l_orderkey <= 400
+    selects ~1.6k lineitems at EVERY scale factor (keys are dense from
+    0), so the all-pairs stage is ~1.3M comparisons regardless of SF
+    -- O(sample^2) by definition of the op, never data-sized. The
+    self-join broadcasts the right side and the pair kernel is pure
+    codegen (sign/sum, no UDF). Integer lattices on both axes (exact
+    cents, rounded quantity) make every sign() exact, so nc/nd/ties
+    are integers and the only float op is the final normalization.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = li.filter(F.col("l_orderkey") <= 400).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pk"),
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    # single parquet file -> 1 input partition; spread the pair kernel
+    # across cores (the dedup_near_exact fix: measured there, 13 s -> 1 s)
+    s = s.repartition(16)
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.pk") < F.col("b.pk")
+    ).select(
+        F.signum(F.col("b.x") - F.col("a.x")).alias("dx"),
+        F.signum(F.col("b.y") - F.col("a.y")).alias("dy"),
+    )
+    g = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(
+            F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0)
+        ).alias("nc"),
+        F.sum(
+            F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0)
+        ).alias("nd"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0)).alias("ty"),
+    )
+    n = s.agg(F.count(F.lit(1)).alias("ns"))
+    tau = (F.col("nc") - F.col("nd")) / F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty"))
+    )
+    return g.crossJoin(F.broadcast(n)).select(
+        F.col("ns").cast("long").alias("n_sample"),
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("nc").cast("long").alias("n_concordant"),
+        F.col("nd").cast("long").alias("n_discordant"),
+        F.col("tx").cast("long").alias("n_ties_x"),
+        F.col("ty").cast("long").alias("n_ties_y"),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+# Abramowitz & Stegun 26.2.17 normal-CDF constants -- the SAME literal
+# polynomial on both engines (neither Spark SQL nor DuckDB ships erf),
+# so cross-engine agreement is by construction, not by libm luck.
+_AD_T = 0.2316419
+_AD_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AD_SQRT_2PI = 2.5066282746310002
+
+
+@query(
+    "stat_anderson_darling",
+    f"""
+WITH s AS (
+  SELECT o_orderkey AS pk, ln(o_totalprice) AS x
+  FROM orders WHERE o_orderkey < 1500
+),
+m AS (
+  SELECT count(*) AS n, round(sum(x) / count(*), 6) AS mean_r,
+    round(sqrt((sum(x * x) - sum(x) * sum(x) / count(*))
+               / (count(*) - 1)), 6) AS sd_r
+  FROM s
+),
+z AS (
+  SELECT row_number() OVER (ORDER BY s.x, s.pk) AS i, m.n,
+    m.mean_r, m.sd_r, (s.x - m.mean_r) / m.sd_r AS z
+  FROM s CROSS JOIN m
+),
+c AS (
+  SELECT i, n, mean_r, sd_r, z,
+    CASE WHEN z >= 0
+      THEN 1 - exp(-z * z / 2) / {_AD_SQRT_2PI}
+           * ((1 / (1 + {_AD_T} * abs(z)))
+              * ({_AD_B[0]} + (1 / (1 + {_AD_T} * abs(z)))
+                * ({_AD_B[1]} + (1 / (1 + {_AD_T} * abs(z)))
+                  * ({_AD_B[2]} + (1 / (1 + {_AD_T} * abs(z)))
+                    * ({_AD_B[3]} + (1 / (1 + {_AD_T} * abs(z)))
+                      * {_AD_B[4]})))))
+      ELSE exp(-z * z / 2) / {_AD_SQRT_2PI}
+           * ((1 / (1 + {_AD_T} * abs(z)))
+              * ({_AD_B[0]} + (1 / (1 + {_AD_T} * abs(z)))
+                * ({_AD_B[1]} + (1 / (1 + {_AD_T} * abs(z)))
+                  * ({_AD_B[2]} + (1 / (1 + {_AD_T} * abs(z)))
+                    * ({_AD_B[3]} + (1 / (1 + {_AD_T} * abs(z)))
+                      * {_AD_B[4]})))))
+    END AS cdf
+  FROM z
+),
+g AS (
+  SELECT max(n) AS n, max(mean_r) AS mean_r, max(sd_r) AS sd_r,
+    sum((2 * i - 1) * ln(cdf)
+        + (2 * (n - i) + 1) * ln(1 - cdf)) AS s_term
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_sample,
+  mean_r AS log_mean, sd_r AS log_sd,
+  round(-n - s_term / n, 6) AS a2_stat,
+  round((-n - s_term / n)
+        * (1 + 0.75 / n + 2.25 / (n * n)), 6) AS a2_star,
+  round((-n - s_term / n)
+        * (1 + 0.75 / n + 2.25 / (n * n)), 6) > 0.787 AS reject_5pct
+FROM g
+""",
+)
+def stat_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling normality test of log order value on a bounded
+    key-range sample -- the tail-weighted EDF test beside stat_ks_test
+    (AD's 1/[F(1-F)] weight makes it the sensitive choice for the
+    tail departures revenue data actually has) and the order-statistic
+    complement of moment-based stat_jarque_bera. A*2 applies the
+    Stephens small-sample factor and compares against 0.787, the 5%
+    critical value for the both-parameters-estimated case.
+
+    Pinned-sample discipline (dedup_near_exact): o_orderkey < 1500 is
+    exactly 1.5k orders at EVERY scale factor, so the one total-order
+    window (row_number for the order statistics) runs on a bounded
+    single-partition frame by construction -- never a data-sized sort.
+    Engine-parity shape: mean/sd are ROUNDED at 6dp before z-scoring,
+    so both engines standardize against the identical lattice and the
+    remaining drift is ulp-level libm noise that 6dp absorbs (~1e-9
+    measured bound); the normal CDF is the SAME A&S 26.2.17 polynomial
+    literal on both sides -- no erf in either engine -- and the
+    rejection decision derives from the rounded statistic (the
+    jarque_bera discipline).
+    """
+    o = load(spark, sf_dir, "orders")
+    s = o.filter(F.col("o_orderkey") < 1500).select(
+        F.col("o_orderkey").alias("pk"),
+        F.log(F.col("o_totalprice")).alias("x"),
+    )
+    x = F.col("x")
+    m = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(x) / F.count(F.lit(1)), 6).alias("mean_r"),
+        F.round(
+            F.sqrt(
+                (F.sum(x * x) - F.sum(x) * F.sum(x) / F.count(F.lit(1)))
+                / (F.count(F.lit(1)) - 1)
+            ),
+            6,
+        ).alias("sd_r"),
+    )
+    z_df = s.crossJoin(F.broadcast(m)).select(
+        "pk",
+        "n",
+        "mean_r",
+        "sd_r",
+        ((F.col("x") - F.col("mean_r")) / F.col("sd_r")).alias("z"),
+        F.col("x").alias("x"),
+    )
+    # bounded 1.5k-row frame: the global row_number window is a
+    # single-partition sort by construction (pinned sample), not a
+    # data-sized total order
+    i = F.row_number().over(Window.orderBy("x", "pk"))
+    z = F.col("z")
+    t = 1 / (1 + _AD_T * F.abs(z))
+    poly = t * (
+        _AD_B[0]
+        + t * (_AD_B[1] + t * (_AD_B[2] + t * (_AD_B[3] + t * _AD_B[4])))
+    )
+    tail = F.exp(-z * z / 2) / _AD_SQRT_2PI * poly
+    cdf = F.when(z >= 0, 1 - tail).otherwise(tail)
+    c = z_df.select(
+        "n", "mean_r", "sd_r", i.alias("i"), cdf.alias("cdf")
+    )
+    g = c.agg(
+        F.max("n").alias("n"),
+        F.max("mean_r").alias("mean_r"),
+        F.max("sd_r").alias("sd_r"),
+        F.sum(
+            (2 * F.col("i") - 1) * F.log(F.col("cdf"))
+            + (2 * (F.col("n") - F.col("i")) + 1)
+            * F.log(1 - F.col("cdf"))
+        ).alias("s_term"),
+    )
+    n = F.col("n")
+    a2 = -n - F.col("s_term") / n
+    a2s = a2 * (1 + 0.75 / n + 2.25 / (n * n))
+    return g.select(
+        n.cast("long").alias("n_sample"),
+        F.col("mean_r").alias("log_mean"),
+        F.col("sd_r").alias("log_sd"),
+        F.round(a2, 6).alias("a2_stat"),
+        F.round(a2s, 6).alias("a2_star"),
+        (F.round(a2s, 6) > F.lit(0.787)).alias("reject_5pct"),
+    )
