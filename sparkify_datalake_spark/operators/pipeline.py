@@ -18,7 +18,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkify_datalake_spark.registry import query
@@ -1115,4 +1115,182 @@ def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yield_frac"),
         )
         .orderBy("split")
+    )
+
+
+@query(
+    "dim_scd2_build",
+    """
+WITH day_attr AS (
+  SELECT o_custkey,
+    CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+    arg_min(o_orderpriority, o_orderkey) AS attr
+  FROM orders GROUP BY 1, 2
+),
+runs AS (
+  SELECT o_custkey, d, attr,
+    lag(attr) OVER (PARTITION BY o_custkey ORDER BY d) AS prev
+  FROM day_attr
+),
+ch AS (
+  SELECT o_custkey, d, attr FROM runs
+  WHERE prev IS NULL OR attr <> prev
+)
+SELECT o_custkey AS custkey, attr AS priority,
+  d AS effective_from,
+  lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS effective_to,
+  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY d)
+       AS BIGINT) AS version,
+  lead(d) OVER (PARTITION BY o_custkey ORDER BY d) IS NULL AS is_current
+FROM ch
+ORDER BY custkey, version
+""",
+)
+def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each customer's
+    order-priority history into versioned validity intervals
+    [effective_from, effective_to) with an is_current flag -- the
+    warehouse-dimension primitive that join_asof/join_range consume as
+    their right side (this op BUILDS what those ops probe), and the
+    gaps-and-islands pattern events_streaks applies to activity runs,
+    here applied to attribute change-points.
+
+    Three entity-partitioned passes, all keyed on custkey: (1) one
+    partial-aggregatable groupBy to the (customer, day) grain with an
+    arg-min-by-orderkey attribute pick (deterministic under same-day
+    collisions -- the dq_duplicate_orders scenario); (2) a lag window
+    keeps only change-points (consecutive-run collapse, so the output
+    is change-sized, not order-sized); (3) lead/row_number close the
+    intervals and stamp versions. At 100 TB every window partitions on
+    the entity key -- no global sort anywhere -- and the three stages
+    reuse one (custkey) shuffle partitioning.
+    """
+    o = load(spark, sf_dir, "orders")
+    day_attr = (
+        o.groupBy(
+            "o_custkey",
+            F.date_trunc("day", "o_orderdate").cast("date").alias("d"),
+        ).agg(F.min_by("o_orderpriority", "o_orderkey").alias("attr"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    ch = (
+        day_attr.withColumn("prev", F.lag("attr").over(w))
+        .filter(F.col("prev").isNull() | (F.col("attr") != F.col("prev")))
+        .drop("prev")
+    )
+    return (
+        ch.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("attr").alias("priority"),
+            F.col("d").alias("effective_from"),
+            F.lead("d").over(w).alias("effective_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+            F.lead("d").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("custkey", "version")
+    )
+
+
+@query(
+    "events_hazard_rate",
+    """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+u AS (
+  SELECT user_id, min(day) AS first_d, max(day) AS last_d
+  FROM d GROUP BY 1
+),
+h AS (SELECT max(day) AS horizon FROM d),
+lif AS (
+  SELECT date_diff('day', first_d, last_d) AS lt,
+    date_diff('day', first_d, horizon) AS obs
+  FROM u CROSS JOIN h
+),
+grid AS (SELECT unnest(generate_series(0, 21)) AS k),
+haz AS (
+  SELECT g.k,
+    count(*) FILTER (lif.lt >= g.k AND lif.obs >= g.k) AS n_at_risk,
+    count(*) FILTER (lif.lt = g.k AND lif.obs > g.k) AS n_events,
+    count(*) FILTER (lif.lt = g.k AND lif.obs = g.k) AS n_censored
+  FROM grid g CROSS JOIN lif
+  GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS k_day,
+  CAST(n_at_risk AS BIGINT) AS n_at_risk,
+  CAST(n_events AS BIGINT) AS n_events,
+  CAST(n_censored AS BIGINT) AS n_censored,
+  round(n_events / CAST(n_at_risk AS DOUBLE), 6) AS hazard,
+  round(sum(n_events / CAST(n_at_risk AS DOUBLE))
+          OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW), 6) AS cum_hazard
+FROM haz
+WHERE n_at_risk > 0
+ORDER BY k_day
+""",
+)
+def events_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard of user churn: h(k) = P(lifetime ends at
+    day k | survived to k), with the Nelson-Aalen cumulative hazard
+    H(k) as a running sum -- the instantaneous-risk view that
+    events_survival's S(k) curve integrates away (a retention cliff at
+    day 3 shows as an h(3) spike but only as a gentle S slope), with
+    the same honest right-censoring: a user whose last activity falls
+    ON the horizon is censored at k (leaves the risk set), never
+    counted as a death.
+
+    Scale shape (the events_survival discipline): one groupBy collapses
+    events to a (user, first, last) frame; the 22-offset grid
+    cross-joins against that tiny per-user frame (users x 22, never
+    events x 22); the horizon rides a broadcast 1-row aggregate; and
+    the cumulative sum runs on the bounded 22-row hazard frame. All
+    counts integer; the running sum is over an ORDERED window, so its
+    summation order is deterministic on both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    u = d.groupBy("user_id").agg(
+        F.min("day").alias("first_d"), F.max("day").alias("last_d")
+    )
+    h = d.agg(F.max("day").alias("horizon"))
+    lif = u.crossJoin(F.broadcast(h)).select(
+        F.datediff("last_d", "first_d").alias("lt"),
+        F.datediff("horizon", "first_d").alias("obs"),
+    )
+    grid = spark.range(0, 22).select(F.col("id").cast("int").alias("k"))
+    haz = (
+        F.broadcast(grid)
+        .crossJoin(lif)
+        .groupBy("k")
+        .agg(
+            F.count(
+                F.when((F.col("lt") >= F.col("k"))
+                       & (F.col("obs") >= F.col("k")), 1)
+            ).alias("n_at_risk"),
+            F.count(
+                F.when((F.col("lt") == F.col("k"))
+                       & (F.col("obs") > F.col("k")), 1)
+            ).alias("n_events"),
+            F.count(
+                F.when((F.col("lt") == F.col("k"))
+                       & (F.col("obs") == F.col("k")), 1)
+            ).alias("n_censored"),
+        )
+    )
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    hz = F.col("n_events") / F.col("n_at_risk").cast("double")
+    return (
+        haz.filter(F.col("n_at_risk") > 0)
+        .select(
+            F.col("k").cast("long").alias("k_day"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_censored").cast("long").alias("n_censored"),
+            F.round(hz, 6).alias("hazard"),
+            F.round(F.sum(hz).over(wk), 6).alias("cum_hazard"),
+        )
+        .orderBy("k_day")
     )
