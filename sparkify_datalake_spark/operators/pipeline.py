@@ -1294,3 +1294,167 @@ def events_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_day")
     )
+
+
+@query(
+    "corpus_mixture_plan",
+    """
+WITH g AS (
+  SELECT source, count(*) AS n_docs,
+    sum(len(string_split(lower(text), ' '))) AS toks
+  FROM documents GROUP BY 1
+),
+t AS (SELECT sum(toks) AS total, sum(sqrt(toks)) AS wsum FROM g)
+SELECT g.source,
+  CAST(g.n_docs AS BIGINT) AS n_docs,
+  CAST(g.toks AS BIGINT) AS n_tokens,
+  round(g.toks / CAST(t.total AS DOUBLE), 6) AS natural_share,
+  round(sqrt(g.toks) / t.wsum, 6) AS alpha_share,
+  round((sqrt(g.toks) / t.wsum)
+        / (g.toks / CAST(t.total AS DOUBLE)), 6) AS sampling_rate,
+  round(sqrt(g.toks) / t.wsum * t.total, 2) AS expected_tokens
+FROM g CROSS JOIN t
+ORDER BY g.source
+""",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture plan: per-source sampling rates under
+    temperature-smoothed (alpha = 0.5) reweighting, p_i proportional to
+    n_i^alpha -- the multilingual/multi-source mixing rule (mBERT /
+    XLM-R style) that upsamples small sources and downsamples dominant
+    ones without hand-set weights. sampling_rate is the epochs-over-
+    source multiplier the sampler applies (sample_weighted is the
+    mechanism that then realizes it row-level); natural vs alpha share
+    quantifies how far the plan moves from the raw corpus.
+
+    One partial-aggregatable groupBy collapses the corpus to a
+    source-grain frame (the only full-data pass, whitespace-token
+    convention shared with text_token_count); normalization constants
+    ride a broadcast 1-row aggregate over the ~20-row source frame.
+    The 6dp rounding absorbs the source-order summation noise of the
+    two 20-term normalizer folds.
+    """
+    from sparkify_datalake_spark.operators.text import _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens())).alias("toks"),
+    )
+    t = g.agg(
+        F.sum("toks").alias("total"),
+        F.sum(F.sqrt("toks")).alias("wsum"),
+    )
+    res = g.crossJoin(F.broadcast(t))
+    nat = F.col("toks") / F.col("total").cast("double")
+    alpha = F.sqrt(F.col("toks")) / F.col("wsum")
+    return res.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("toks").cast("long").alias("n_tokens"),
+        F.round(nat, 6).alias("natural_share"),
+        F.round(alpha, 6).alias("alpha_share"),
+        F.round(alpha / nat, 6).alias("sampling_rate"),
+        F.round(alpha * F.col("total"), 2).alias("expected_tokens"),
+    ).orderBy("source")
+
+
+_PACK_BUDGET = 256  # tokens per training block
+
+
+@query(
+    "doc_packing_plan",
+    f"""
+WITH d AS (
+  SELECT source, doc_id,
+    len(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+c AS (
+  SELECT source, tok,
+    sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cum
+  FROM d
+),
+b AS (
+  SELECT source, tok, cum,
+    floor((cum - tok) / {_PACK_BUDGET}.0) AS sb,
+    floor((cum - 1) / {_PACK_BUDGET}.0) AS eb
+  FROM c
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS total_tokens,
+  CAST(floor((max(cum) - 1) / {_PACK_BUDGET}.0) + 1 AS BIGINT)
+    AS n_blocks,
+  CAST(sum(CASE WHEN eb > sb THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_split,
+  round(count(*) / (floor((max(cum) - 1) / {_PACK_BUDGET}.0) + 1), 6)
+    AS docs_per_block,
+  round((max(cum) - floor((max(cum) - 1) / {_PACK_BUDGET}.0)
+         * {_PACK_BUDGET}) / {_PACK_BUDGET}.0, 6) AS last_block_fill
+FROM b GROUP BY source
+ORDER BY source
+""",
+)
+def doc_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: concatenate each source's token stream in
+    doc_id order and cut it into fixed {_PACK_BUDGET}-token training
+    blocks (the GPT-style contiguous packing every LLM dataloader
+    runs), reporting per source the block count, boundary-straddling
+    docs (the attention-mask-reset sites), docs-per-block density, and
+    last-block fill -- the numbers that decide whether to pad, wrap,
+    or re-shard before training.
+
+    Scale shape: block assignment is pure integer arithmetic over a
+    running sum PARTITIONED BY source ordered by doc_id -- source is
+    the shard key, so no global total order exists anywhere (at 100 TB
+    packing is per-shard by construction; a cross-shard pack would
+    serialize ingestion). One token-count projection feeds the window;
+    the rollup lands on the ~20-row source grain. Start/end block ids
+    via floor((offset)/B) on exact integer offsets, so docs_split is
+    exact on both engines.
+    """
+    from sparkify_datalake_spark.operators.text import _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "doc_id", F.size(_tokens()).alias("tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.select(
+        "source", "tok", F.sum("tok").over(w).alias("cum")
+    )
+    B = float(_PACK_BUDGET)
+    b = c.select(
+        "source",
+        "tok",
+        "cum",
+        F.floor((F.col("cum") - F.col("tok")) / B).alias("sb"),
+        F.floor((F.col("cum") - 1) / B).alias("eb"),
+    )
+    g = b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        F.max("cum").alias("max_cum"),
+        F.sum(F.when(F.col("eb") > F.col("sb"), 1).otherwise(0)).alias(
+            "docs_split"
+        ),
+    )
+    nblocks = F.floor((F.col("max_cum") - 1) / B) + 1
+    return g.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        nblocks.cast("long").alias("n_blocks"),
+        F.col("docs_split").cast("long").alias("docs_split"),
+        F.round(F.col("n_docs") / nblocks, 6).alias("docs_per_block"),
+        F.round(
+            (F.col("max_cum") - (nblocks - 1) * _PACK_BUDGET) / B, 6
+        ).alias("last_block_fill"),
+    ).orderBy("source")
