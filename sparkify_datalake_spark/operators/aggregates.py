@@ -1091,3 +1091,211 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / total_rev.cast("double"), 6
         ).alias("share_of_total"),
     ).orderBy("region", "nation")
+
+
+_BLOOM_M = 65536  # filter bits (2048 x 32-bit words)
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(key: str, seed: int, cast_str: str) -> str:
+    """Bloom bit position: 5 hex chars of md5(key || '#seed') as an
+    integer, mod m — the instr-digit construction shared bit-for-bit
+    by Spark SQL and DuckDB (the _md5_u01 discipline in
+    operators/pipeline.py). ``cast_str`` is the engine's string cast.
+    """
+    h = f"md5(concat({cast_str}, '#{seed}'))"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (4 - i)}"
+        for i in range(5)
+    )
+    return f"(({terms}) % {_BLOOM_M})"
+
+
+def _bloom_positions_sql(
+    key: str, cast_str: str, ctor: str = "array"
+) -> str:
+    """k-element position-array constructor for one key; ``ctor`` is
+    the engine's list constructor (Spark ``array``, DuckDB
+    ``list_value`` — DuckDB reserves ``array`` as a type keyword)."""
+    return (
+        f"{ctor}("
+        + ", ".join(
+            _bloom_pos(key, s, cast_str) for s in range(_BLOOM_K)
+        )
+        + ")"
+    )
+
+
+@query(
+    "agg_bloom_runtime_filter",
+    f"""
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+),
+build_pos AS (
+  SELECT DISTINCT unnest(
+    {_bloom_positions_sql('c_custkey', 'CAST(c_custkey AS VARCHAR)',
+                          'list_value')}
+  ) AS pos
+  FROM dim
+),
+words AS (
+  SELECT CAST(floor(pos / 32.0) AS BIGINT) AS word,
+    bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS bits
+  FROM build_pos GROUP BY 1
+),
+probe AS (
+  SELECT o_orderkey, o_custkey,
+    unnest({_bloom_positions_sql('o_custkey', 'CAST(o_custkey AS VARCHAR)',
+                           'list_value')}) AS pos
+  FROM orders
+),
+hits AS (
+  SELECT p.o_orderkey, p.o_custkey,
+    sum(CASE WHEN (w.bits & (CAST(1 AS BIGINT) << (p.pos % 32))) <> 0
+        THEN 1 ELSE 0 END) AS n_hit
+  FROM probe p
+  LEFT JOIN words w ON CAST(floor(p.pos / 32.0) AS BIGINT) = w.word
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT h.o_orderkey,
+    h.n_hit = {_BLOOM_K} AS bloom_pass,
+    d.c_custkey IS NOT NULL AS exact_match
+  FROM hits h LEFT JOIN dim d ON h.o_custkey = d.c_custkey
+),
+fill AS (SELECT sum(bit_count(bits)) AS bits_set FROM words)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CASE WHEN exact_match THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_exact_match,
+  CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bloom_pass,
+  CAST(sum(CASE WHEN bloom_pass AND NOT exact_match THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_false_positive,
+  round(sum(CASE WHEN bloom_pass AND NOT exact_match THEN 1 ELSE 0 END)
+        / CAST(sum(CASE WHEN NOT exact_match THEN 1 ELSE 0 END)
+               AS DOUBLE), 6) AS fp_rate,
+  CAST(f.bits_set AS BIGINT) AS bits_set,
+  round(f.bits_set / {_BLOOM_M}.0, 6) AS fill_ratio
+FROM flagged CROSS JOIN fill f
+GROUP BY f.bits_set
+""",
+)
+def agg_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime-join-filter, built and probed entirely in
+    Catalyst: a 65536-bit, k=3 filter over the selective
+    dimension side (AUTOMOBILE-segment customers) probed by every fact
+    row -- the sketch that completes the family (HLL counts distinct,
+    CMS counts frequency, Bloom answers membership) and the mechanism
+    behind runtime filter pushdown: at 100 TB the ~16 KB word bitmap
+    broadcasts to every scan task and drops ~(1-sel-fp) of fact rows
+    BEFORE the join shuffle, which no exact semi-join can do without
+    shuffling first. The exact semi-join runs alongside as ground
+    truth, so the headline row reports the measured fp rate against
+    the theoretical (1-e^(-kn/m))^k.
+
+    Engine parity: bit positions come from md5(key || '#seed') hex
+    digits (the _md5_u01 instr construction -- the one hash both
+    engines share bit-for-bit), the bitmap is a 2048-row (word,
+    bit_or) frame, and probing is a broadcast left join + bit-and per
+    hash -- all integer ops, so even the false-positive SET is
+    hash-checkable cross-engine, not just rerun-stable.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey"
+    )
+    build_pos = (
+        dim.select(
+            F.explode(
+                F.expr(
+                    _bloom_positions_sql(
+                        "c_custkey", "cast(c_custkey as string)"
+                    )
+                )
+            ).alias("pos")
+        ).distinct()
+    )
+    words = (
+        build_pos.select(
+            F.floor(F.col("pos") / 32.0).cast("long").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), pos % 32)").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probe = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(
+            F.expr(
+                _bloom_positions_sql(
+                    "o_custkey", "cast(o_custkey as string)"
+                )
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        probe.join(
+            F.broadcast(words),
+            F.floor(F.col("pos") / 32.0).cast("long") == F.col("word"),
+            "left",
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bits").bitwiseAND(
+                        F.expr("shiftleft(cast(1 as bigint), pos % 32)")
+                    )
+                    != 0,
+                    1,
+                ).otherwise(0)
+            ).alias("n_hit")
+        )
+    )
+    flagged = hits.join(
+        F.broadcast(dim), hits.o_custkey == dim.c_custkey, "left"
+    ).select(
+        (F.col("n_hit") == _BLOOM_K).alias("bloom_pass"),
+        F.col("c_custkey").isNotNull().alias("exact_match"),
+    )
+    fill = words.agg(
+        F.sum(F.bit_count("bits")).alias("bits_set")
+    )
+    bp = F.col("bloom_pass")
+    ex = F.col("exact_match")
+    return (
+        flagged.crossJoin(F.broadcast(fill))
+        .groupBy("bits_set")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(ex, 1).otherwise(0)).alias("n_exact_match"),
+            F.sum(F.when(bp, 1).otherwise(0)).alias("n_bloom_pass"),
+            F.sum(F.when(bp & ~ex, 1).otherwise(0)).alias(
+                "n_false_positive"
+            ),
+            (
+                F.sum(F.when(bp & ~ex, 1).otherwise(0))
+                / F.sum(F.when(~ex, 1).otherwise(0)).cast("double")
+            ).alias("fp_raw"),
+        )
+        .select(
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_exact_match").cast("long").alias("n_exact_match"),
+            F.col("n_bloom_pass").cast("long").alias("n_bloom_pass"),
+            F.col("n_false_positive").cast("long").alias(
+                "n_false_positive"
+            ),
+            F.round(F.col("fp_raw"), 6).alias("fp_rate"),
+            F.col("bits_set").cast("long").alias("bits_set"),
+            F.round(F.col("bits_set") / float(_BLOOM_M), 6).alias(
+                "fill_ratio"
+            ),
+        )
+    )

@@ -1400,7 +1400,7 @@ ORDER BY source
 )
 def doc_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing plan: concatenate each source's token stream in
-    doc_id order and cut it into fixed {_PACK_BUDGET}-token training
+    doc_id order and cut it into fixed 256-token training
     blocks (the GPT-style contiguous packing every LLM dataloader
     runs), reporting per source the block count, boundary-straddling
     docs (the attention-mask-reset sites), docs-per-block density, and
