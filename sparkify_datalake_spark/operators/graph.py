@@ -771,3 +771,117 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
         ).alias("global_cc"),
     )
+
+
+_LPA_ITERS = 8
+
+
+def label_propagation(edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
+    """Deterministic semi-synchronous label propagation (community
+    detection): every node repeatedly adopts the most frequent label
+    among its neighbors PLUS its own current label, ties broken by the
+    smallest label id — the classic Raghavan et al. LPA made
+    engine-deterministic by (a) the total tie-break order and (b) a
+    FIXED iteration count instead of run-to-convergence (synchronous
+    LPA can 2-cycle on bipartite structures; a fixed horizon makes
+    reruns bit-identical regardless).
+
+    ``edges`` is an undirected (a, b) frame. Per iteration: one
+    symmetric expansion join of the label map onto edge endpoints, one
+    (node, label) count aggregate, one per-node arg-max window —
+    all hash-partitioned on node id, localCheckpointed so the loop's
+    lineage stays flat (the _propagate_min_labels discipline). At
+    100 TB each round is two node-keyed shuffles; hub nodes cost their
+    degree in count rows, never materialized pairs.
+
+    Returns (node, community) with community = the converged label.
+    """
+    from pyspark.sql import Window
+
+    nbr = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(
+            edges.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        nbr.select("node").distinct().withColumn("lbl", F.col("node"))
+    ).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(
+        F.col("n").desc(), F.col("lbl").asc()
+    )
+    for _ in range(iters):
+        nbr_lbl = nbr.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "lbl")
+        votes = (
+            nbr_lbl.unionAll(labels.select("node", "lbl"))
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+@query("graph_label_propagation")
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the user-interaction graph via
+    deterministic LPA — the mesoscale readout between
+    graph_user_components (macro: who is connected at all) and
+    graph_kcore (micro: who is in the dense center): communities are
+    the behavioral clusters marketing/abuse teams actually act on.
+    Edges are REPEATED co-presences: consecutive interactions within
+    an (event_type, hour) stream, kept only when the pair recurs >= 3
+    times — the chance-adjacency floor. Unthresholded, the fixture's
+    all-time graph is near-complete and LPA honestly collapses it to
+    one community (measured: 1 community = all users at every SF);
+    repeated-co-presence edges leave real cluster structure, and the
+    threshold is the same signal-vs-noise cut an entity-resolution
+    pipeline applies before clustering. Per-community rollup
+    (size + min member id as the stable community name) keeps the
+    output grain report-sized; fixed 8 iterations =>
+    rerun-deterministic (rows-only; tests/test_graph.py cross-checks
+    a pure-Python LPA with identical tie-break rules on the same
+    edges).
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("hour", "ts")
+    ).orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
+        .filter(
+            F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+        .select(
+            F.least("user_id", "next_user").alias("a"),
+            F.greatest("user_id", "next_user").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+        .select("a", "b")
+    )
+    res = label_propagation(edges)
+    return (
+        res.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").cast("long").alias("min_member"),
+        )
+        .select(
+            F.col("community").cast("long").alias("community"),
+            "n_members",
+            "min_member",
+        )
+        .orderBy(F.col("n_members").desc(), F.col("community"))
+    )
