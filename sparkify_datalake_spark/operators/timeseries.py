@@ -2190,3 +2190,86 @@ def ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trend_strength"),
     )
+
+
+@query("ts_forecast_holt_winters")
+def ts_forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly season, alpha=0.5,
+    beta=0.3, gamma=0.3, m=7) over each event type's daily count
+    series, forecasting 7 days ahead -- completes the forecast ladder:
+    ts_forecast_snaive repeats season, ts_forecast_holt tracks trend,
+    this tracks both (ts_stl_strength is the router that picks).
+
+    Rows-only by design (sequential recursion per series, the
+    ts_forecast_holt rationale); tests/test_forecast.py recomputes the
+    recursion in plain Python to 1e-6 and bounds the in-sample
+    one-step MAE against the random-walk and seasonal-naive baselines.
+
+    Scale shape: identical to ts_forecast_holt -- one
+    partial-aggregatable day-count rollup, then applyInPandas keyed by
+    series (millions of independent short arrays at 100 TB); per-series
+    state is m+2 floats; self-contained kernel closure (foreign-cwd
+    workers import no repo modules).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+
+    def kernel(pdf):
+        import pandas as pd
+
+        alpha, beta, gamma, m, horizon = 0.5, 0.3, 0.3, 7, 7
+        pdf = pdf.sort_values("d")
+        ys = pdf["y"].astype("float64").tolist()
+        last_d = pdf["d"].iloc[-1]
+        et = pdf["event_type"].iloc[0]
+        ds = [last_d + pd.Timedelta(days=h) for h in range(1, horizon + 1)]
+        # Degenerate-series guard (the ts_forecast_holt discipline):
+        # fewer than two full seasons cannot initialize the seasonal
+        # profile -- emit a flat forecast with NULL fit_mae.
+        if len(ys) < 2 * m:
+            flat = round(ys[-1], 6) if ys else 0.0
+            return pd.DataFrame(
+                {
+                    "event_type": et,
+                    "d": ds,
+                    "forecast": [flat] * horizon,
+                    "fit_mae": None,
+                }
+            )
+        mean1 = sum(ys[:m]) / m
+        mean2 = sum(ys[m : 2 * m]) / m
+        level, trend = mean1, (mean2 - mean1) / m
+        season = [ys[i] - mean1 for i in range(m)]
+        abs_err, n_err = 0.0, 0
+        for t in range(m, len(ys)):
+            pred = level + trend + season[t % m]
+            abs_err += abs(ys[t] - pred)
+            n_err += 1
+            new_level = alpha * (ys[t] - season[t % m]) + (1 - alpha) * (
+                level + trend
+            )
+            trend = beta * (new_level - level) + (1 - beta) * trend
+            season[t % m] = gamma * (ys[t] - new_level) + (
+                1 - gamma
+            ) * season[t % m]
+            level = new_level
+        n = len(ys)
+        return pd.DataFrame(
+            {
+                "event_type": et,
+                "d": ds,
+                "forecast": [
+                    round(
+                        level + h * trend + season[(n + h - 1) % m], 6
+                    )
+                    for h in range(1, horizon + 1)
+                ],
+                "fit_mae": round(abs_err / n_err, 6),
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        kernel, "event_type string, d date, forecast double, fit_mae double"
+    )
