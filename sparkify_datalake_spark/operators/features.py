@@ -2209,13 +2209,17 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0) -- same plan, wider lattice.
     """
     li = load(spark, sf_dir, "lineitem")
+    # localCheckpoint: pv (<=150 rows) feeds four consumers (tv, pg,
+    # tot, tie) and Spark re-derives common subtrees per consumer --
+    # without the checkpoint the full lineitem scan+shuffle runs ~5x
+    # (measured 5.0 s -> 0.6 s at sf0.1)
     pv = (
         li.groupBy(
             F.round(F.col("l_quantity")).cast("long").alias("v"),
             F.col("l_returnflag").alias("g"),
         ).agg(F.count(F.lit(1)).alias("c"))
-    )
-    tv = pv.groupBy("v").agg(F.sum("c").alias("t"))
+    ).localCheckpoint()
+    tv = pv.groupBy("v").agg(F.sum("c").alias("t")).localCheckpoint()
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     rk = tv.select(
         "v",
