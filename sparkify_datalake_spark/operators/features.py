@@ -2502,3 +2502,94 @@ def stat_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(a2s, 6).alias("a2_star"),
         (F.round(a2s, 6) > F.lit(0.787)).alias("reject_5pct"),
     )
+
+
+# SPRT design: H0 p=0.10 vs H1 p=0.15 on the high-value purchase rate
+# (fixture base rate ~0.12-0.13, so the monitor genuinely walks), with
+# alpha = beta = 0.05 Wald boundaries ln(19) / -ln(19).
+_SPRT_P0 = 0.10
+_SPRT_P1 = 0.15
+_SPRT_BOUND = 2.9444389791664403  # ln((1-beta)/alpha) = ln(19)
+_SPRT_LW = 0.4054651081081645  # ln(p1/p0) = ln(1.5)
+_SPRT_LL = -0.05715841383994835  # ln((1-p1)/(1-p0)) = ln(0.85/0.90)
+
+
+@query(
+    "stat_sprt_monitor",
+    f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+    count(*) AS n,
+    sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS k
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+c AS (
+  SELECT day, n, k,
+    sum(n) OVER w AS cn, sum(k) OVER w AS ck
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT day,
+  CAST(cn AS BIGINT) AS n_trials,
+  CAST(ck AS BIGINT) AS n_success,
+  round(CAST(ck AS DOUBLE) * {_SPRT_LW} + CAST(cn - ck AS DOUBLE) * {_SPRT_LL}, 6) AS llr,
+  CASE
+    WHEN round(CAST(ck AS DOUBLE) * {_SPRT_LW} + CAST(cn - ck AS DOUBLE) * {_SPRT_LL}, 6)
+         >= {_SPRT_BOUND} THEN 'accept_h1'
+    WHEN round(CAST(ck AS DOUBLE) * {_SPRT_LW} + CAST(cn - ck AS DOUBLE) * {_SPRT_LL}, 6)
+         <= -{_SPRT_BOUND} THEN 'accept_h0'
+    ELSE 'continue'
+  END AS decision
+FROM c
+ORDER BY day
+""",
+)
+def stat_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability-ratio test monitoring the
+    high-value purchase rate day by day: H0 p=0.10 vs H1 p=0.15,
+    alpha = beta = 0.05 — the always-valid sequential companion to
+    stat_abtest_ztest's fixed-horizon decision (peek every day WITHOUT
+    inflating the error rate; the fixture base rate ~0.12 sits between
+    the hypotheses, so the walk genuinely wanders before crossing).
+    LLR_t = K_t·ln(p1/p0) + (N_t−K_t)·ln((1−p1)/(1−p0)) against the
+    ±ln(19) Wald boundaries.
+
+    Scale shape: one partial-aggregatable day rollup is the only
+    full-data pass; the cumulative walk runs on the bounded ~30-row
+    day frame (ordered window — deterministic summation). All counts
+    integer; the LLR is two exact-literal multiplies, and the decision
+    compares the ROUNDED statistic (the jarque_bera discipline) so
+    boundary days can't flip on float noise.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias(
+                "k"
+            ),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "day",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("k").over(w).alias("ck"),
+    )
+    llr = F.round(
+        F.col("ck") * _SPRT_LW + (F.col("cn") - F.col("ck")) * _SPRT_LL, 6
+    )
+    return c.select(
+        "day",
+        F.col("cn").cast("long").alias("n_trials"),
+        F.col("ck").cast("long").alias("n_success"),
+        llr.alias("llr"),
+        F.when(llr >= _SPRT_BOUND, "accept_h1")
+        .when(llr <= -_SPRT_BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")

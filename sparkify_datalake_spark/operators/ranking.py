@@ -353,3 +353,168 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_s")
     )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_POOL = 50  # candidates taken from each ranker
+
+from sparkify_datalake_spark.operators.similarity import (  # noqa: E402
+    _sql_dot,
+    _sql_norm,
+)
+
+_RRF_COS_SQL = (
+    f"{_sql_dot('e.embedding', 't.embedding')} / "
+    f"({_sql_norm('e.embedding')} * {_sql_norm('t.embedding')})"
+)
+
+
+@query(
+    "sim_hybrid_rrf",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tokens()}) AS token
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, len({_sql_tokens()}) AS dl FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token IN ({_TERMS_SQL})
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+stats AS (
+  SELECT count(*) AS n, avg(len({_sql_tokens()})) AS avgdl
+  FROM documents
+),
+lex_scored AS (
+  SELECT doc_id,
+    round(sum(
+      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+      tf * (1.2 + 1.0) /
+      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    ), 6) AS s
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id
+  ORDER BY s DESC, doc_id
+  LIMIT {_RRF_POOL}
+),
+lex AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM lex_scored
+),
+t AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+sem_scored AS (
+  SELECT e.vec_id AS doc_id,
+    round({_RRF_COS_SQL}, 6) AS s
+  FROM embeddings e, t
+  WHERE e.vec_id <> 0
+  ORDER BY s DESC, doc_id
+  LIMIT {_RRF_POOL}
+),
+sem AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM sem_scored
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+  CAST(lex.r AS BIGINT) AS lex_rank,
+  CAST(sem.r AS BIGINT) AS sem_rank,
+  round(COALESCE(1.0 / ({_RRF_K} + lex.r), 0)
+        + COALESCE(1.0 / ({_RRF_K} + sem.r), 0), 6) AS rrf_score
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+LIMIT 20
+""",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the lexical BM25
+    ranking (text_bm25_topk's scorer, fixed term query) and the
+    semantic cosine ranking (sim_cosine_topk's probe vector) fused by
+    RRF(d) = sum 1/(60 + rank_i(d)) over the rankers that returned d
+    — the score-scale-free fusion every hybrid search stack (BM25 +
+    dense retriever) ships, robust to BM25's unbounded scores vs
+    cosine's [-1,1] precisely because only RANKS enter. Docs carry
+    both representations where doc_id = vec_id (the fixture's aligned
+    id space); each ranker contributes its top-{_RRF_POOL} pool.
+
+    Scale shape: both rankers are bounded-heap top-k (the ranking
+    module's TakeOrderedAndProject discipline) — the only windows run
+    on the two {_RRF_POOL}-row pools, and the fusion is a tiny
+    full-outer join. Ranks derive from ROUNDED scores with id
+    tiebreaks, so rank order (and hence the fused set) is
+    engine-deterministic.
+    """
+    from sparkify_datalake_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    # lexical pool: BM25 over the fixed term query
+    doclen = docs.select("doc_id", F.size(_tokens()).alias("dl"))
+    tf = _tf(docs)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(_tokens())).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    lex_scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * F.lit(_BM25_K1 + 1.0) / norm), 6
+            ).alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(_RRF_POOL)
+    )
+    w = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    lex = lex_scored.select(
+        "doc_id", F.row_number().over(w).alias("lex_r")
+    )
+    # semantic pool: cosine to the probe vector
+    target = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("t_embedding")
+    )
+    cos = _dot("embedding", "t_embedding") / (
+        _norm("embedding") * _norm("t_embedding")
+    )
+    sem_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(target))
+        .select(
+            F.col("vec_id").alias("doc_id"), F.round(cos, 6).alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(_RRF_POOL)
+    )
+    sem = sem_scored.select(
+        "doc_id", F.row_number().over(w).alias("sem_r")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("lex_r").cast("long").alias("lex_rank"),
+        F.col("sem_r").cast("long").alias("sem_rank"),
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_r")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("sem_r")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)
