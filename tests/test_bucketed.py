@@ -1,122 +1,93 @@
-"""Bucketed-table capability: the write-once-shuffle-never layout.
+"""Extended bucketed-table assertions (round 7), on top of
+tests/test_sinks.py::test_bucketed_join_is_shuffle_free's core
+join-without-Exchange guarantee:
 
-Three plan-asserted payoffs of ``write_bucketed_table``:
-1. equi-join of two same-bucketed tables runs with NO Exchange and
-   matches the plain-join result exactly;
-2. aggregation on the bucket key runs with NO Exchange;
-3. a point predicate on the bucket key prunes to 1 of n buckets at the
-   scan (SelectedBucketsCount).
-
-Broadcast is disabled inside these tests — the point is the co-located
-SHUFFLE-free shape that survives when neither side broadcasts (the
-fact⋈fact case at 100 TB).
+1. aggregation on the bucket key runs with NO Exchange;
+2. a point predicate on the bucket key prunes to 1 of n buckets
+   (SelectedBucketsCount) — requires autoBucketedScan OFF, because the
+   planner otherwise drops the bucketed read for a bare filter scan
+   ("Bucketed: false (disabled by query planner)") and forfeits
+   pruning with it;
+3. the layout contract's caveat: joining an 8-bucket table against a
+   4-bucket table re-shuffles exactly ONE side (the mismatched one).
 """
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
 from pyspark.sql import functions as F
 
-from sparkify_datalake_spark.sources.bucketed import (
-    bucketed_scan_info,
-    executed_plan,
-    has_exchange,
-    write_bucketed_table,
-)
 from sparkify_datalake_spark.sources.load import load
+from sparkify_datalake_spark.sources.sinks import write_bucketed_table
 
 _N = 8
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _bucket_counts(df) -> list[str]:
+    return re.findall(r"SelectedBucketsCount: (\d+ out of \d+)", _plan(df))
+
+
 @pytest.fixture(scope="module")
-def bucketed_tables(spark, sf_dir, tmp_path_factory):
-    wd = str(tmp_path_factory.mktemp("bucketed_wh"))
-    old_wh = spark.conf.get("spark.sql.warehouse.dir", None)
-    orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer")
-    write_bucketed_table(orders, "t_orders_b", "o_custkey", _N)
-    write_bucketed_table(cust, "t_cust_b", "c_custkey", _N)
-    yield "t_orders_b", "t_cust_b"
-    for t in ("t_orders_b", "t_cust_b"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-    del wd, old_wh
+def bucketed_orders(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed_ext")
+    write_bucketed_table(
+        load(spark, sf_dir, "orders"),
+        "bx_orders",
+        "o_custkey",
+        _N,
+        str(base / "bx_orders"),
+    )
+    yield "bx_orders"
+    spark.sql("DROP TABLE IF EXISTS bx_orders")
 
 
-def test_bucketed_join_has_no_exchange_and_matches(
-    spark, sf_dir, bucketed_tables
-):
-    ob, cb = bucketed_tables
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        o, c = spark.table(ob), spark.table(cb)
-        j = o.join(c, o.o_custkey == c.c_custkey).select(
-            "o_orderkey", "o_custkey", "c_mktsegment"
-        )
-        assert not has_exchange(j), executed_plan(j)
-        info = bucketed_scan_info(j)
-        assert info and all(s == f"{_N} out of {_N}" for s in info), info
-        got = sorted(tuple(r) for r in j.collect())
-        orders = load(spark, sf_dir, "orders")
-        cust = load(spark, sf_dir, "customer")
-        want = sorted(
-            tuple(r)
-            for r in orders.join(
-                cust, orders.o_custkey == cust.c_custkey
-            )
-            .select("o_orderkey", "o_custkey", "c_mktsegment")
-            .collect()
-        )
-        assert got == want
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-
-
-def test_bucketed_aggregate_has_no_exchange(spark, bucketed_tables):
-    ob, _ = bucketed_tables
+def test_bucketed_aggregate_has_no_exchange(spark, bucketed_orders):
     agg = (
-        spark.table(ob)
+        spark.table(bucketed_orders)
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    assert not has_exchange(agg), executed_plan(agg)
+    assert "Exchange" not in _plan(agg), _plan(agg)
 
 
-def test_bucket_pruning_on_point_predicate(spark, bucketed_tables):
-    # autoBucketedScan drops the bucketed read when no operator needs
-    # the distribution ("Bucketed: false (disabled by query planner)"),
-    # which also forfeits pruning; a point lookup wants it ON.
-    ob, _ = bucketed_tables
+def test_bucket_pruning_on_point_predicate(spark, bucketed_orders):
     key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     old = spark.conf.get(key)
     spark.conf.set(key, "false")
     try:
-        probe = spark.table(ob).filter(F.col("o_custkey") == 42)
-        info = bucketed_scan_info(probe)
-        assert info == [f"1 out of {_N}"], executed_plan(probe)
-        got = {r["o_custkey"] for r in probe.collect()}
-        assert got <= {42}
+        probe = spark.table(bucketed_orders).filter(
+            F.col("o_custkey") == 42
+        )
+        assert _bucket_counts(probe) == [f"1 out of {_N}"], _plan(probe)
+        assert {r["o_custkey"] for r in probe.collect()} <= {42}
     finally:
         spark.conf.set(key, old)
 
 
 def test_mismatched_bucket_counts_reshuffle_one_side(
-    spark, sf_dir, bucketed_tables
+    spark, sf_dir, bucketed_orders, tmp_path
 ):
-    """The caveat test: a 4-bucket right side against the 8-bucket
-    orders table forces an Exchange on the MISMATCHED side only —
-    agreeing on bucket count is part of the layout contract."""
-    ob, _ = bucketed_tables
-    cust = load(spark, sf_dir, "customer")
-    write_bucketed_table(cust, "t_cust_b4", "c_custkey", 4)
+    write_bucketed_table(
+        load(spark, sf_dir, "customer"),
+        "bx_cust4",
+        "c_custkey",
+        4,
+        str(tmp_path / "bx_cust4"),
+    )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        o, c4 = spark.table(ob), spark.table("t_cust_b4")
+        o = spark.table(bucketed_orders)
+        c4 = spark.table("bx_cust4")
         j = o.join(c4, o.o_custkey == c4.c_custkey)
-        plan = executed_plan(j)
-        assert plan.count("Exchange") == 1, plan
+        assert _plan(j).count("Exchange") == 1, _plan(j)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS t_cust_b4")
+        spark.sql("DROP TABLE IF EXISTS bx_cust4")
