@@ -777,3 +777,42 @@ def test_calendar_gaps_generates_calendar_without_data_scan(spark):
     plan = _plan(spark, "dq_calendar_gaps")
     assert "explode(sequence" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_filter_probes_via_broadcast(spark):
+    """The bloom bitmap must reach the probe side as a broadcast (the
+    runtime-filter shape: KB bitmap to every scan task) — a shuffled
+    words join would defeat the op's entire purpose."""
+    plan = _plan(spark, "agg_bloom_runtime_filter")
+    # probe-vs-bitmap is a broadcast join keyed on the word expression
+    # (the word-keyed hash exchange that DOES appear belongs to the
+    # 2048-row bitmap AGGREGATION on the build side, pre-broadcast)
+    assert "BroadcastHashJoin [FLOOR(" in plan, plan
+    # ground-truth membership also broadcasts the dimension
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_hybrid_rrf_rankers_are_bounded_heaps(spark):
+    """Both RRF pools must come from TakeOrderedAndProject (bounded
+    heap), never a global sort of scored candidates; the rank windows
+    then run on the 50-row pools only."""
+    plan = _plan(spark, "sim_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject(limit=50") == 2, plan
+    assert plan.count("TakeOrderedAndProject(limit=20") == 1, plan
+
+
+def test_doc_packing_windows_partition_by_source(spark):
+    """The packing cumsum must partition by source (the shard key) —
+    a global total-order window would serialize ingestion at scale."""
+    plan = _plan(spark, "doc_packing_plan")
+    assert "windowspecdefinition(source" in plan, plan
+    assert "windowspecdefinition(doc_id" not in plan
+
+
+def test_scd2_windows_share_entity_partitioning(spark):
+    """Both SCD2 windows (lag change-point filter, lead/version close)
+    must partition on the entity key; no global window anywhere."""
+    plan = _plan(spark, "dim_scd2_build")
+    assert "windowspecdefinition(o_custkey" in plan
+    # exactly one custkey-only exchange feeds both stacked windows
+    assert plan.count("hashpartitioning(o_custkey#") >= 1
