@@ -2593,3 +2593,394 @@ def stat_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     ).orderBy("day")
+
+
+@query(
+    "stat_cochran_armitage",
+    """
+WITH g AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w,
+    count(*) AS n,
+    sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS k
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT sum(n) AS nt, sum(k) AS kt, count(*) AS ng,
+    sum(w * k) AS swk, sum(w * n) AS swn, sum(w * w * n) AS swwn
+  FROM g
+)
+SELECT CAST(ng AS BIGINT) AS n_groups,
+  CAST(nt AS BIGINT) AS n_total,
+  CAST(kt AS BIGINT) AS n_success,
+  round(kt / CAST(nt AS DOUBLE), 6) AS pooled_rate,
+  round(
+    (swk - (kt / CAST(nt AS DOUBLE)) * swn)
+    / sqrt((kt / CAST(nt AS DOUBLE)) * (1 - kt / CAST(nt AS DOUBLE))
+           * (swwn - CAST(swn AS DOUBLE) * swn / nt)), 6) AS ca_z,
+  abs(round(
+    (swk - (kt / CAST(nt AS DOUBLE)) * swn)
+    / sqrt((kt / CAST(nt AS DOUBLE)) * (1 - kt / CAST(nt AS DOUBLE))
+           * (swwn - CAST(swn AS DOUBLE) * swn / nt)), 6))
+    > 1.959964 AS reject_5pct
+FROM t
+""",
+)
+def stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the high-value rate move
+    MONOTONICALLY with order priority (scores 1..5 parsed from the
+    priority label)? The ordered-groups upgrade of
+    stat_chi2_independence — chi-square asks "any difference?", CA
+    asks "a trend in the stated direction?", which is one df instead
+    of k−1 and therefore the more powerful question when the factor is
+    ordinal. z = Σw(k − n·p̄) / √(p̄(1−p̄)(Σw²n − (Σwn)²/N)), the
+    fixture's balanced ~0.60 rates give an honestly non-significant
+    walk.
+
+    One partial-aggregatable groupBy to the 5-row priority grain is
+    the only full-data pass; every sum (Σwk, Σwn, Σw²n) is exact
+    integer until the final closed form, and the rejection compares
+    the ROUNDED |z| (the jarque_bera discipline).
+    """
+    o = load(spark, sf_dir, "orders")
+    g = (
+        o.groupBy(
+            F.substring("o_orderpriority", 1, 1)
+            .cast("long")
+            .alias("w")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    t = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("k").alias("kt"),
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("w") * F.col("k")).alias("swk"),
+        F.sum(F.col("w") * F.col("n")).alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).alias("swwn"),
+    )
+    p = F.col("kt") / F.col("nt").cast("double")
+    z = (F.col("swk") - p * F.col("swn")) / F.sqrt(
+        p
+        * (1 - p)
+        * (
+            F.col("swwn")
+            - F.col("swn").cast("double") * F.col("swn") / F.col("nt")
+        )
+    )
+    return t.select(
+        F.col("ng").cast("long").alias("n_groups"),
+        F.col("nt").cast("long").alias("n_total"),
+        F.col("kt").cast("long").alias("n_success"),
+        F.round(p, 6).alias("pooled_rate"),
+        F.round(z, 6).alias("ca_z"),
+        (F.abs(F.round(z, 6)) > F.lit(1.959964)).alias("reject_5pct"),
+    )
+
+
+_BH_ALPHA = 0.1
+
+
+def _phi_tail_sql(absz: str) -> str:
+    """Upper-tail normal probability 1-Φ(|z|) as SQL — the same A&S
+    26.2.17 polynomial stat_anderson_darling inlines, shared
+    textually so both engines evaluate the identical expression."""
+    t = f"(1 / (1 + {_AD_T} * {absz}))"
+    poly = (
+        f"({t} * ({_AD_B[0]} + {t} * ({_AD_B[1]} + {t} * ({_AD_B[2]}"
+        f" + {t} * ({_AD_B[3]} + {t} * {_AD_B[4]})))))"
+    )
+    return f"(exp(-({absz}) * ({absz}) / 2) / {_AD_SQRT_2PI} * {poly})"
+
+
+@query(
+    "stat_bh_fdr",
+    f"""
+WITH o AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+    o.o_totalprice AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+gstat AS (
+  SELECT avg(x) AS mu, stddev_pop(x) AS sigma FROM o
+),
+cells AS (
+  SELECT seg, pri, count(*) AS n, avg(x) AS m
+  FROM o GROUP BY 1, 2
+),
+z AS (
+  SELECT seg, pri, n, m,
+    round((m - g.mu) / (g.sigma / sqrt(n)), 6) AS z
+  FROM cells CROSS JOIN gstat g
+),
+p AS (
+  SELECT seg, pri, n, m, z,
+    round(2 * {_phi_tail_sql('abs(z)')}, 8) AS p
+  FROM z
+),
+rk AS (
+  SELECT seg, pri, n, m, z, p,
+    row_number() OVER (ORDER BY p, seg, pri) AS r,
+    count(*) OVER () AS mh
+  FROM p
+),
+st AS (
+  SELECT *,
+    round(r * {_BH_ALPHA} / mh, 8) AS bh_crit,
+    max(CASE WHEN p <= r * {_BH_ALPHA} / mh THEN r ELSE 0 END)
+      OVER () AS istar
+  FROM rk
+)
+SELECT seg AS segment, pri AS priority,
+  CAST(n AS BIGINT) AS n_orders,
+  round(m, 2) AS cell_mean,
+  z AS z_stat, p AS p_value,
+  CAST(r AS BIGINT) AS p_rank,
+  bh_crit,
+  r <= istar AS significant
+FROM st
+ORDER BY p_rank
+""",
+)
+def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the 25 (segment, priority)
+    mean-order-value hypotheses: each cell z-tested against the global
+    mean, two-sided p from the shared A&S normal-CDF polynomial, then
+    the BH step-up rule (largest rank i with p_(i) <= i·α/m; everything
+    at or below is discovered) at α=0.1 — the multiple-testing
+    correction stat_pairwise_ttest_bonferroni's docstring promises a
+    less conservative sibling for: Bonferroni divides α by m
+    regardless, BH adapts to how many signals exist.
+
+    Scale shape: one broadcast dim join + one partial-aggregatable
+    groupBy to the 25-cell grain; global μ/σ ride a 1-row broadcast;
+    every window (rank, m, step-up max) runs on the bounded 25-row
+    frame. Engine parity: z is ROUNDED before the CDF so both engines
+    evaluate the polynomial on an identical lattice, p is rounded
+    before ranking, and ranks tie-break on (segment, priority).
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("x"),
+    )
+    glob = base.agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
+    )
+    cells = base.groupBy("seg", "pri").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("x").alias("m")
+    )
+    z = cells.crossJoin(F.broadcast(glob)).select(
+        "seg",
+        "pri",
+        "n",
+        "m",
+        F.round(
+            (F.col("m") - F.col("mu"))
+            / (F.col("sigma") / F.sqrt(F.col("n"))),
+            6,
+        ).alias("z"),
+    )
+    az = F.abs(F.col("z"))
+    t = 1 / (1 + _AD_T * az)
+    poly = t * (
+        _AD_B[0]
+        + t * (_AD_B[1] + t * (_AD_B[2] + t * (_AD_B[3] + t * _AD_B[4])))
+    )
+    tail = F.exp(-az * az / 2) / _AD_SQRT_2PI * poly
+    p = z.withColumn("p", F.round(2 * tail, 8))
+    wr = Window.orderBy("p", "seg", "pri")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = p.select(
+        "seg",
+        "pri",
+        "n",
+        "m",
+        "z",
+        "p",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("mh"),
+    )
+    crit = F.col("r") * _BH_ALPHA / F.col("mh")
+    st = rk.select(
+        "seg",
+        "pri",
+        "n",
+        "m",
+        "z",
+        "p",
+        "r",
+        F.round(crit, 8).alias("bh_crit"),
+        F.max(
+            F.when(F.col("p") <= crit, F.col("r")).otherwise(0)
+        )
+        .over(wall)
+        .alias("istar"),
+    )
+    return st.select(
+        F.col("seg").alias("segment"),
+        F.col("pri").alias("priority"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("m"), 2).alias("cell_mean"),
+        F.col("z").alias("z_stat"),
+        F.col("p").alias("p_value"),
+        F.col("r").cast("long").alias("p_rank"),
+        "bh_crit",
+        (F.col("r") <= F.col("istar")).alias("significant"),
+    ).orderBy("p_rank")
+
+
+_BOOT_B = 32  # bootstrap replicates (2 md5 digests x 16 byte slices)
+# byte-lattice Poisson(1) ladder: thresholds round the Poisson CDF
+# (.3679/.7358/.9197/.9810/.9963) onto the 256-value byte grid, so the
+# replicate weights are a pure function of md5(orderkey#d) — the
+# deterministic "online bootstrap" (Poisson resampling) every
+# distributed bootstrap uses, here made engine-reproducible.
+_BOOT_THRESH = (94, 188, 235, 251, 255)
+
+
+def _boot_weights_sql(key: str) -> str:
+    """32-element weight array for one row: byte i of digest d =
+    md5(key || '#d') runs the Poisson ladder; identical text feeds
+    Spark's array() and (after s/array/list_value/) DuckDB."""
+    hexd = "'0123456789abcdef'"
+    parts = []
+    for d in range(2):
+        dig = f"md5(concat({key}, '#{d}'))"
+        for i in range(16):
+            byte = (
+                f"((instr({hexd}, substring({dig}, {2 * i + 1}, 1)) - 1)"
+                f" * 16"
+                f" + instr({hexd}, substring({dig}, {2 * i + 2}, 1)) - 1)"
+            )
+            t0, t1, t2, t3, t4 = _BOOT_THRESH
+            parts.append(
+                f"(CASE WHEN {byte} < {t0} THEN 0"
+                f" WHEN {byte} < {t1} THEN 1"
+                f" WHEN {byte} < {t2} THEN 2"
+                f" WHEN {byte} < {t3} THEN 3"
+                f" WHEN {byte} < {t4} THEN 4 ELSE 5 END)"
+            )
+    return "array(" + ", ".join(parts) + ")"
+
+
+@query(
+    "stat_bootstrap_ci",
+    f"""
+WITH w AS (
+  SELECT o_totalprice AS x,
+    {_boot_weights_sql('CAST(o_orderkey AS VARCHAR)').replace(
+        'array(', 'list_value(', 1)} AS arr
+  FROM orders
+),
+e AS (
+  SELECT r.b AS b, sum(arr[r.b + 1] * x) AS sx, sum(arr[r.b + 1]) AS sw
+  FROM w CROSS JOIN range(0, {_BOOT_B}) r(b)
+  GROUP BY 1
+),
+m AS (
+  SELECT b, round(sx / sw, 6) AS bm FROM e
+),
+rk AS (
+  SELECT bm, row_number() OVER (ORDER BY bm, b) AS rn FROM m
+),
+ci AS (
+  SELECT
+    max(CASE WHEN rn = 1 THEN bm END) AS v1,
+    max(CASE WHEN rn = 2 THEN bm END) AS v2,
+    max(CASE WHEN rn = {_BOOT_B - 1} THEN bm END) AS v31,
+    max(CASE WHEN rn = {_BOOT_B} THEN bm END) AS v32,
+    count(*) AS nb
+  FROM rk
+),
+g AS (SELECT count(*) AS n, avg(o_totalprice) AS mean FROM orders)
+SELECT CAST(g.n AS BIGINT) AS n_rows,
+  CAST(ci.nb AS BIGINT) AS n_replicates,
+  round(g.mean, 2) AS mean,
+  round(ci.v1 + 0.775 * (ci.v2 - ci.v1), 2) AS ci_lo,
+  round(ci.v31 + 0.225 * (ci.v32 - ci.v31), 2) AS ci_hi
+FROM g CROSS JOIN ci
+""",
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed deterministic bootstrap CI for the mean order
+    value: {_BOOT_B} Poisson-resampling replicates whose per-row
+    weights are a pure function of md5(orderkey) byte slices — the
+    "online bootstrap" (Poisson(1) weights instead of multinomial
+    draws) that actually scales, because each replicate is one
+    weighted partial-aggregatable mean over the SAME single scan, no
+    resampled copies of the data ever materialize, and determinism is
+    by construction (the sample_hash_pct discipline applied to
+    resampling). The 95% interval interpolates the replicate-mean
+    order statistics at the quantile_cont positions for B={_BOOT_B}
+    (h = (B-1)p + 1 → ranks 1/2 and 31/32 with the 0.775/0.225
+    fractions as literals).
+
+    One projection computes the 32-weight array per row (2 md5 calls,
+    byte-lattice Poisson ladder — mean weight 257/256, the documented
+    grid bias); a broadcast 32-row grid explodes replicates map-side;
+    the only shuffle is the 32-group weighted-mean aggregate. Replicate
+    means are ROUNDED before ranking (engine-stable order statistics).
+    """
+    o = load(spark, sf_dir, "orders")
+    w = o.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("o_totalprice").alias("x"),
+        F.expr(
+            _boot_weights_sql("cast(o_orderkey as string)")
+        ).alias("arr"),
+    )
+    grid = spark.range(0, _BOOT_B).select(
+        F.col("id").cast("int").alias("b")
+    )
+    e = (
+        w.crossJoin(F.broadcast(grid))
+        .select(
+            "b",
+            (F.expr("element_at(arr, b + 1)") * F.col("x")).alias("wx"),
+            F.expr("element_at(arr, b + 1)").alias("wt"),
+        )
+        .groupBy("b")
+        .agg(F.sum("wx").alias("sx"), F.sum("wt").alias("sw"))
+    )
+    m = e.select("b", F.round(F.col("sx") / F.col("sw"), 6).alias("bm"))
+    rk = m.select(
+        "bm",
+        F.row_number()
+        .over(Window.orderBy("bm", "b"))
+        .alias("rn"),
+    )
+    ci = rk.agg(
+        F.max(F.when(F.col("rn") == 1, F.col("bm"))).alias("v1"),
+        F.max(F.when(F.col("rn") == 2, F.col("bm"))).alias("v2"),
+        F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("bm"))).alias(
+            "v31"
+        ),
+        F.max(F.when(F.col("rn") == _BOOT_B, F.col("bm"))).alias("v32"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    g = o.agg(F.count(F.lit(1)).alias("n"), F.avg("o_totalprice").alias("mean"))
+    return (
+        F.broadcast(g)
+        .crossJoin(ci)
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("nb").cast("long").alias("n_replicates"),
+            F.round(F.col("mean"), 2).alias("mean"),
+            F.round(
+                F.col("v1") + 0.775 * (F.col("v2") - F.col("v1")), 2
+            ).alias("ci_lo"),
+            F.round(
+                F.col("v31") + 0.225 * (F.col("v32") - F.col("v31")), 2
+            ).alias("ci_hi"),
+        )
+    )

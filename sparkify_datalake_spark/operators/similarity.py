@@ -1633,3 +1633,104 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= _RANGE_TAU)
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     )
+
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 50
+_MMR_K = 10
+
+
+@query("sim_mmr_rerank")
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversity rerank of the cosine
+    top-50 pool: greedily pick k=10 results maximizing
+    λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) with λ=0.7 — the
+    redundancy-killer every retrieval stack applies AFTER recall
+    (sim_cosine_topk / sim_hybrid_rrf fetch; MMR diversifies), so near
+    -duplicate hits (the dedup_near family's positives!) stop crowding
+    the result page.
+
+    Scale shape: candidate generation is the bounded-heap cosine
+    top-{pool} (TakeOrderedAndProject, data-sized); the GREEDY stage is
+    inherently sequential in k but runs on the pool only — a single
+    applyInPandas group holding 50×64 floats (KB), the same
+    bounded-kernel discipline as the forecast recursions. Rows-only
+    (sequential selection has no SQL form); determinism: relevance
+    rounded 6dp, pairwise sims rounded 6dp inside the kernel, ties
+    broken by vec_id; tests/test_mmr.py cross-checks a pure-Python
+    twin and pins the diversity property (mean pairwise sim of the
+    MMR set < that of the plain top-k).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("t_embedding")
+    )
+    rel = _dot("embedding", "t_embedding") / (
+        _norm("embedding") * _norm("t_embedding")
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(target))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(rel, 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(_MMR_POOL)
+        .withColumn("g", F.lit(1))
+    )
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        lam, k = 0.7, 10
+        pdf = pdf.sort_values(
+            ["rel", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        sims = np.round(
+            (vecs @ vecs.T) / np.outer(norms, norms), 6
+        )
+        rels = pdf["rel"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        selected: list[int] = []
+        out = []
+        for step in range(min(k, len(pdf))):
+            best, best_score, best_maxsim = None, None, None
+            for i in range(len(pdf)):
+                if i in selected:
+                    continue
+                maxsim = (
+                    max(sims[i][j] for j in selected)
+                    if selected
+                    else 0.0
+                )
+                score = round(
+                    lam * rels[i] - (1 - lam) * maxsim, 6
+                )
+                # strict > with ascending id scan = smallest-id tie-break
+                if best is None or score > best_score:
+                    best, best_score, best_maxsim = i, score, maxsim
+            selected.append(best)
+            out.append(
+                (step + 1, int(ids[best]), float(rels[best]),
+                 float(best_maxsim), float(best_score))
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "rank", "vec_id", "relevance", "max_sim_to_prior",
+                "mmr_score",
+            ],
+        )
+
+    return pool.groupBy("g").applyInPandas(
+        kernel,
+        "rank int, vec_id long, relevance double, "
+        "max_sim_to_prior double, mmr_score double",
+    )
