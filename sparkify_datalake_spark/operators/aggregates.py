@@ -578,6 +578,171 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch — the THIRD member of
+# the distinct-sketch family (HLL = opaque mergeable binary,
+# bitmap = exact small-domain, KMV = order-statistic sketch). Unlike HLL,
+# KMV over a deterministic hash is itself deterministic, so this is the
+# one approximate-distinct operator that carries an EXACT cross-engine
+# hash oracle: both engines keep the k smallest md5 values and apply the
+# unbiased estimator (k-1)/u_k, so the estimate is a pure function of the
+# data.
+
+_KMV_K = 64
+# 16^12 — the 12-hex-digit hash prefix is mapped to [0,1) by dividing by
+# this; 48 bits keeps the integer exact in a double and collision-free to
+# ~16 M distinct keys per group.
+_KMV_SCALE = 281474976710656
+
+
+def _hex_prefix_int_sql(h: str, n: int) -> str:
+    """Integer value of the first ``n`` hex digits of expression ``h`` —
+    instr-ladder form that parses identically in Spark SQL and DuckDB
+    (the _boot_weights_sql discipline; neither engine shares a hex→int
+    builtin with the other)."""
+    hexd = "'0123456789abcdef'"
+    terms = [
+        f"(instr({hexd}, substring({h}, {i + 1}, 1)) - 1) * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "agg_kmv_distinct",
+    f"""
+WITH grain AS (
+  SELECT event_type AS grp, user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS d
+  FROM events
+  UNION ALL
+  SELECT '__all__' AS grp, user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS d
+  FROM events
+),
+dist AS (
+  SELECT DISTINCT grp, user_id, d FROM grain
+),
+h AS (
+  SELECT grp,
+    md5(concat('kmv#', CAST(user_id AS VARCHAR), '#', d)) AS hx
+  FROM dist
+),
+ranked AS (
+  SELECT grp, hx,
+    row_number() OVER (PARTITION BY grp ORDER BY hx) AS rn,
+    count(*) OVER (PARTITION BY grp) AS n_true
+  FROM h
+),
+kth AS (
+  SELECT grp, CAST(max(n_true) AS BIGINT) AS true_distinct,
+    max(CASE WHEN rn = {_KMV_K} THEN {_hex_prefix_int_sql('hx', 12)} END)
+      AS vk
+  FROM ranked GROUP BY grp
+),
+est AS (
+  SELECT grp, true_distinct,
+    round(CASE WHEN true_distinct < {_KMV_K}
+          THEN CAST(true_distinct AS DOUBLE)
+          ELSE ({_KMV_K} - 1) * {_KMV_SCALE}.0 / vk END, 2) AS est_distinct
+  FROM kth
+)
+SELECT grp, {_KMV_K} AS k, true_distinct, est_distinct,
+  round((est_distinct - true_distinct) / true_distinct, 4) AS rel_err
+FROM est
+ORDER BY grp
+""",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct sketch of user-days per event type plus a
+    merged ``__all__`` union sketch — with an EXACT hash oracle, which no
+    other approximate-distinct operator here can offer: the k smallest
+    md5 values are a deterministic function of the data, so Spark and
+    DuckDB agree bit-for-bit on the estimate (k-1)/u_k.
+
+    Union mergeability is KMV's point: the union sketch is just the
+    bottom-k of the pooled hash sets (here demonstrated as the
+    ``__all__`` group built from the same single scan), so per-slice
+    sketches of k 16-byte values merge without re-scanning facts — the
+    HLL contract with order statistics instead of registers.
+
+    Scale shape (100 TB): the naive bottom-k sorts every distinct hash
+    per group under one window key — a billion-row single-partition sort.
+    Instead the distinct grain is counted first (tiny per-group frame,
+    broadcast back), and a pure-integer pre-filter
+    ``prefix16(hash) * n_true <= 4k * 65536`` keeps ~4k expected
+    survivors per group (P[< k survivors] is a >10-sigma Chernoff tail),
+    so the rank window only ever sees a KB-sized frame. The oracle runs
+    the unfiltered bottom-k — identical output whenever the filter
+    retains the k minima, which the 3-SF hash gate verifies. Groups with
+    fewer than k distinct keys report the exact count (the sketch is not
+    yet full), covered at sf0.001 where user-day cardinality < k.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("grp"),
+        F.col("user_id"),
+        F.col("ts").cast("date").cast("string").alias("d"),
+    )
+    grain = base.unionByName(
+        base.select(F.lit("__all__").alias("grp"), "user_id", "d")
+    )
+    dist = (
+        grain.distinct()
+        .select(
+            "grp",
+            F.md5(
+                F.concat_ws("#", F.lit("kmv"), F.col("user_id").cast("string"), F.col("d"))
+            ).alias("hx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_true = dist.groupBy("grp").agg(F.count(F.lit(1)).alias("n_true"))
+    survivors = dist.join(F.broadcast(n_true), "grp").filter(
+        F.expr("conv(substring(hx, 1, 4), 16, 10)").cast("long")
+        * F.col("n_true")
+        <= F.lit(4 * _KMV_K * 65536)
+    )
+    w = Window.partitionBy("grp").orderBy("hx")
+    kth = (
+        survivors.select(
+            "grp", "hx", "n_true", F.row_number().over(w).alias("rn")
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("n_true").cast("long").alias("true_distinct"),
+            F.max(
+                F.when(
+                    F.col("rn") == _KMV_K,
+                    F.expr("conv(substring(hx, 1, 12), 16, 10)").cast("long"),
+                )
+            ).alias("vk"),
+        )
+    )
+    est = kth.select(
+        "grp",
+        "true_distinct",
+        F.round(
+            F.when(
+                F.col("true_distinct") < _KMV_K,
+                F.col("true_distinct").cast("double"),
+            ).otherwise(
+                F.lit(float((_KMV_K - 1) * _KMV_SCALE)) / F.col("vk")
+            ),
+            2,
+        ).alias("est_distinct"),
+    )
+    return est.select(
+        "grp",
+        F.lit(_KMV_K).alias("k"),
+        "true_distinct",
+        "est_distinct",
+        F.round(
+            (F.col("est_distinct") - F.col("true_distinct"))
+            / F.col("true_distinct"),
+            4,
+        ).alias("rel_err"),
+    ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch — the frequency twin of the HLL distinct sketches
 # above, built from plain DataFrame ops so the sketch is a TABLE
 # (mergeable by summing cells, inspectable, persistable) rather than an

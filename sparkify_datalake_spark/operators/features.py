@@ -2984,3 +2984,87 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_hi"),
         )
     )
+
+
+@query(
+    "stat_cohens_d",
+    """
+WITH s AS (
+  SELECT
+    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_a,
+    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_b,
+    avg(CASE WHEN event_type = 'purchase' THEN value END) AS m_a,
+    avg(CASE WHEN event_type = 'click' THEN value END) AS m_b,
+    var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v_a,
+    var_samp(CASE WHEN event_type = 'click' THEN value END) AS v_b
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+),
+d AS (
+  SELECT n_a, n_b, m_a, m_b,
+    round((m_a - m_b)
+      / sqrt(((n_a - 1) * v_a + (n_b - 1) * v_b) / (n_a + n_b - 2)),
+      6) AS cohens_d
+  FROM s
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b, cohens_d,
+  round(cohens_d * (1 - 3.0 / (4 * (n_a + n_b) - 9)), 6) AS hedges_g,
+  CASE WHEN abs(cohens_d) < 0.2 THEN 'negligible'
+       WHEN abs(cohens_d) < 0.5 THEN 'small'
+       WHEN abs(cohens_d) < 0.8 THEN 'medium' ELSE 'large' END
+    AS magnitude
+FROM d
+""",
+)
+def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size (Cohen's d, pooled SD) between purchase
+    and click values, with the Hedges' g small-sample correction and the
+    conventional magnitude bucket — the companion number stat_welch_ttest
+    cannot provide: a t statistic says whether the difference is
+    detectable at this n, the effect size says whether it is LARGE, and
+    at 100 TB every difference is "significant" while almost none are
+    large, which is exactly why a pipeline-scale experiment readout
+    leads with d, not p.
+
+    Same scale shape as the test it complements: ONE conditional-moment
+    pass over the fact table (count/avg/var_samp per arm in a single
+    partial-aggregatable scan), then closed-form scalar arithmetic on the
+    1-row frame. Hedges' g and the magnitude bucket derive from the
+    ROUNDED d (the stat_jarque_bera discipline), so the discrete label
+    can never flip on an ulp.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("purchase", "click")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_a"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_b"),
+        F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("m_a"),
+        F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("v_a"),
+        F.var_samp(F.when(F.col("event_type") == "click", F.col("value"))).alias("v_b"),
+    )
+    pooled = F.sqrt(
+        ((F.col("n_a") - 1) * F.col("v_a") + (F.col("n_b") - 1) * F.col("v_b"))
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    d = s.select(
+        "n_a", "n_b", "m_a", "m_b",
+        F.round((F.col("m_a") - F.col("m_b")) / pooled, 6).alias("cohens_d"),
+    )
+    return d.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("m_a"), 4).alias("mean_a"),
+        F.round(F.col("m_b"), 4).alias("mean_b"),
+        "cohens_d",
+        F.round(
+            F.col("cohens_d")
+            * (1 - 3.0 / (4 * (F.col("n_a") + F.col("n_b")) - 9)),
+            6,
+        ).alias("hedges_g"),
+        F.when(F.abs(F.col("cohens_d")) < 0.2, "negligible")
+        .when(F.abs(F.col("cohens_d")) < 0.5, "small")
+        .when(F.abs(F.col("cohens_d")) < 0.8, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )

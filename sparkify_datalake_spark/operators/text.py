@@ -1801,3 +1801,92 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_per_doc"),
         F.round(var / mean, 6).alias("fano"),
     )
+
+
+_LINE_W = 10  # words per synthetic "line" (the fixture corpus has no
+# newlines, so segmentation is fixed 10-word blocks; on a real corpus the
+# same plan runs on split(text, '\n') — only the segmenter expression
+# changes, never the dedup topology)
+
+
+@query(
+    "text_line_dedup",
+    f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+seg AS (
+  SELECT doc_id, unnest(list_transform(
+    range(0, greatest(CAST(ceil(len(ws) / {_LINE_W}.0) AS INT), 1)),
+    b -> array_to_string(ws[(b*{_LINE_W}+1):(b*{_LINE_W}+{_LINE_W})], ' ')
+  )) AS s
+  FROM words
+),
+freq AS (
+  SELECT s, count(DISTINCT doc_id) AS df FROM seg GROUP BY s
+),
+tagged AS (
+  SELECT seg.doc_id, CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END AS dup
+  FROM seg JOIN freq ON seg.s = freq.s
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(dup) AS BIGINT) AS n_removed,
+  round(sum(dup) * 1.0 / count(*), 6) AS pct_removed
+FROM tagged GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-line removal — the CCNet/C4 paragraph-level
+    dedup pass that runs BEFORE document-level dedup in every web-scale
+    LLM corpus pipeline: a line (boilerplate nav text, cookie banner,
+    license header) that appears in >= 2 distinct documents is removed
+    from ALL of them, which document-grain MinHash can never do because
+    the host documents are not near-duplicates of each other.
+
+    Per-doc audit output (line counts, removed counts, removed fraction)
+    rather than rewritten text, the dedup_yield_report discipline.
+
+    Scale shape (100 TB): explode docs to the line grain map-side; ONE
+    shuffle keyed on md5(line) (16-byte keys, never the line text — the
+    dedup_exact discipline) counts distinct containing docs per line; the
+    verdict joins back to the line grain on the same 16-byte key (a
+    dim-attach with bounded linear fan-out, not pair generation); one
+    re-aggregation to doc grain. No all-pairs stage anywhere — cost is
+    O(total lines), which is why CCNet runs this at Common-Crawl scale.
+    The corpus here has no newlines, so "line" = fixed 10-word block
+    (127 cross-doc duplicate blocks exist at sf0.01); the segmenter is
+    one pluggable expression.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_seg = F.greatest(
+        F.ceil(F.size(ws) / float(_LINE_W)).cast("int"), F.lit(1)
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda b: F.array_join(
+            F.slice(ws, b * _LINE_W + 1, _LINE_W), " "
+        ),
+    )
+    seg = docs.select(
+        "doc_id", F.explode(segs).alias("s")
+    ).select("doc_id", F.md5(F.col("s")).alias("sh"))
+    freq = seg.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tagged = seg.join(freq, "sh").select(
+        "doc_id", F.when(F.col("df") >= 2, 1).otherwise(0).alias("dup")
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("dup").cast("long").alias("n_removed"),
+            F.round(
+                F.sum("dup") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("pct_removed"),
+        )
+        .orderBy("doc_id")
+    )

@@ -150,3 +150,63 @@ def test_cms_merges_by_summing_cells(spark, sf_dir):
         != F.coalesce(whole["cnt"], F.lit(0))
     )
     assert diff.count() == 0
+
+
+def test_kmv_prefilter_retains_the_k_minima(spark, sf_dir):
+    """The KMV scale-path pre-filter (prefix16·n ≤ 4k·65536) must be
+    invisible: the estimate must equal the one from an unfiltered
+    bottom-k. Rebuilds the naive sketch inline and compares per group."""
+    from pyspark.sql import Window
+    from sparkify_datalake_spark.operators.aggregates import (
+        _KMV_K,
+        _KMV_SCALE,
+    )
+
+    got = {
+        r["grp"]: r
+        for r in queries()["agg_kmv_distinct"](spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("grp"),
+        "user_id",
+        F.col("ts").cast("date").cast("string").alias("d"),
+    )
+    grain = base.unionByName(
+        base.select(F.lit("__all__").alias("grp"), "user_id", "d")
+    )
+    dist = grain.distinct().select(
+        "grp",
+        F.md5(
+            F.concat_ws(
+                "#", F.lit("kmv"), F.col("user_id").cast("string"), F.col("d")
+            )
+        ).alias("hx"),
+    )
+    w = Window.partitionBy("grp").orderBy("hx")
+    naive = (
+        dist.select("grp", "hx", F.row_number().over(w).alias("rn"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.max(
+                F.when(
+                    F.col("rn") == _KMV_K,
+                    F.expr("conv(substring(hx, 1, 12), 16, 10)").cast("long"),
+                )
+            ).alias("vk"),
+        )
+        .collect()
+    )
+    assert set(got) == {r["grp"] for r in naive}
+    for r in naive:
+        g = got[r["grp"]]
+        assert g["true_distinct"] == r["n_true"]
+        if r["n_true"] < _KMV_K:
+            assert g["est_distinct"] == float(r["n_true"])
+        else:
+            expect = round((_KMV_K - 1) * float(_KMV_SCALE) / r["vk"], 2)
+            assert g["est_distinct"] == expect, (r["grp"], g, expect)
+        # KMV error bound: SD ≈ n/sqrt(k−2); assert within 5 SDs
+        sd = r["n_true"] / (_KMV_K - 2) ** 0.5
+        assert abs(g["est_distinct"] - r["n_true"]) <= 5 * sd
