@@ -3068,3 +3068,83 @@ def stat_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+@query(
+    "stat_cramers_v",
+    """
+WITH cells AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT s, p, c,
+    sum(c) OVER (PARTITION BY s) AS row_n,
+    sum(c) OVER (PARTITION BY p) AS col_n,
+    sum(c) OVER () AS n
+  FROM cells
+),
+chi AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+    CAST(count(DISTINCT s) AS BIGINT) AS r,
+    CAST(count(DISTINCT p) AS BIGINT) AS k,
+    round(sum((c - row_n * col_n * 1.0 / n)
+              * (c - row_n * col_n * 1.0 / n)
+              / (row_n * col_n * 1.0 / n)), 6) AS chi2
+  FROM m
+)
+SELECT n, r, k, CAST((r - 1) * (k - 1) AS BIGINT) AS dof, chi2,
+  round(sqrt(chi2 / (n * (least(r, k) - 1))), 6) AS cramers_v
+FROM chi
+""",
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the EFFECT SIZE for the chi-square independence
+    test, the categorical twin of stat_cohens_d's argument: at 100 TB
+    every contingency table is "significantly" dependent, so the audit
+    question is the strength of association on [0, 1], not the p-value.
+    Measured on order status × priority (the warehouse's own mix audit,
+    complementing stat_chi2_independence's lang × source on documents).
+
+    One groupBy to the r×k cell frame is the only full-data pass;
+    margins are windows over those ≤15 rows; V derives from the ROUNDED
+    chi2 (stat_jarque_bera discipline). Expected counts stay in exact
+    integer products over one double division each — engine-identical
+    at 6dp.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = cells.select(
+        "s",
+        "p",
+        "c",
+        F.sum("c").over(Window.partitionBy("s")).alias("row_n"),
+        F.sum("c").over(Window.partitionBy("p")).alias("col_n"),
+        F.sum("c").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    exp = F.col("row_n") * F.col("col_n") * F.lit(1.0) / F.col("n")
+    chi = m.agg(
+        F.max("n").cast("long").alias("n"),
+        F.countDistinct("s").cast("long").alias("r"),
+        F.countDistinct("p").cast("long").alias("k"),
+        F.round(
+            F.sum((F.col("c") - exp) * (F.col("c") - exp) / exp), 6
+        ).alias("chi2"),
+    )
+    return chi.select(
+        "n",
+        "r",
+        "k",
+        ((F.col("r") - 1) * (F.col("k") - 1)).cast("long").alias("dof"),
+        "chi2",
+        F.round(
+            F.sqrt(
+                F.col("chi2") / (F.col("n") * (F.least("r", "k") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -1890,3 +1890,151 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_perplexity_filter",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' AS is_train
+  FROM documents
+),
+tp AS (
+  SELECT pr.w1 AS w1, pr.w2 AS w2 FROM (
+    SELECT unnest(list_transform(range(1, len(ws)),
+        i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS pr
+    FROM t WHERE is_train)
+),
+f2 AS (SELECT w1, w2, count(*) AS c12 FROM tp GROUP BY 1, 2),
+f1 AS (SELECT w1, count(*) AS c1 FROM tp GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT w) AS vocab FROM (
+    SELECT unnest(ws) AS w FROM t WHERE is_train)
+),
+sp AS (
+  SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS pr
+    FROM t WHERE NOT is_train)
+),
+bits AS (
+  SELECT sp.doc_id,
+    -log2((coalesce(f2.c12, 0) + 0.5)
+          / (coalesce(f1.c1, 0) + 0.5 * v.vocab)) AS b
+  FROM sp LEFT JOIN f2 ON sp.w1 = f2.w1 AND sp.w2 = f2.w2
+          LEFT JOIN f1 ON sp.w1 = f1.w1
+          CROSS JOIN v
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    round(avg(b), 4) AS ppl_bits
+  FROM bits GROUP BY doc_id
+),
+ranked AS (
+  SELECT *, percent_rank() OVER (ORDER BY ppl_bits, doc_id) AS pr
+  FROM perdoc
+)
+SELECT doc_id, n_bigrams, ppl_bits,
+  CASE WHEN pr < 1.0/3 THEN 'head'
+       WHEN pr < 2.0/3 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+ORDER BY doc_id
+""",
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's held-out perplexity filter, the step the in-corpus
+    surprisal ops deliberately are not: a SMOOTHED bigram LM is fitted
+    on the deterministic ~80% train split (split_train_valid_test's md5
+    boundary, so the model never sees the docs it scores), every
+    held-out document is scored in bits/bigram under add-half smoothing
+    p(w2|w1) = (c12 + 0.5)/(c1 + 0.5·V) — finite on UNSEEN bigrams and
+    unseen history words (1/V), which in-corpus scoring never has to
+    face — and docs are bucketed head/middle/tail by perplexity rank,
+    exactly the head/middle/tail routing CCNet ships to pick what enters
+    training. Buckets derive from percent_rank over the ROUNDED score
+    with doc_id tiebreaks (engine-stable cuts).
+
+    Scale (100 TB): the LM tables are vocabulary-sized groupBys of the
+    train pair stream (map-side combined); scoring is two left joins of
+    the held-out pair stream against them (unhinted — unigram table
+    broadcasts, a web-scale bigram table crosses the threshold and AQE
+    shuffles, the text_bigram_surprisal rationale); V rides a broadcast
+    1-row frame. The global tercile window sorts only the per-DOC score
+    frame (three orders smaller than the corpus); at web scale the cuts
+    would come from approx_percentile on that same frame instead —
+    the boundary move is one expression.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), " ").alias("ws"),
+        (
+            F.expr("substring(md5(cast(doc_id AS string)), 1, 2)") <= "cb"
+        ).alias("is_train"),
+    )
+    pair_expr = F.explode(
+        F.expr(
+            "transform(sequence(1, size(ws)-1),"
+            " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+        )
+    ).alias("pr")
+    tp = (
+        t.filter("is_train")
+        .where(F.size("ws") >= 2)
+        .select(pair_expr)
+        .select("pr.w1", "pr.w2")
+    )
+    f2 = tp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    f1 = tp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        t.filter("is_train")
+        .select(F.explode("ws").alias("w"))
+        .agg(F.countDistinct("w").alias("vocab"))
+    )
+    sp = (
+        t.filter(~F.col("is_train"))
+        .where(F.size("ws") >= 2)
+        .select("doc_id", pair_expr)
+        .select("doc_id", "pr.w1", "pr.w2")
+    )
+    bits = (
+        sp.join(f2, ["w1", "w2"], "left")
+        .join(f1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (
+                -F.log2(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + 0.5)
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0))
+                        + 0.5 * F.col("vocab")
+                    )
+                )
+            ).alias("b"),
+        )
+    )
+    perdoc = bits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("b"), 4).alias("ppl_bits"),
+    )
+    w = Window.orderBy("ppl_bits", "doc_id")
+    return (
+        perdoc.select(
+            "doc_id",
+            "n_bigrams",
+            "ppl_bits",
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "ppl_bits",
+            F.when(F.col("pr") < 1.0 / 3, "head")
+            .when(F.col("pr") < 2.0 / 3, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

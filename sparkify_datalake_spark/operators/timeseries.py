@@ -2273,3 +2273,71 @@ def ts_forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").applyInPandas(
         kernel, "event_type string, d date, forecast double, fit_mae double"
     )
+
+
+@query(
+    "ts_ohlc_bars",
+    """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, value,
+    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, d,
+  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+  max(value) AS high,
+  min(value) AS low,
+  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(avg(value), 4) AS avg_value
+FROM e
+GROUP BY event_type, d
+ORDER BY event_type, d
+""",
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling — the financial-candlestick resample
+    (open/high/low/close/volume per event type per day), the
+    order-aware rollup that plain min/max aggregation cannot express
+    because OPEN and CLOSE depend on the within-bar event order, not
+    the value order. (event_id breaks ts ties, so first/last are total
+    orders and the bars are engine-deterministic.)
+
+    Scale shape: the window partitions on (event_type, day) — the
+    natural high-cardinality time-bucket key, so per-partition sorts
+    stay bar-sized no matter the total volume (the exact opposite of
+    the win_range_ntile 3-key pathology), and the bar aggregation
+    reuses the same shuffle grain. open/close ride max(CASE rn=1)
+    so one pass produces all six bar columns; raw values pass through
+    unrounded (no arithmetic → bit-identical), only the mean rounds.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    wa = Window.partitionBy("event_type", d.alias("d")).orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy("event_type", d.alias("d")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    e = ev.select(
+        "event_type",
+        d.alias("d"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        e.groupBy("event_type", "d")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type", "d")
+    )
