@@ -865,3 +865,104 @@ def join_star_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
         )
     )
+
+
+@query(
+    "join_scd2_pit",
+    """
+WITH day_attr AS (
+  SELECT o_custkey,
+    CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+    arg_min(o_orderpriority, o_orderkey) AS attr
+  FROM orders GROUP BY 1, 2
+),
+runs AS (
+  SELECT o_custkey, d, attr,
+    lag(attr) OVER (PARTITION BY o_custkey ORDER BY d) AS prev
+  FROM day_attr
+),
+ch AS (
+  SELECT o_custkey, d, attr FROM runs
+  WHERE prev IS NULL OR attr <> prev
+),
+dim AS (
+  SELECT o_custkey AS custkey, attr AS regime, d AS effective_from,
+    lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS effective_to
+  FROM ch
+),
+fact AS (
+  SELECT o.o_custkey AS custkey, o.o_orderpriority AS ordered_priority,
+    l.l_shipdate AS ship_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pit AS (
+  SELECT f.ordered_priority, d.regime AS regime_at_ship
+  FROM fact f JOIN dim d
+    ON f.custkey = d.custkey
+   AND f.ship_d >= d.effective_from
+   AND (d.effective_to IS NULL OR f.ship_d < d.effective_to)
+)
+SELECT ordered_priority, regime_at_ship,
+  CAST(count(*) AS BIGINT) AS n_items,
+  round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS frac
+FROM pit GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join of shipment facts against the SCD2
+    dimension dim_scd2_build produces — THE consumer that makes a
+    type-2 dimension worth building: each lineitem is attributed to the
+    customer's priority REGIME in force on its ship date (ship lags
+    order, so late shipments genuinely cross regime boundaries — the
+    matrix's off-diagonal), never to today's row and never to a leaked
+    future version. This is the temporal-correctness join every
+    feature-store / training-data pipeline needs to avoid label
+    leakage.
+
+    Scale shape: the dim is change-sized (one row per attribute run,
+    not per order); the PIT predicate is an EQUI-join on custkey with
+    the interval check as a residual condition, so it sort-merges on
+    the entity key with per-fact fan-out bounded by that customer's
+    version count — never a range-only nested loop. Intervals cover
+    [first order day, ∞) contiguously and ship >= order date, so each
+    fact matches exactly one version (inner join loses nothing); the
+    5×5 regime matrix is a partial-aggregatable rollup and the share
+    denominator is a window over those ≤25 rows.
+    """
+    from sparkify_datalake_spark.operators.pipeline import dim_scd2_build
+
+    dim = dim_scd2_build(spark, sf_dir).select(
+        "custkey",
+        F.col("priority").alias("regime"),
+        "effective_from",
+        "effective_to",
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("ordered_priority"),
+        F.col("l_shipdate").alias("ship_d"),
+    )
+    pit = fact.join(
+        dim,
+        (fact.custkey == dim.custkey)
+        & (fact.ship_d >= dim.effective_from)
+        & (dim.effective_to.isNull() | (fact.ship_d < dim.effective_to)),
+    ).select("ordered_priority", "regime")
+    agg = pit.groupBy(
+        "ordered_priority", F.col("regime").alias("regime_at_ship")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    return agg.select(
+        "ordered_priority",
+        "regime_at_ship",
+        "n_items",
+        F.round(
+            F.col("n_items")
+            / F.sum("n_items").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("frac"),
+    ).orderBy("ordered_priority", "regime_at_ship")

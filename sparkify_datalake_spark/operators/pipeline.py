@@ -1458,3 +1458,115 @@ def doc_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_cum") - (nblocks - 1) * _PACK_BUDGET) / B, 6
         ).alias("last_block_fill"),
     ).orderBy("source")
+
+
+_DRIFT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _drift_half_sql(col: str, half: str) -> str:
+    cond = (
+        "substring(md5(concat(CAST(l_orderkey AS VARCHAR), '#',"
+        f" CAST(l_linenumber AS VARCHAR))), 1, 1) {half}"
+    )
+    return (
+        f"count(CASE WHEN {cond} THEN 1 END) AS n_{{s}},\n"
+        f"    avg(CASE WHEN {cond} THEN CAST({col} AS DOUBLE) END)"
+        " AS m_{s},\n"
+        f"    var_samp(CASE WHEN {cond} THEN CAST({col} AS DOUBLE) END)"
+        " AS v_{s}"
+    )
+
+
+def _drift_col_sql(col: str) -> str:
+    a = _drift_half_sql(col, "<= '7'").format(s="a")
+    b = _drift_half_sql(col, "> '7'").format(s="b")
+    return f"""
+  SELECT '{col}' AS column_name,
+    {a},
+    {b}
+  FROM lineitem
+"""
+
+
+@query(
+    "dq_schema_drift",
+    f"""
+WITH moments AS (
+{" UNION ALL ".join(_drift_col_sql(c) for c in _DRIFT_COLS)}
+),
+z AS (
+  SELECT column_name, n_a, n_b,
+    round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+    round((m_a - m_b)
+      / sqrt(((n_a - 1) * v_a + (n_b - 1) * v_b) / (n_a + n_b - 2)),
+      6) AS shift_sds,
+    round(sqrt(v_a) / sqrt(v_b), 6) AS std_ratio
+  FROM moments
+)
+SELECT column_name, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  mean_a, mean_b, shift_sds, std_ratio,
+  abs(shift_sds) > 0.05 AS drifted
+FROM z
+ORDER BY column_name
+""",
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level distribution-drift monitor: every monitored numeric
+    column's mean shift (in pooled SDs) and SD ratio between two
+    deterministic md5 halves of lineitem — the whole-TABLE sibling of
+    stat_psi_drift's single-column histogram: a feed regression
+    (unit change, silent default, truncation) shows up as a drifted
+    column here before any single-metric monitor is even configured.
+    The half split is the same-distribution null case, so the expected
+    report is all-clear — which is the honest audit, and the flag
+    derives from the ROUNDED shift so it is engine-stable.
+
+    Scale shape: ONE conditional-moment pass per column over the same
+    scan (Spark executes the union of per-column aggregates as parallel
+    partial aggregations of one cached scan stage under AQE; no row is
+    shuffled — each branch reduces to a 1-row frame map-side). In a
+    production run the two "halves" are yesterday's and today's
+    partitions, and the plan is unchanged: the split predicate is the
+    only line that moves.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    half = (
+        F.expr(
+            "substring(md5(concat(cast(l_orderkey AS string), '#',"
+            " cast(l_linenumber AS string))), 1, 1)"
+        )
+        <= "7"
+    )
+    frames = []
+    for c in _DRIFT_COLS:
+        x = F.col(c).cast("double")
+        m = li.agg(
+            F.count(F.when(half, 1)).alias("n_a"),
+            F.avg(F.when(half, x)).alias("m_a"),
+            F.var_samp(F.when(half, x)).alias("v_a"),
+            F.count(F.when(~half, 1)).alias("n_b"),
+            F.avg(F.when(~half, x)).alias("m_b"),
+            F.var_samp(F.when(~half, x)).alias("v_b"),
+        ).select(F.lit(c).alias("column_name"), "*")
+        frames.append(m)
+    moments = frames[0]
+    for fr in frames[1:]:
+        moments = moments.unionByName(fr)
+    pooled = F.sqrt(
+        ((F.col("n_a") - 1) * F.col("v_a") + (F.col("n_b") - 1) * F.col("v_b"))
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    z = moments.select(
+        "column_name",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round((F.col("m_a") - F.col("m_b")) / pooled, 6).alias(
+            "shift_sds"
+        ),
+        F.round(F.sqrt("v_a") / F.sqrt("v_b"), 6).alias("std_ratio"),
+    )
+    return z.select(
+        "*", (F.abs(F.col("shift_sds")) > 0.05).alias("drifted")
+    ).orderBy("column_name")
