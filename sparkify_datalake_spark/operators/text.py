@@ -1870,9 +1870,14 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(ws, b * _LINE_W + 1, _LINE_W), " "
         ),
     )
-    seg = docs.select(
-        "doc_id", F.explode(segs).alias("s")
-    ).select("doc_id", F.md5(F.col("s")).alias("sh"))
+    # the line grain feeds BOTH the frequency build and the verdict
+    # join; Spark re-derives common subtrees, so without the lazy
+    # checkpoint the corpus is scanned+exploded+hashed twice
+    seg = (
+        docs.select("doc_id", F.explode(segs).alias("s"))
+        .select("doc_id", F.md5(F.col("s")).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     freq = seg.groupBy("sh").agg(
         F.countDistinct("doc_id").alias("df")
     )
