@@ -2939,18 +2939,22 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             _boot_weights_sql("cast(o_orderkey as string)")
         ).alias("arr"),
     )
-    grid = spark.range(0, _BOOT_B).select(
-        F.col("id").cast("int").alias("b")
+    # WIDE one-pass aggregation (the stat_permutation_test rewrite):
+    # the grid explode multiplies the scan 32x; 64 aggregates over the
+    # weight array in one map-side pass + a 32-branch stack produce
+    # the identical (sx, sw) pairs without ever materializing
+    # replicate rows.
+    aggs = []
+    for b in range(_BOOT_B):
+        wb = F.expr(f"element_at(arr, {b + 1})")
+        aggs.append(F.sum(wb * F.col("x")).alias(f"sx{b}"))
+        aggs.append(F.sum(wb).alias(f"sw{b}"))
+    wide = w.agg(*aggs)
+    stack = ", ".join(
+        f"{b}, sx{b}, CAST(sw{b} AS DOUBLE)" for b in range(_BOOT_B)
     )
-    e = (
-        w.crossJoin(F.broadcast(grid))
-        .select(
-            "b",
-            (F.expr("element_at(arr, b + 1)") * F.col("x")).alias("wx"),
-            F.expr("element_at(arr, b + 1)").alias("wt"),
-        )
-        .groupBy("b")
-        .agg(F.sum("wx").alias("sx"), F.sum("wt").alias("sw"))
+    e = wide.select(
+        F.expr(f"stack({_BOOT_B}, {stack}) AS (b, sx, sw)")
     )
     m = e.select("b", F.round(F.col("sx") / F.col("sw"), 6).alias("bm"))
     rk = m.select(
@@ -3303,4 +3307,103 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (1 + F.col("n_extreme")) / F.lit(float(1 + _PERM_B)), 6
             ).alias("p_value"),
         )
+    )
+
+
+@query(
+    "stat_delta_method_ratio",
+    """
+WITH u AS (
+  SELECT user_id,
+    sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS x,
+    count(*) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(x) AS sx, sum(y) AS sy,
+    avg(y) AS my,
+    var_samp(x) AS vxx, var_samp(y) AS vyy, covar_samp(x, y) AS vxy
+  FROM u
+),
+r AS (
+  SELECT n, my, round(sx / sy, 6) AS ratio, vxx, vyy, vxy FROM m
+),
+se AS (
+  SELECT n, ratio,
+    round(sqrt((vxx - 2 * ratio * vxy + ratio * ratio * vyy)
+               / (n * my * my)), 6) AS se_ratio
+  FROM r
+)
+SELECT n, ratio, se_ratio,
+  round(ratio - 1.96 * se_ratio, 6) AS ci_lo,
+  round(ratio + 1.96 * se_ratio, 6) AS ci_hi
+FROM se
+""",
+)
+def stat_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for a RATIO metric over user clusters (purchase
+    revenue per event) — the experiment readout stat_abtest_ztest and
+    stat_welch_ttest cannot give: when the metric is a ratio of sums
+    and the randomization unit is the USER, row-level variance is
+    simply wrong (within-user correlation), and the delta method over
+    per-cluster sums — Var(X̄/Ȳ) ≈ (Sxx − 2R·Sxy + R²·Syy)/(n·Ȳ²) —
+    is the standard fix every experimentation platform ships. The
+    ratio is ROUNDED before it enters the variance combination (both
+    engines combine identical inputs), and the CI derives from the
+    rounded se.
+
+    Scale shape: one groupBy to the user grain (the randomization
+    unit — at 100 TB this is the only fact-sized shuffle), then a
+    single moment pass (var/covar are partial-aggregatable co-moments)
+    over the cluster frame to ONE row. No per-row resampling, no
+    bootstrap needed for a smooth functional.
+    """
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vxx"),
+        F.var_samp(F.col("y").cast("double")).alias("vyy"),
+        F.covar_samp("x", F.col("y").cast("double")).alias("vxy"),
+    )
+    r = m.select(
+        "n",
+        "my",
+        F.round(F.col("sx") / F.col("sy"), 6).alias("ratio"),
+        "vxx",
+        "vyy",
+        "vxy",
+    )
+    se = r.select(
+        "n",
+        "ratio",
+        F.round(
+            F.sqrt(
+                (
+                    F.col("vxx")
+                    - 2 * F.col("ratio") * F.col("vxy")
+                    + F.col("ratio") * F.col("ratio") * F.col("vyy")
+                )
+                / (F.col("n") * F.col("my") * F.col("my"))
+            ),
+            6,
+        ).alias("se_ratio"),
+    )
+    return se.select(
+        "n",
+        "ratio",
+        "se_ratio",
+        F.round(F.col("ratio") - 1.96 * F.col("se_ratio"), 6).alias("ci_lo"),
+        F.round(F.col("ratio") + 1.96 * F.col("se_ratio"), 6).alias("ci_hi"),
     )
