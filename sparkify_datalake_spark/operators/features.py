@@ -3407,3 +3407,100 @@ def stat_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ratio") - 1.96 * F.col("se_ratio"), 6).alias("ci_lo"),
         F.round(F.col("ratio") + 1.96 * F.col("se_ratio"), 6).alias("ci_hi"),
     )
+
+
+_TOST_DELTA = 5.0  # equivalence margin in value units (~10% of the mean)
+
+
+@query(
+    "stat_tost_equivalence",
+    f"""
+WITH s AS (
+  SELECT
+    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_a,
+    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_b,
+    avg(CASE WHEN event_type = 'purchase' THEN value END) AS m_a,
+    avg(CASE WHEN event_type = 'click' THEN value END) AS m_b,
+    var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v_a,
+    var_samp(CASE WHEN event_type = 'click' THEN value END) AS v_b
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+d AS (
+  SELECT n_a, n_b,
+    round(m_a - m_b, 6) AS diff,
+    round(sqrt(v_a / n_a + v_b / n_b), 6) AS se
+  FROM s
+),
+t AS (
+  SELECT n_a, n_b, diff, se,
+    round((diff + {_TOST_DELTA}) / se, 6) AS t_lower,
+    round(({_TOST_DELTA} - diff) / se, 6) AS t_upper
+  FROM d
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  diff, se, CAST({_TOST_DELTA} AS DOUBLE) AS margin, t_lower, t_upper,
+  t_lower > 1.644854 AND t_upper > 1.644854 AS equivalent
+FROM t
+""",
+)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests) for the
+    purchase-vs-click mean gap against a ±{_TOST_DELTA} margin — the
+    question the significance tests CANNOT answer: failing to reject
+    H0 never shows equivalence; TOST reverses the burden (H0 = the
+    difference exceeds the margin) and declares equivalence only when
+    BOTH one-sided tests reject — the non-inferiority readout every
+    launch-review checklist actually needs ("is the cheap variant at
+    most δ worse?"). Normal critical value 1.644854 (dof is thousands;
+    the z approximation is standard at this n), both t statistics and
+    the verdict derive from ROUNDED diff/se, so the boolean can never
+    flip on an ulp.
+
+    Scale shape: identical to stat_welch_ttest — ONE conditional-moment
+    pass over the fact table, closed-form scalar arithmetic on the
+    1-row frame.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = ev.agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_a"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_b"),
+        F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("m_a"),
+        F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("v_a"),
+        F.var_samp(F.when(F.col("event_type") == "click", F.col("value"))).alias("v_b"),
+    )
+    d = s.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("diff"),
+        F.round(
+            F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+            6,
+        ).alias("se"),
+    )
+    t = d.select(
+        "n_a",
+        "n_b",
+        "diff",
+        "se",
+        F.round((F.col("diff") + _TOST_DELTA) / F.col("se"), 6).alias(
+            "t_lower"
+        ),
+        F.round((F.lit(_TOST_DELTA) - F.col("diff")) / F.col("se"), 6).alias(
+            "t_upper"
+        ),
+    )
+    return t.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "diff",
+        "se",
+        F.lit(_TOST_DELTA).alias("margin"),
+        "t_lower",
+        "t_upper",
+        (
+            (F.col("t_lower") > 1.644854) & (F.col("t_upper") > 1.644854)
+        ).alias("equivalent"),
+    )
