@@ -2235,8 +2235,16 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = pg.agg(F.sum("n_j").alias("nt"), F.count(F.lit(1)).alias("k"))
+    # t³ overflows long once per-value tie counts pass ~2M (hit at the
+    # 64× probe: t ≈ 768k ⇒ Σt³ ≈ 2.3e19 > 2^63). Route the cube
+    # through DECIMAL(38,0) — DuckDB's HUGEINT sums are exact natively,
+    # and both engines then round the same exact integer to double at
+    # the single division in the tie correction.
     tie = tv.agg(
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tt")
+        F.sum(
+            (F.col("t") * F.col("t")).cast("decimal(25,0)") * F.col("t")
+            - F.col("t")
+        ).alias("tt")
     )
     pg2 = pg.crossJoin(F.broadcast(tot)).withColumn(
         "d",
@@ -2251,7 +2259,7 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = 12.0 / (nt * (nt + 1)) * F.col("ssq")
     hc = h / (
         1
-        - F.col("tt") / (nt.cast("double") * nt * nt - nt)
+        - F.col("tt").cast("double") / (nt.cast("double") * nt * nt - nt)
     )
     return res.select(
         F.col("g").alias("l_returnflag"),
@@ -3503,4 +3511,83 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("t_lower") > 1.644854) & (F.col("t_upper") > 1.644854)
         ).alias("equivalent"),
+    )
+
+
+@query(
+    "stat_stratified_rate_adjust",
+    """
+WITH e AS (
+  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+         THEN 'A' ELSE 'B' END AS arm,
+    event_type AS stratum,
+    CASE WHEN value > 80 THEN 1 ELSE 0 END AS hit
+  FROM events
+),
+cell AS (
+  SELECT arm, stratum, count(*) AS n, sum(hit) AS h FROM e GROUP BY 1, 2
+),
+mix AS (
+  SELECT stratum, sum(n) AS w FROM cell GROUP BY 1
+),
+tot AS (SELECT sum(n) AS n_all FROM cell)
+SELECT c.arm,
+  CAST(sum(c.n) AS BIGINT) AS n,
+  round(sum(c.h) * 1.0 / sum(c.n), 6) AS rate_raw,
+  round(sum((c.h * 1.0 / c.n) * m.w) / max(t.n_all), 6) AS rate_adj
+FROM cell c JOIN mix m USING (stratum) CROSS JOIN tot t
+GROUP BY c.arm
+ORDER BY c.arm
+""",
+)
+def stat_stratified_rate_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct standardization (mix-adjusted rates) — the Simpson's-
+    paradox guard every experiment readout needs before comparing raw
+    rates: each arm's high-value rate is re-weighted to the POOLED
+    event-type mix (rate_adj = Σ_s rate_{arm,s} · w_s / Σw), so a rate
+    difference caused purely by one arm seeing more purchase-heavy
+    traffic disappears, and a real treatment effect survives. Arms are
+    the deterministic md5 user split (the dq_schema_drift null case:
+    raw ≈ adjusted here is the honest all-clear; production swaps the
+    split predicate for the real assignment column).
+
+    Scale shape: one groupBy to the (arm, stratum) cell frame is the
+    only full-data pass; mix weights and the standardization are
+    arithmetic over those ≤10 rows. Exact integer h/n per cell, one
+    double division each, 6dp rounding — engine-identical.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        F.when(
+            F.expr("substring(md5(cast(user_id AS string)), 1, 1)") <= "7",
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        F.col("event_type").alias("stratum"),
+        F.when(F.col("value") > 80, 1).otherwise(0).alias("hit"),
+    )
+    cell = e.groupBy("arm", "stratum").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("hit").alias("h")
+    )
+    mix = cell.groupBy("stratum").agg(F.sum("n").alias("w"))
+    tot = cell.agg(F.sum("n").alias("n_all"))
+    return (
+        cell.join(F.broadcast(mix), "stratum")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("arm")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.round(F.sum("h") / F.sum("n").cast("double"), 6).alias(
+                "rate_raw"
+            ),
+            F.round(
+                F.sum(
+                    (F.col("h") / F.col("n").cast("double")) * F.col("w")
+                )
+                / F.max("n_all"),
+                6,
+            ).alias("rate_adj"),
+        )
+        .orderBy("arm")
     )

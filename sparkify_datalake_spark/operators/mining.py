@@ -800,3 +800,102 @@ def mine_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_TOP_TRIPLES)
     )
+
+
+@query(
+    "mine_sequential_pairs",
+    """
+WITH fb AS (
+  SELECT o.o_custkey AS c, l.l_partkey AS p,
+    min(CAST(o.o_orderdate AS DATE)) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+topp AS (
+  SELECT p FROM (
+    SELECT p, count(*) AS buyers FROM fb GROUP BY p
+    ORDER BY buyers DESC, p LIMIT 100)
+),
+fbt AS (SELECT fb.* FROM fb JOIN topp USING (p)),
+nx AS (SELECT p, count(*) AS n_x FROM fbt GROUP BY p),
+pr AS (
+  SELECT a.p AS px, b.p AS py, count(*) AS n_xy
+  FROM fbt a JOIN fbt b ON a.c = b.c AND a.d < b.d AND a.p <> b.p
+  GROUP BY 1, 2
+)
+SELECT px, py, CAST(n_xy AS BIGINT) AS n_xy,
+  CAST(nx.n_x AS BIGINT) AS n_x,
+  round(n_xy * 1.0 / nx.n_x, 6) AS confidence
+FROM pr JOIN nx ON pr.px = nx.p
+ORDER BY n_xy DESC, px, py LIMIT 20
+""",
+)
+def mine_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential purchase rules ("bought X, LATER bought Y") — the
+    cross-order, time-ordered sibling of mine_basket_pairs' within-order
+    co-occurrence: support counts customers whose FIRST purchase of X
+    strictly precedes their first purchase of Y, confidence divides by
+    X's buyer count. Strict date inequality (same-day pairs excluded)
+    keeps the relation antisymmetric and engine-deterministic.
+
+    Scale shape: the (customer, part) first-purchase grain is one
+    groupBy; the pair self-join is restricted to the top-100 parts by
+    buyer count FIRST (bounded heap, then a broadcast semi-join) — the
+    mine_basket_pairs basket-cap discipline applied to sequences, so
+    per-customer fan-out is (top-part holdings)², a handful, never
+    (all holdings)². As the catalog grows the top-100 filter gets MORE
+    selective, so the pair stage shrinks relative to the corpus at
+    scale. Top-20 under a total order is a bounded heap.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    fb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .agg(F.min(F.col("o_orderdate").cast("date")).alias("d"))
+    )
+    topp = (
+        fb.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("buyers"))
+        .orderBy(F.col("buyers").desc(), "p")
+        .limit(100)
+        .select("p")
+    )
+    fbt = fb.join(F.broadcast(topp), "p").localCheckpoint(eager=False)
+    nx = fbt.groupBy("p").agg(F.count(F.lit(1)).alias("n_x"))
+    a = fbt.select(
+        F.col("c").alias("ca"), F.col("p").alias("px"), F.col("d").alias("da")
+    )
+    b = fbt.select(
+        F.col("c").alias("cb"), F.col("p").alias("py"), F.col("d").alias("db")
+    )
+    pr = (
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb"))
+            & (F.col("da") < F.col("db"))
+            & (F.col("px") != F.col("py")),
+        )
+        .groupBy("px", "py")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    return (
+        pr.join(
+            F.broadcast(nx.select(F.col("p").alias("px"), "n_x")), "px"
+        )
+        .select(
+            "px",
+            "py",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            F.col("n_x").cast("long").alias("n_x"),
+            F.round(F.col("n_xy") / F.col("n_x").cast("double"), 6).alias(
+                "confidence"
+            ),
+        )
+        .orderBy(F.col("n_xy").desc(), "px", "py")
+        .limit(20)
+    )
