@@ -2341,3 +2341,109 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+_PERIODOGRAM_PERIODS = (3, 5, 7, 14, 30)
+
+
+@query(
+    "ts_periodogram",
+    f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT x, date_diff('day', (SELECT min(d) FROM daily), d) AS t
+  FROM daily
+),
+m AS (SELECT avg(x) AS mu, count(*) AS n FROM idx),
+per AS (SELECT * FROM (VALUES
+  {", ".join(f"({p})" for p in _PERIODOGRAM_PERIODS)}) AS p(period)),
+comp AS (
+  SELECT p.period,
+    sum((i.x - m.mu) * cos(2 * pi() * i.t / p.period)) AS cs,
+    sum((i.x - m.mu) * sin(2 * pi() * i.t / p.period)) AS sn,
+    max(m.n) AS n
+  FROM idx i CROSS JOIN m CROSS JOIN per p
+  GROUP BY p.period
+),
+pw AS (
+  SELECT period, round((cs * cs + sn * sn) * 2 / n, 4) AS power
+  FROM comp
+),
+tot AS (SELECT sum(power) AS tp FROM pw)
+SELECT period, power,
+  round(power / tot.tp, 6) AS power_share,
+  power = (SELECT max(power) FROM pw) AS is_peak
+FROM pw CROSS JOIN tot
+ORDER BY period
+""",
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of the daily event count at the
+    candidate periods {_PERIODOGRAM_PERIODS} — the spectral detector
+    that finds WHICH cycle dominates, where ts_weekday_seasonality
+    assumes the week and ts_seasonal_decompose is told its period:
+    power(p) = (Σx̃·cos(2πt/p))² + (Σx̃·sin(2πt/p))² · 2/n over the
+    mean-centered series (centering kills DC leakage into long
+    periods). The fixture's weekly cycle shows up as an unambiguous
+    p=7 peak (37% of candidate power at sf0.01). Powers are rounded
+    BEFORE the share/peak derivations; libm cos/sin is the only
+    transcendental and its ≤2-ulp cross-engine drift is 8 orders
+    below the 4dp lattice.
+
+    Scale shape: the day rollup is the only full-data pass; the DFT
+    is a 5-period broadcast fan-out over the bounded day frame (one
+    map-side sum per period), never a per-event trig call. More
+    periods = wider tiny fan-out, same single scan.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    dmin = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(dmin)).select(
+        "x", F.datediff("d", "d0").alias("t")
+    )
+    m = idx.agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n"))
+    per = spark.createDataFrame(
+        [(p,) for p in _PERIODOGRAM_PERIODS], ["period"]
+    ).select(F.col("period").cast("int"))
+    two_pi = 2 * 3.141592653589793
+    comp = (
+        idx.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(per))
+        .groupBy("period")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("mu"))
+                * F.cos(F.lit(two_pi) * F.col("t") / F.col("period"))
+            ).alias("cs"),
+            F.sum(
+                (F.col("x") - F.col("mu"))
+                * F.sin(F.lit(two_pi) * F.col("t") / F.col("period"))
+            ).alias("sn"),
+            F.max("n").alias("n"),
+        )
+    )
+    pw = comp.select(
+        "period",
+        F.round(
+            (F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn"))
+            * 2
+            / F.col("n"),
+            4,
+        ).alias("power"),
+    )
+    tot = pw.agg(F.sum("power").alias("tp"), F.max("power").alias("mx"))
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            "period",
+            "power",
+            F.round(F.col("power") / F.col("tp"), 6).alias("power_share"),
+            (F.col("power") == F.col("mx")).alias("is_peak"),
+        )
+        .orderBy("period")
+    )
