@@ -536,19 +536,24 @@ def test_spearman_joins_midranks_broadcast(spark):
 
 
 def test_referential_integrity_prunes_to_fk_column(spark):
-    # lineitem anchors 3 FK edges but must be scanned ONCE, pruned to
-    # exactly its 3 FK columns, with GROUPING SETS (Expand) computing
-    # every key grain in that single pass; the parent joins are
-    # UNHINTED — at fixture scale the planner still broadcasts every
-    # (small) parent key set, while at 64×+ AQE crosses the fact-sized
-    # parents to shuffle joins (the old forced broadcast of 9.6M
-    # orders keys was a scale bug).
+    # Each FK edge runs its own pass with the child scan pruned to
+    # exactly ONE column — lineitem appears as three single-column
+    # scans, never a 3-column scan expanded ×3 (the GROUPING SETS
+    # form measured 22.8 s vs 9.2 s per-edge at the 64× probe: Expand
+    # multiplies the fact stream before partial aggregation). The
+    # parent joins are UNHINTED — at fixture scale the planner still
+    # broadcasts every (small) parent key set, while at 64×+ AQE
+    # crosses the fact-sized parents to shuffle joins (the old forced
+    # broadcast of 9.6M orders keys was a scale bug).
     plan = _plan(spark, "dq_referential_integrity")
-    li_scans = re.findall(r"FileScan parquet \[l_orderkey[^\]]*\]", plan)
-    assert len(li_scans) == 1, li_scans
-    assert "l_orderkey" in li_scans[0] and "l_partkey" in li_scans[0] \
-        and "l_suppkey" in li_scans[0]
-    assert "Expand" in plan, "grouping sets must expand in one pass"
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        scans = re.findall(rf"FileScan parquet \[{col}[^\]]*\]", plan)
+        assert len(scans) == 1, (col, scans)
+        # single-column pruned: no other l_ column rides the scan
+        others = [c for c in ("l_orderkey", "l_partkey", "l_suppkey")
+                  if c != col]
+        assert not any(o in scans[0] for o in others), scans[0]
+    assert "Expand" not in plan, "per-edge passes must not Expand"
     assert plan.count("BroadcastHashJoin") >= 6
     assert "SortMergeJoin" not in plan
 
@@ -784,12 +789,17 @@ def test_bloom_filter_probes_via_broadcast(spark):
     runtime-filter shape: KB bitmap to every scan task) — a shuffled
     words join would defeat the op's entire purpose."""
     plan = _plan(spark, "agg_bloom_runtime_filter")
-    # probe-vs-bitmap is a broadcast join keyed on the word expression
-    # (the word-keyed hash exchange that DOES appear belongs to the
-    # 2048-row bitmap AGGREGATION on the build side, pre-broadcast)
+    # probe-vs-bitmap: the k=3 membership tests ride k COLUMNS + k
+    # broadcast joins keyed on the word expressions (the word-keyed
+    # hash exchange that DOES appear belongs to the 2048-row bitmap
+    # AGGREGATION on the build side, pre-broadcast); ground-truth
+    # membership broadcasts the dimension as the 4th
     assert "BroadcastHashJoin [FLOOR(" in plan, plan
-    # ground-truth membership also broadcasts the dimension
-    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    # the fact side must never shuffle: no exchange keyed on the
+    # probe's order/customer grain (the old exploded-position form
+    # re-aggregated through one)
+    assert "hashpartitioning(o_orderkey" not in plan, plan
 
 
 def test_hybrid_rrf_rankers_are_bounded_heaps(spark):
