@@ -3591,3 +3591,100 @@ def stat_stratified_rate_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@query(
+    "feat_pit_snapshot",
+    """
+WITH label AS (
+  SELECT user_id, min(ts) AS cut
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+feat AS (
+  SELECT l.user_id,
+    count(CASE WHEN e.event_type = 'view' THEN 1 END) AS n_views_7d,
+    count(CASE WHEN e.event_type = 'click' THEN 1 END) AS n_clicks_7d,
+    count(*) AS n_events_7d,
+    round(coalesce(sum(e.value), 0), 4) AS sum_value_7d
+  FROM label l JOIN events e
+    ON e.user_id = l.user_id
+   AND e.ts < l.cut
+   AND e.ts >= l.cut - INTERVAL 7 DAY
+  GROUP BY l.user_id
+)
+SELECT l.user_id, l.cut AS first_purchase_ts,
+  CAST(coalesce(f.n_views_7d, 0) AS BIGINT) AS n_views_7d,
+  CAST(coalesce(f.n_clicks_7d, 0) AS BIGINT) AS n_clicks_7d,
+  CAST(coalesce(f.n_events_7d, 0) AS BIGINT) AS n_events_7d,
+  coalesce(f.sum_value_7d, 0.0) AS sum_value_7d
+FROM label l LEFT JOIN feat f ON l.user_id = f.user_id
+ORDER BY l.user_id
+""",
+)
+def feat_pit_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature snapshot — the feature-store correctness
+    primitive join_scd2_pit demonstrates for dimensions, here for
+    BEHAVIORAL features: for each user's first purchase (the label
+    event), activity features are computed from events STRICTLY before
+    the cut and within a 7-day lookback — never from the label's own
+    timestamp or anything after it, which is precisely the
+    train/serve-skew and label-leakage bug PIT snapshots exist to
+    prevent. Users with a purchase but no prior 7-day activity keep a
+    row with zero features (left join + coalesce — silently dropping
+    them would bias the training set toward active users).
+
+    Scale shape: the label frame is one groupBy; the lookback is an
+    EQUI-join on user_id with the time window as a residual predicate
+    — per-user fan-out is that user's 7-day event count, so the join
+    output is lookback-bounded, not quadratic. Both sides shuffle once
+    on the entity key; at 100 TB the label cut would come from a label
+    table and the plan is unchanged.
+    """
+    ev = load(spark, sf_dir, "events")
+    label = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cut"))
+    )
+    e = ev.select(
+        F.col("user_id").alias("e_uid"), "event_type", "ts", "value"
+    )
+    feat = (
+        label.join(
+            e,
+            (F.col("e_uid") == F.col("user_id"))
+            & (F.col("ts") < F.col("cut"))
+            & (F.col("ts") >= F.col("cut") - F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias(
+                "n_views_7d"
+            ),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias(
+                "n_clicks_7d"
+            ),
+            F.count(F.lit(1)).alias("n_events_7d"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4).alias(
+                "sum_value_7d"
+            ),
+        )
+    )
+    return (
+        label.join(feat, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("cut").alias("first_purchase_ts"),
+            F.coalesce("n_views_7d", F.lit(0)).cast("long").alias(
+                "n_views_7d"
+            ),
+            F.coalesce("n_clicks_7d", F.lit(0)).cast("long").alias(
+                "n_clicks_7d"
+            ),
+            F.coalesce("n_events_7d", F.lit(0)).cast("long").alias(
+                "n_events_7d"
+            ),
+            F.coalesce("sum_value_7d", F.lit(0.0)).alias("sum_value_7d"),
+        )
+        .orderBy("user_id")
+    )
