@@ -210,3 +210,38 @@ def test_kmv_prefilter_retains_the_k_minima(spark, sf_dir):
         # KMV error bound: SD ≈ n/sqrt(k−2); assert within 5 SDs
         sd = r["n_true"] / (_KMV_K - 2) ** 0.5
         assert abs(g["est_distinct"] - r["n_true"]) <= 5 * sd
+
+
+def test_kmv_prefilter_boundary_across_cardinalities(spark):
+    """The prefix16 pre-filter must retain the k minima for ANY group
+    cardinality, not just the fixture's — the cut starts biting above
+    n = 4k (=256), so sweep cardinalities spanning that boundary with
+    synthetic keys and compare filtered vs naive bottom-k directly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from sparkify_datalake_spark.operators.aggregates import _KMV_K
+
+    for n in (100, 300, 1000, 5000):
+        base = spark.range(n).select(
+            F.md5(F.concat_ws("#", F.lit("bound"), F.col("id"))).alias("hx")
+        )
+        w = Window.orderBy("hx")
+        naive = (
+            base.select("hx", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= _KMV_K)
+            .agg(F.max("hx").alias("kth"))
+            .first()["kth"]
+        )
+        survivors = base.filter(
+            F.expr("conv(substring(hx, 1, 4), 16, 10)").cast("long")
+            * F.lit(n)
+            <= F.lit(4 * _KMV_K * 65536)
+        )
+        filt = (
+            survivors.select("hx", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= _KMV_K)
+            .agg(F.max("hx").alias("kth"), F.count(F.lit(1)).alias("c"))
+            .first()
+        )
+        assert filt["c"] == min(_KMV_K, n), (n, filt["c"])
+        assert filt["kth"] == naive, (n, filt["kth"], naive)
