@@ -1734,3 +1734,87 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, vec_id long, relevance double, "
         "max_sim_to_prior double, mmr_score double",
     )
+
+
+_HAM_BITS = 63  # sign bits of dims 1..63 packed into one BIGINT (bit 63
+# stays clear so the code is non-negative in both engines' signed longs)
+
+_HAM_CODE_SPARK = (
+    "aggregate(sequence(0, 62), cast(0 as bigint), (acc, i) -> acc + "
+    "IF(element_at(embedding, i + 1) >= 0, "
+    "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+)
+_HAM_CODE_DUCK = (
+    "CAST(list_sum(list_transform(range(0, 63), i -> "
+    "CASE WHEN embedding[i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) "
+    "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+
+@query(
+    "sim_hamming_topk",
+    f"""
+WITH sig AS (
+  SELECT vec_id, {_HAM_CODE_DUCK} AS code, embedding FROM embeddings
+),
+probe AS (SELECT code, embedding FROM sig WHERE vec_id = 0)
+SELECT s.vec_id,
+  CAST(bit_count(xor(s.code, p.code)) AS BIGINT) AS hamming,
+  round({_sql_dot('p.embedding', 's.embedding')} /
+        ({_sql_norm('p.embedding')} * {_sql_norm('s.embedding')}), 6)
+    AS cos_sim
+FROM sig s CROSS JOIN probe p
+WHERE s.vec_id <> 0
+ORDER BY hamming, s.vec_id
+LIMIT 10
+""",
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding search: every vector sign-quantizes to ONE
+    63-bit code (48× smaller than the float32 vector) and the probe
+    scans xor+popcount — the bit-packed retrieval tier below
+    embed_quantize_int8 (int8 = 4×, binary = 48×) that web-scale
+    retrieval stacks use for the first-pass sweep, with the true
+    cosine reported per hit as the audit column (the KMV
+    true_distinct discipline): hamming distance on sign bits is a
+    known-quality proxy for angle (Goemans–Williamson), and the
+    column lets a reader SEE the proxy's fidelity.
+
+    Scale shape: quantization is one projection (per-row bounded HOF
+    fold — 63 elements, the embed_norm regime, never a pairwise
+    kernel); the scan is xor + bit_count inside whole-stage codegen
+    over 8-byte codes; the top-k is a bounded heap
+    (TakeOrderedAndProject). At 100 TB the code column is persisted
+    once next to the vectors (the PQ codes-table discipline) and the
+    per-probe cost is a popcount scan of n longs — the cheapest exact
+    pass any vector index offers before re-ranking.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        F.expr(_HAM_CODE_SPARK).alias("code"),
+        "embedding",
+    )
+    probe = (
+        sig.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("code").alias("p_code"),
+            F.col("embedding").alias("p_embedding"),
+        )
+    )
+    cos = _dot("p_embedding", "embedding") / (
+        _norm("p_embedding") * _norm("embedding")
+    )
+    return (
+        sig.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.bit_count(
+                F.col("code").bitwiseXOR(F.col("p_code"))
+            ).cast("long").alias("hamming"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )
