@@ -697,3 +697,92 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_mod_qty"),
     )
+
+
+@query(
+    "fn_fiscal_445",
+    """
+WITH f AS (
+  SELECT o_totalprice,
+    CAST(date_diff('day', DATE '1992-01-06',
+                   CAST(o_orderdate AS DATE)) AS BIGINT) AS days
+  FROM orders
+),
+w AS (SELECT o_totalprice, days // 7 AS wk FROM f WHERE days >= 0),
+m AS (
+  SELECT o_totalprice,
+    wk // 52 + 1992 AS fy,
+    (wk % 52) // 13 + 1 AS fq,
+    CASE WHEN (wk % 52) % 13 < 4 THEN 1
+         WHEN (wk % 52) % 13 < 8 THEN 2 ELSE 3 END AS fp
+  FROM w
+)
+SELECT CAST(fy AS BIGINT) AS fiscal_year,
+  CAST(fq AS BIGINT) AS fiscal_quarter,
+  CAST(fp AS BIGINT) AS fiscal_period,
+  CAST(CASE WHEN fp = 3 THEN 5 ELSE 4 END AS BIGINT) AS weeks_in_period,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+    AS revenue
+FROM m GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2, 3
+""",
+)
+def fn_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retail 4-4-5 fiscal-calendar rollup — the warehouse calendar the
+    Gregorian fn_datetime family cannot express: every fiscal period
+    has a whole number of weeks (comparable week-over-week, no
+    partial-week month ends), quarters are 13 weeks, periods run
+    4-4-5. Mapped by pure integer arithmetic from a fixed Monday epoch
+    (1992-01-06): week = days//7, year = week//52, quarter =
+    week%52//13, period by the 4/4/8 boundary — straight 52-week
+    cycles, i.e. the NRF calendar WITHOUT the 53rd-week restatement
+    (documented simplification; adding it is one more integer branch,
+    not a plan change). All-integer derivation means the mapping is
+    engine-exact with no date-function dialect risk; revenue rides the
+    decimal-then-round money discipline.
+
+    Scale shape: one projection derives the fiscal keys per row
+    (whole-stage codegen), one partial-aggregatable groupBy to the
+    ~84-row fiscal grid. The fiscal mapping costs nothing more than
+    any other GROUP BY key derivation.
+    """
+    orders = load(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-06").cast("date")
+    ).cast("long")
+    wk = F.floor(days / 7)
+    wiy = wk % 52
+    m = orders.filter(days >= 0).select(
+        "o_totalprice",
+        (F.floor(wk / 52) + 1992).cast("long").alias("fiscal_year"),
+        (F.floor(wiy / 13) + 1).cast("long").alias("fiscal_quarter"),
+        F.when(wiy % 13 < 4, 1)
+        .when(wiy % 13 < 8, 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("fiscal_period"),
+    )
+    return (
+        m.groupBy("fiscal_year", "fiscal_quarter", "fiscal_period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "fiscal_year",
+            "fiscal_quarter",
+            "fiscal_period",
+            F.when(F.col("fiscal_period") == 3, 5)
+            .otherwise(4)
+            .cast("long")
+            .alias("weeks_in_period"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("fiscal_year", "fiscal_quarter", "fiscal_period")
+    )
