@@ -826,3 +826,14 @@ def test_scd2_windows_share_entity_partitioning(spark):
     assert "windowspecdefinition(o_custkey" in plan
     # exactly one custkey-only exchange feeds both stacked windows
     assert plan.count("hashpartitioning(o_custkey#") >= 1
+
+
+def test_hamming_topk_is_popcount_scan_with_bounded_heap(spark):
+    """The binary search must stay a projection-scan: sign-pack in one
+    projection, xor+bit_count in codegen, top-k as a bounded heap —
+    never a shuffle of the vector table or a global sort."""
+    plan = _plan(spark, "sim_hamming_topk")
+    assert "TakeOrderedAndProject(limit=10" in plan, plan
+    # the only join is the broadcast 1-row probe
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan, plan
