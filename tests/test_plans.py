@@ -837,3 +837,32 @@ def test_hamming_topk_is_popcount_scan_with_bounded_heap(spark):
     # the only join is the broadcast 1-row probe
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan, plan
+
+
+def test_resamplers_never_multiply_the_fact_stream(spark):
+    """The permutation test and bootstrap must keep their wide
+    one-pass-aggregate shape: replicates ride a 1-row stack() Generate,
+    never a grid crossJoin that multiplies fact rows ×B before
+    aggregation (the 54 s / 64× pathology both were rewritten out of).
+    The only nested-loop joins allowed are 1-row scalar broadcasts."""
+    for name, max_bnlj in (("stat_permutation_test", 2),
+                           ("stat_bootstrap_ci", 1)):
+        plan = _plan(spark, name)
+        assert plan.count("stack(") == 1, (name, "wide stack form gone")
+        # one Generate = the 1-row stack reshape; a second would mean a
+        # fact-side explode came back
+        assert plan.count("Generate") == 1, (name, plan.count("Generate"))
+        assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name
+        assert "Expand" not in plan, name
+
+
+def test_scd2_pit_is_window_carry_forward_not_interval_join(spark):
+    """The PIT lookup must stay the union + carry-forward window: zero
+    joins between facts and the dim (the interval equi-join fanned
+    every fact to all of its customer's versions — 39.9 s at 64×)."""
+    plan = _plan(spark, "join_scd2_pit")
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only joins allowed are the fact-prep lineitem⋈orders
+    # equi-join(s); the dim side must arrive via Union + Window
+    assert "Union" in plan and "Window" in plan, plan
+    assert "last(regime" in plan, plan
