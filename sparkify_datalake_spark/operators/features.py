@@ -2237,14 +2237,16 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pg.agg(F.sum("n_j").alias("nt"), F.count(F.lit(1)).alias("k"))
     # t³ overflows long once per-value tie counts pass ~2M (hit at the
     # 64× probe: t ≈ 768k ⇒ Σt³ ≈ 2.3e19 > 2^63). Route the cube
-    # through DECIMAL(38,0) — DuckDB's HUGEINT sums are exact natively,
-    # and both engines then round the same exact integer to double at
-    # the single division in the tie correction.
+    # through DECIMAL — cast t BEFORE the first multiply, because even
+    # t*t alone overflows BIGINT past t ≈ 3.04e9 (a 100 TB lattice value
+    # holds ~1.2e10 rows). DuckDB's HUGEINT sums are exact natively, and
+    # both engines then round the same exact integer to double at the
+    # single division in the tie correction.
+    # decimal(12,0) keeps the product chain exact: 12·12 → p25, 25·12 →
+    # p38 (no 38-cap truncation), while t ≤ 1e12 covers any real lattice.
+    t_dec = F.col("t").cast("decimal(12,0)")
     tie = tv.agg(
-        F.sum(
-            (F.col("t") * F.col("t")).cast("decimal(25,0)") * F.col("t")
-            - F.col("t")
-        ).alias("tt")
+        F.sum(t_dec * t_dec * t_dec - t_dec).alias("tt")
     )
     pg2 = pg.crossJoin(F.broadcast(tot)).withColumn(
         "d",
@@ -3529,13 +3531,12 @@ cell AS (
 ),
 mix AS (
   SELECT stratum, sum(n) AS w FROM cell GROUP BY 1
-),
-tot AS (SELECT sum(n) AS n_all FROM cell)
+)
 SELECT c.arm,
   CAST(sum(c.n) AS BIGINT) AS n,
   round(sum(c.h) * 1.0 / sum(c.n), 6) AS rate_raw,
-  round(sum((c.h * 1.0 / c.n) * m.w) / max(t.n_all), 6) AS rate_adj
-FROM cell c JOIN mix m USING (stratum) CROSS JOIN tot t
+  round(sum((c.h * 1.0 / c.n) * m.w) / sum(m.w), 6) AS rate_adj
+FROM cell c JOIN mix m USING (stratum)
 GROUP BY c.arm
 ORDER BY c.arm
 """,
@@ -3571,10 +3572,12 @@ def stat_stratified_rate_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("hit").alias("h")
     )
     mix = cell.groupBy("stratum").agg(F.sum("n").alias("w"))
-    tot = cell.agg(F.sum("n").alias("n_all"))
+    # Renormalize by the COVERED weight sum per arm (Σw over the arm's
+    # strata), not the global total: an arm with no rows in some
+    # stratum would otherwise lose that stratum's weight from the
+    # numerator only and read biased-low instead of standardized.
     return (
         cell.join(F.broadcast(mix), "stratum")
-        .crossJoin(F.broadcast(tot))
         .groupBy("arm")
         .agg(
             F.sum("n").cast("long").alias("n"),
@@ -3585,7 +3588,7 @@ def stat_stratified_rate_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     (F.col("h") / F.col("n").cast("double")) * F.col("w")
                 )
-                / F.max("n_all"),
+                / F.sum("w").cast("double"),
                 6,
             ).alias("rate_adj"),
         )

@@ -2221,7 +2221,19 @@ def ts_forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         alpha, beta, gamma, m, horizon = 0.5, 0.3, 0.3, 7, 7
         pdf = pdf.sort_values("d")
-        ys = pdf["y"].astype("float64").tolist()
+        # Dense calendar reindex: a day with zero events is absent from
+        # the rollup, and positional t % m indexing would permanently
+        # shift the seasonal phase past the gap (and the last_d + h
+        # forecast dates assume a gapless tail). Fill missing days with
+        # 0 so row position == calendar day and the weekly slot stays
+        # phase-locked.
+        days = pd.to_datetime(pdf["d"])
+        full = pd.date_range(days.min(), days.max(), freq="D")
+        ys = (
+            pd.Series(pdf["y"].astype("float64").values, index=days)
+            .reindex(full, fill_value=0.0)
+            .tolist()
+        )
         last_d = pdf["d"].iloc[-1]
         et = pdf["event_type"].iloc[0]
         ds = [last_d + pd.Timedelta(days=h) for h in range(1, horizon + 1)]

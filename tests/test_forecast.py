@@ -6,6 +6,8 @@ loses to 'predict yesterday' is mis-implemented.
 
 from __future__ import annotations
 
+import datetime
+
 import duckdb
 import pytest
 
@@ -87,14 +89,25 @@ def _holt_winters(ys, alpha=0.5, beta=0.3, gamma=0.3, m=7, horizon=7):
 def test_holt_winters_matches_python_twin(spark, sf_dir):
     rows = queries()["ts_forecast_holt_winters"](spark, sf_dir).collect()
     con = duckdb.connect()
-    series = {}
-    for et, y in con.execute(
-        f"""SELECT event_type, count(*) FROM '{sf_dir}/events.parquet'
+    raw = {}
+    for et, d, y in con.execute(
+        f"""SELECT event_type, CAST(ts AS DATE), count(*)
+        FROM '{sf_dir}/events.parquet'
         GROUP BY event_type, CAST(ts AS DATE)
         ORDER BY event_type, CAST(ts AS DATE)"""
     ).fetchall():
-        series.setdefault(et, []).append(float(y))
+        raw.setdefault(et, []).append((d, float(y)))
     con.close()
+    # Mirror the kernel's dense-calendar reindex: zero-fill missing days
+    # so positional t % m stays phase-locked to the calendar.
+    series = {}
+    for et, pairs in raw.items():
+        by_day = dict(pairs)
+        d0, d1 = pairs[0][0], pairs[-1][0]
+        series[et] = [
+            by_day.get(d0 + datetime.timedelta(days=i), 0.0)
+            for i in range((d1 - d0).days + 1)
+        ]
     by_type = {}
     for r in rows:
         by_type.setdefault(r["event_type"], []).append(r)
