@@ -282,6 +282,45 @@ _EDGE_SQL = """
 """
 
 
+def _orient_by_degree(e: DataFrame) -> DataFrame:
+    """Reorient the canonical (a < b by id) undirected edge set so every
+    edge points from the lower-(degree, id) endpoint to the higher one.
+
+    Triangle counts are orientation-invariant (any total order on the
+    vertices counts each triangle exactly once in the wedge closure),
+    but the join fan-out is not: under id order the wedge count is
+    Σ in(v)·out(v) with no bound on out-degree, while degree-descending
+    orientation provably caps out-degree at O(√m) — every out-neighbor
+    has degree ≥ yours, and degrees sum to 2m — so the fan-out is
+    O(m^1.5) worst case instead of Σ deg². This is the standard
+    distributed-triangle orientation (Schank-Wagner / Cohen's
+    MapReduce formulation), and it is what keeps a densifying 100×
+    graph's wedge stage sub-quadratic.
+
+    One extra degree aggregate + two node-keyed joins over the edge
+    list — negligible against the wedge stage it caps.
+    """
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = e.join(
+        deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b"
+    )
+    # canonical form guarantees a < b, so equal degrees keep (a, b)
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("a"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("b"),
+    )
+
+
 @query(
     "graph_triangle_count",
     f"""
@@ -298,15 +337,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient, spam-graph detection all start here), and the third
     classic graph op beside connected components and PageRank.
 
-    The node-ordered wedge-closure formulation: edges canonicalize to
-    a < b once, wedges enumerate only in ascending order (e1=(a,b) ⋈
-    e2=(b,c) gives a < b < c), and a final join probes the closing edge
-    (a,c) — each triangle is counted exactly once, no division by 6,
-    and the join fan-out is Σ deg²(v) over ORDERED degrees, the
-    standard distributed-triangle bound (at 100 TB the next step is
-    degree-descending orientation, which provably caps ordered degrees
-    at O(√m)). Pure equi-joins + one count: both engines run the
-    identical plan shape, so the count is hash-checked, not trusted.
+    The degree-oriented wedge-closure formulation: edges canonicalize
+    to a < b once, then reorient by (degree, id) rank via
+    _orient_by_degree — wedges enumerate only rank-ascending (e1=(a,b)
+    ⋈ e2=(b,c) gives rank a < b < c), and a final join probes the
+    closing edge (a,c). Each triangle is counted exactly once, no
+    division by 6, and the orientation caps out-degrees at O(√m) so
+    the wedge fan-out is O(m^1.5) instead of Σ deg² — the fix for the
+    one super-linear 64× exponent found in round 7 (id-ordered wedges
+    densify quadratically on a fixed vertex set). The oracle keeps the
+    id-ordered SQL join: counts are orientation-invariant, so the
+    hash check also certifies the orientation's correctness.
     """
     from pyspark.sql import Window
 
@@ -323,17 +364,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("user_id", "next_user").alias("b"),
         )
         .distinct()
-        .localCheckpoint()  # three join consumers of one tiny edge set
+        .localCheckpoint()  # degree agg + orientation joins consume it
     )
+    eo = _orient_by_degree(e).localCheckpoint()  # three join consumers
     # Explicit shuffle width on the wedge join: AQE sizes this stage by
     # the ~95k-row edge input and coalesces to ~2 tasks, blind to the
-    # Σ deg² wedge fan-out produced INSIDE the stage (same pathology as
+    # wedge fan-out produced INSIDE the stage (same pathology as
     # graph_link_prediction, where the fix measured 6.2 s → 1.2 s).
     # The closing join self-heals: its shuffle reads real wedge bytes.
     n_part = spark.sparkContext.defaultParallelism
-    e1 = e.repartition(n_part, "b").alias("e1")
-    e2 = e.repartition(n_part, "a").alias("e2")
-    e3 = e.alias("e3")
+    e1 = eo.repartition(n_part, "b").alias("e1")
+    e2 = eo.repartition(n_part, "a").alias("e2")
+    e3 = eo.alias("e3")
     wedges = e1.join(e2, F.col("e2.a") == F.col("e1.b"))
     closed = wedges.join(
         e3,
@@ -717,10 +759,12 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph_triangle_count's ordered wedge closure and the degree
     frame behind graph_degree_distribution).
 
-    Scale shape: the triangle side reuses the node-ordered closure —
-    each triangle counted once, fan-out Σ ordered-deg² — and the wedge
-    denominator is pure per-node arithmetic on the degree frame (one
-    partial-aggregatable pass, no join at all). Both reductions are
+    Scale shape: the triangle side reuses the degree-oriented closure
+    (_orient_by_degree — out-degrees capped at O(√m), fan-out O(m^1.5)
+    instead of Σ deg²; the round-7 super-linear exponent fix), reusing
+    the SAME degree frame the wedge denominator needs anyway, so the
+    orientation is one join, not one extra aggregate. The denominator
+    is pure per-node arithmetic on that frame. Both reductions are
     exact integers; the one division is display-rounded. The explicit
     shuffle-width lesson from graph_triangle_count applies to the
     closure join here identically.
@@ -745,16 +789,28 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     wedges = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2)
         .cast("long")
         .alias("n_wedges")
     )
+    # Degree-descending orientation off the SAME degree frame the
+    # denominator uses (see _orient_by_degree for the O(√m) bound).
+    ranked = e.join(
+        deg.select(F.col("u").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("u").alias("b"), F.col("d").alias("db")), "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    eo = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("a"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("b"),
+    ).localCheckpoint()
     n_part = spark.sparkContext.defaultParallelism
-    e1 = e.repartition(n_part, "b").alias("e1")
-    e2 = e.repartition(n_part, "a").alias("e2")
-    e3 = e.alias("e3")
+    e1 = eo.repartition(n_part, "b").alias("e1")
+    e2 = eo.repartition(n_part, "a").alias("e2")
+    e3 = eo.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.a") == F.col("e1.b"))
         .join(

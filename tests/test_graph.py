@@ -235,3 +235,53 @@ def test_label_propagation_query_shape(spark, sf_dir):
         assert r["n_members"] >= 1
         assert r["community"] not in seen
         seen.add(r["community"])
+
+
+def test_degree_orientation_caps_hub_fanout(spark):
+    """_orient_by_degree must turn a star's wedge fan-out from
+    quadratic-at-the-hub into zero: with edges (0, i) for i in 1..n
+    and id-ordering, the hub 0 is the SOURCE of every edge, so the
+    wedge self-join (e2.a == e1.b) finds nothing at the hub but the
+    symmetric bad case — hub as b — explodes; degree orientation
+    points every edge leaf→hub (leaves have degree 1 < hub's n), so
+    the hub has out-degree 0 and the wedge join emits exactly 0 rows.
+    A triangle glued to two leaves must still be counted once."""
+    from sparkify_datalake_spark.operators.graph import _orient_by_degree
+
+    n = 25
+    # star with hub 50 in the MIDDLE of the id range: 25 leaves below,
+    # 25 above, so id-ordering gives the hub 25 in-edges AND 25
+    # out-edges → the path wedge join e2.a == e1.b fans out n² at it
+    edges = (
+        [(i, 50) for i in range(1, n + 1)]
+        + [(50, 50 + i) for i in range(1, n + 1)]
+        + [(1, 2)]
+    )
+    e = spark.createDataFrame(edges, "a long, b long")
+    eo = _orient_by_degree(e)
+
+    def wedge_count(ed):
+        e1, e2 = ed.alias("e1"), ed.alias("e2")
+        return e1.join(e2, F.col("e2.a") == F.col("e1.b")).count()
+
+    # id order: every (lower leaf, upper leaf) pair wedges THROUGH
+    # the hub → n² at the hub
+    assert wedge_count(e) >= n * n
+    # degree order: every edge points leaf→hub, hub out-degree 0 →
+    # only the handful of wedges adjacent to the glued (1,2) edge
+    assert wedge_count(eo) <= 4
+
+    # the glued triangle (1, 2, 100) survives orientation exactly once
+    def tri_count(ed):
+        e1, e2, e3 = ed.alias("e1"), ed.alias("e2"), ed.alias("e3")
+        return (
+            e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+            .join(
+                e3,
+                (F.col("e3.a") == F.col("e1.a"))
+                & (F.col("e3.b") == F.col("e2.b")),
+            )
+            .count()
+        )
+
+    assert tri_count(eo) == 1
