@@ -1506,3 +1506,207 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select(
         "*", (F.abs(F.col("shift_sds")) > 0.05).alias("drifted")
     ).orderBy("column_name")
+
+
+@query(
+    "pipeline_star_etl",
+    """
+WITH staged AS (
+  SELECT event_id, user_id, event_type, ts, value FROM events
+  UNION ALL
+  SELECT event_id, user_id, event_type, ts, value
+  FROM events WHERE event_id % 100 = 0
+),
+deduped AS (
+  SELECT DISTINCT event_id, user_id, event_type, ts, value FROM staged
+),
+fact AS (
+  SELECT event_id, user_id, event_type, value,
+    substring(md5('user|' || CAST(user_id AS VARCHAR)), 1, 16) AS sk_user,
+    CAST(ts AS DATE) AS event_date
+  FROM deduped
+)
+SELECT event_date,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT sk_user) AS BIGINT) AS n_users,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+  min(sk_user) AS first_sk,
+  round(sum(value), 4) AS sum_value,
+  CAST(sum(CASE WHEN dayofweek(event_date) IN (0, 6) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_weekend
+FROM fact
+GROUP BY event_date ORDER BY event_date
+""",
+)
+def pipeline_star_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reconstructed reference's signature pipeline END-TO-END as
+    one hash-checked composite (SURVEY §0.1 / §2.1's whole left
+    column): schema-on-read JSON-lines ingest with a quarantined
+    corrupt shard → conform (typed casts, timestamp parse, date
+    derivation) → exact dedup of a replayed batch → deterministic
+    content-derived surrogate keys → star schema (user dim + date dim
+    + fact) written as PARTITIONED parquet → read BACK from the sink →
+    per-partition rollup. The oracle computes the same logical answer
+    straight from the fixture view, so the hash check certifies that
+    every physical hop (JSON serialize/parse, quarantine, parquet
+    round-trip, partition pruning columns) preserved values exactly —
+    the relational sibling of pipeline_corpus_e2e.
+
+    Physical staging lives under /tmp keyed by the sf dir (overwritten
+    every run; reruns are byte-stable — asserted in tests/test_sinks).
+    The "replayed batch" is the deterministic event_id % 100 slice
+    appended twice, exactly what an at-least-once ingest produces; the
+    corrupt shard exercises read_json_permissive's quarantine path
+    (PERMISSIVE + _corrupt_record), proving one bad file cannot poison
+    the load.
+
+    Scale shape: ingest/conform/surrogate-keys are map-side
+    (whole-stage codegen, md5 keys are partitioning-independent —
+    fn_surrogate_key's rationale); dedup is ONE distinct shuffle; the
+    fact write repartitions by the partition column so each date lands
+    in exactly one task → one file per partition dir (at 100 TB: date
+    × hash-bucket); dims are distinct-shuffles over key cardinality.
+    The final rollup reads back ONLY the sink — proving the star is
+    self-sufficient, partition-pruned, and join-ready (user dim joins
+    broadcast).
+    """
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sparkify_datalake_spark.sources.sinks import read_json_permissive
+
+    base = os.path.join(
+        "/tmp/sparkify_star_etl",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    staging = os.path.join(base, "staging_json")
+    fact_dir = os.path.join(base, "fact_events")
+    dim_user_dir = os.path.join(base, "dim_user")
+    dim_date_dir = os.path.join(base, "dim_date")
+
+    # -- extract: stage the raw log to JSON-lines, with an
+    # at-least-once replay of the event_id % 100 slice
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "value",
+    )
+    stage = ev.unionAll(ev.filter(F.col("event_id") % 100 == 0))
+    stage.write.mode("overwrite").json(staging)
+    # a corrupt shard the permissive reader must quarantine, not fail on
+    with open(os.path.join(staging, "corrupt-shard.json"), "w") as fh:
+        fh.write('{"event_id": "zed", "user_id": }\nnot json at all\n')
+
+    # -- schema-on-read ingest + conform
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_str", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    raw = read_json_permissive(spark, staging, schema)
+    good = raw.filter(
+        F.col("_corrupt_record").isNull() & F.col("event_id").isNotNull()
+    ).drop("_corrupt_record")
+    conformed = good.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+    )
+
+    # -- exact dedup of the replayed batch: ONE distinct shuffle
+    deduped = conformed.distinct()
+
+    # -- surrogate keys (content-derived, partitioning-independent)
+    sk_user = F.substring(
+        F.md5(F.concat_ws("|", F.lit("user"), F.col("user_id").cast("string"))),
+        1,
+        16,
+    )
+    fact = deduped.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        sk_user.alias("sk_user"),
+        F.col("ts").cast("date").alias("event_date"),
+    )
+
+    # -- star dims
+    dim_user = (
+        fact.groupBy("sk_user", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_date").alias("first_seen"),
+        )
+    )
+    dim_date = fact.select("event_date").distinct().select(
+        "event_date",
+        F.year("event_date").cast("long").alias("d_year"),
+        F.month("event_date").cast("long").alias("d_month"),
+        F.dayofweek("event_date").cast("long").alias("d_dow"),
+    )
+
+    # -- partitioned star sink: one task (→ one file) per date partition
+    (
+        fact.repartition("event_date")
+        .sortWithinPartitions("event_date", "event_id")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(fact_dir)
+    )
+    dim_user.repartition(1).sortWithinPartitions("sk_user").write.mode(
+        "overwrite"
+    ).parquet(dim_user_dir)
+    dim_date.repartition(1).sortWithinPartitions("event_date").write.mode(
+        "overwrite"
+    ).parquet(dim_date_dir)
+
+    # -- read BACK from the sink only; rollup per partition
+    fact_r = spark.read.parquet(fact_dir)
+    dim_user_r = spark.read.parquet(dim_user_dir)
+    dim_date_r = spark.read.parquet(dim_date_dir)
+    joined = fact_r.join(
+        F.broadcast(dim_user_r.select("sk_user")), "sk_user"
+    ).join(F.broadcast(dim_date_r), "event_date")
+    return (
+        joined.groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("sk_user").cast("long").alias("n_users"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.min("sk_user").alias("first_sk"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            # Spark dayofweek: Sun=1..Sat=7; DuckDB: Sun=0..Sat=6
+            F.sum(
+                F.when(F.col("d_dow").isin(1, 7), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_weekend"),
+        )
+        .withColumn("event_date", F.col("event_date").cast("date"))
+        .select(
+            "event_date",
+            "n_events",
+            "n_users",
+            "n_types",
+            "first_sk",
+            "sum_value",
+            "n_weekend",
+        )
+        .orderBy("event_date")
+    )

@@ -231,3 +231,61 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>" \
         in plan
     assert filtered.count() == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_star_etl_layout_and_byte_stability(spark, sf_dir):
+    """pipeline_star_etl (SURVEY §2 round 8): the partitioned star sink
+    must (a) lay out one directory per event_date with exactly one
+    data file each (repartition-by-key + sortWithinPartitions), and
+    (b) be BYTE-stable across reruns — same partition dirs, same
+    per-partition content hashes — because every stage is a
+    deterministic function of the input (md5 keys, total sort, no
+    timestamps/uuids in the data path). Quarantine must have kept the
+    corrupt shard out of the star."""
+    import hashlib
+    import os
+
+    from sparkify_datalake_spark.registry import queries
+
+    q = queries()["pipeline_star_etl"]
+    base = os.path.join(
+        "/tmp/sparkify_star_etl",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    fact_dir = os.path.join(base, "fact_events")
+
+    def layout():
+        out = {}
+        for d in sorted(os.listdir(fact_dir)):
+            if not d.startswith("event_date="):
+                continue
+            files = sorted(
+                f
+                for f in os.listdir(os.path.join(fact_dir, d))
+                if f.endswith(".parquet")
+            )
+            hashes = tuple(
+                hashlib.md5(
+                    open(os.path.join(fact_dir, d, f), "rb").read()
+                ).hexdigest()
+                for f in files
+            )
+            out[d] = (len(files), hashes)
+        return out
+
+    first_rows = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    first = layout()
+    assert first, "no event_date= partition dirs written"
+    assert all(n == 1 for n, _ in first.values()), (
+        "expected exactly one data file per partition dir: "
+        f"{ {d: n for d, (n, _) in first.items() if n != 1} }"
+    )
+
+    second_rows = sorted(tuple(r) for r in q(spark, sf_dir).collect())
+    second = layout()
+    assert first == second, "rerun changed partition layout or bytes"
+    assert first_rows == second_rows
+
+    # the corrupt shard was quarantined, not loaded: no NULL event_ids
+    back = spark.read.parquet(fact_dir)
+    assert back.filter("event_id IS NULL").count() == 0
