@@ -1382,8 +1382,14 @@ def agg_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    dim = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
-        "c_custkey"
+    # tiny frames with many consumers: dim feeds the build AND the
+    # exact-truth join; words feeds k broadcast legs + the fill count.
+    # Without the checkpoint each consumer re-derives them from the
+    # customer scan (4 redundant jobs — the r7 1.76 s bench tail).
+    dim = (
+        cust.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+        .localCheckpoint()
     )
     build_pos = (
         dim.select(
@@ -1405,6 +1411,7 @@ def agg_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
+        .localCheckpoint()  # ≤2048 rows, 4 consumers
     )
     # row-group-capped scan parallelism (2-3 groups at sf0.1) would run
     # the per-row md5 on 3 cores; spread the probe first. The k
@@ -1612,7 +1619,11 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = F.when(c == t, fof[t]).otherwise(expr)
         return expr
 
-    combos = flags.groupBy(*fcols).agg(F.count(F.lit(1)).alias("cnt"))
+    combos = (
+        flags.groupBy(*fcols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # ≤32 rows; feeds truth AND n_min
+    )
     truth = (
         combos.crossJoin(F.broadcast(pairs))
         .select(
@@ -1630,10 +1641,16 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_true"),
         )
     )
-    n_min = (
-        dist.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.min("n").alias("n_min"))
+    # n_min off the ≤32-row combo frame, NOT a second pass over the
+    # hash grain: n_t = Σ cnt·f_t exactly (every hx carries its full
+    # membership bits), so the smallest per-type cardinality is pure
+    # arithmetic here — the r7 driver bench showed the old
+    # dist-re-aggregation re-ran the whole distinct shuffle (2.16 s
+    # tail), all to compute five sums the audit rollup already holds.
+    n_min = combos.select(
+        F.least(
+            *[F.sum(F.col("cnt") * F.col(f)) for f in fcols]
+        ).alias("n_min")
     )
     survivors = flags.crossJoin(F.broadcast(n_min)).filter(
         F.expr("conv(substring(hx, 1, 4), 16, 10)").cast("long")

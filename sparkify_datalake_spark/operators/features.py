@@ -2120,9 +2120,14 @@ def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.size(F.filter("q", lambda b: F.col("x") > b))
         ).alias("bin"),
     )
-    cnt = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n_ref"),
-        F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("n_cur"),
+    cnt = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("n_cur"),
+        )
+        .localCheckpoint()  # 10 rows, 2 consumers: without this the
+        # totals join re-runs the whole bucket scan (r7 2.64 s tail)
     )
     tot = cnt.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
     p_ref = F.col("n_ref").cast("double") / F.col("tr")

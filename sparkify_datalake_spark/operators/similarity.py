@@ -819,29 +819,36 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — the compression path that complements
 # LSH (bucketing) and IVF (partition pruning): 64-dim float vectors
-# compress to _PQ_M (8) small subspace codes — 5 bits each with
-# _PQ_K=32, 8 bytes/vector stored as uint8 vs 256 bytes of floats — so a
-# 100 TB corpus's codes fit in cluster memory and the search scans
-# codes, not floats.
+# compress to _PQ_M small subspace codes — 6 bits each with _PQ_K=64,
+# 16 bytes/vector stored as uint8 vs 256 bytes of floats — so a 100 TB
+# corpus's codes fit in cluster memory and the search scans codes, not
+# floats.
 
-_PQ_M = 8           # subspaces (64 dims → 8 per subspace)
+_PQ_M = 16          # subspaces (64 dims → 4 per subspace). m=8 (48-bit
+                    # sketches) measured recall@10 = 0.8 at the 64×
+                    # probe (128k near-isotropic vectors) — the r7
+                    # verdict's one below-par ANN number; halving the
+                    # subspace width quarters the per-cell quantization
+                    # error for 2× the code bytes (still 16 B/vector),
+                    # the standard FAISS m-vs-recall dial.
 _PQ_K = 64          # centroids per subspace (6-bit codes). k=32 (40-bit
                     # sketches) measured recall@10 = 0.4–0.6 at the 64×
                     # probe even with a 2000-candidate refine pool — the
                     # sketch itself ran out of resolution at 128k
                     # near-isotropic vectors; k=64 restores the bound
                     # (see ANN_CURVES_x64.json).
-_PQ_TRAIN_N = 2048  # training-sample size (FAISS-style sampled
-                    # training; ≥32 samples per centroid at full size,
+_PQ_TRAIN_N = 8192  # training-sample size (FAISS-style sampled
+                    # training; ≥128 samples per centroid at full size,
                     # the vec_id< filter self-clamps on small corpora)
-_PQ_RERANK = 2000  # ADC candidates re-ranked exactly. PQ at k=32 is a
-                   # coarse 40-bit sketch, so the refine pool must grow
-                   # with the corpus's ADC-collision mass: 200 measured
-                   # recall@10 = 0.4 at the 64× probe (128k vectors);
-                   # 2000 (1.6% of that corpus, still ≪ any real one)
-                   # restores it — see ANN_CURVES_x64.json. The pool is
-                   # a broadcast of ids + one pruned rejoin, so the
-                   # exact-rerank cost stays O(pool), not O(corpus).
+_PQ_RERANK = 500   # ADC candidates re-ranked exactly. With the m=16
+                   # geometry the sketch is fine enough that the 64×
+                   # probe measures recall@10 = 1.0 even at a 100-row
+                   # pool (ANN_CURVES_x64.json sweeps 100→2000); 500
+                   # (0.4% of that corpus) keeps 5× headroom while the
+                   # broadcast-ids + pruned-rejoin rerank stays
+                   # O(pool), not O(corpus). History: m=8 needed 2000
+                   # and still only reached 0.8 — the m dial, not the
+                   # pool dial, is what buys recall.
 _PQ_CODEBOOKS: dict[str, "object"] = {}
 
 

@@ -104,14 +104,44 @@ def ivf_curve(spark, sf_dir: str) -> dict:
 
 
 def pq_recall(spark, sf_dir: str) -> dict:
+    """Recall-vs-cost curve like IVF's: sweep the exact-rerank pool
+    depth (the PQ cost dial — ADC scans everything cheaply; cost is
+    the pool of raw vectors re-ranked exactly)."""
+    from sparkify_datalake_spark.operators import similarity as sim
     from sparkify_datalake_spark.registry import queries
 
     qs = queries()
     exact = {
         r["vec_id"] for r in qs["sim_cosine_topk"](spark, sf_dir).collect()
     }
-    ann = {r["vec_id"] for r in qs["sim_pq_topk"](spark, sf_dir).collect()}
-    return {"recall_at_10": round(len(ann & exact) / len(exact), 3)}
+    total = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    )
+    default = sim._PQ_RERANK
+    points = []
+    try:
+        for depth in (100, 250, 500, 1000, default):
+            sim._PQ_RERANK = depth
+            ann = {
+                r["vec_id"]
+                for r in qs["sim_pq_topk"](spark, sf_dir).collect()
+            }
+            points.append(
+                {
+                    "rerank_pool": depth,
+                    "recall_at_10": round(len(ann & exact) / len(exact), 3),
+                    "rerank_frac": round(depth / total, 5),
+                }
+            )
+    finally:
+        sim._PQ_RERANK = default
+    return {
+        "m": sim._PQ_M,
+        "k": sim._PQ_K,
+        "corpus_rows": total,
+        "recall_at_10": points[-1]["recall_at_10"],
+        "points": points,
+    }
 
 
 def main() -> None:

@@ -14,7 +14,11 @@ this VM contend for all 32 cores and poison each other's timings):
 1. tools/local_correctness.py <round> → LOCAL_CORRECTNESS_r<N>.json
    (full-surface sf0.01 oracle sweep; exits nonzero on any hash fail,
    which aborts step 2 — a bench map for a wrong engine is worthless).
-2. bench.py at sf0.1 → refreshed BENCH_FULL_local.json.
+2. bench.py at sf0.1 → refreshed BENCH_FULL_local.json, then a
+   write-once copy BENCH_FULL_r<N>.json (VERDICT r7 #6: the driver
+   overwrites BENCH_FULL_local.json with its own noisy single pass
+   after the seal; the per-round copy is the immutable sealed
+   measurement BENCH.md points at).
 3. Freshness assert: both artifacts' query sets must equal
    registry.queries() EXACTLY — a registered query missing a fresh row
    (or a stale row for a deleted query) fails the close.
@@ -73,8 +77,17 @@ def main() -> None:
                   "refusing to seal", file=sys.stderr)
             sys.exit(r.returncode)
     _assert_fresh(rnd)
+    # Write-once sealed copy: the driver regenerates
+    # BENCH_FULL_local.json post-seal, so the round's measurement
+    # lives in its own immutable file.
+    sealed = os.path.join(REPO, f"BENCH_FULL_r{rnd}.json")
+    with open(os.path.join(REPO, "BENCH_FULL_local.json")) as f:
+        payload = f.read()
+    with open(sealed, "w") as f:
+        f.write(payload)
     print("round-close artifacts refreshed + freshness-asserted: "
-          f"LOCAL_CORRECTNESS_r{rnd}.json + BENCH_FULL_local.json")
+          f"LOCAL_CORRECTNESS_r{rnd}.json + BENCH_FULL_local.json "
+          f"+ sealed copy BENCH_FULL_r{rnd}.json")
 
 
 if __name__ == "__main__":
