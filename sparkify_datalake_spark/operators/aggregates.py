@@ -1587,7 +1587,13 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered at sf0.001.
     """
     ev = load(spark, sf_dir, "events")
-    dist = ev.select(
+    # No DISTINCT pre-pass: the flag aggregate's max() absorbs raw-event
+    # multiplicity, so the hash grain reduces in ONE partial-aggregated
+    # shuffle straight off the scan (the oracle keeps its dist CTE —
+    # same result, and DuckDB's planner fuses it anyway). n_min and the
+    # exact truths then come off the ≤32-row combo frame, so no second
+    # pass over the grain exists anywhere.
+    raw = ev.select(
         F.col("event_type").alias("t"),
         F.md5(
             F.concat_ws(
@@ -1597,10 +1603,10 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").cast("date").cast("string"),
             )
         ).alias("hx"),
-    ).distinct()
+    )
     fcols = [f"f{i}" for i in range(len(_KMV_TYPES))]
     flags = (
-        dist.groupBy("hx")
+        raw.groupBy("hx")
         .agg(
             *[
                 F.max(F.when(F.col("t") == t, 1).otherwise(0)).alias(f"f{i}")
