@@ -3696,3 +3696,184 @@ def feat_pit_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stat_mcnemar",
+    """
+WITH pair AS (
+  SELECT o_custkey,
+    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS a,
+    max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS b
+  FROM orders GROUP BY 1
+),
+cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(a * b) AS BIGINT) AS n_both,
+    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+    CAST(sum((1 - a) * b) AS BIGINT) AS n01
+  FROM pair
+)
+SELECT n_pairs, n_both, n10, n01,
+  round((n10 - n01) * (n10 - n01) * 1.0 / nullif(n10 + n01, 0), 6)
+    AS chi2,
+  round((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1.0
+        / nullif(n10 + n01, 0), 6) AS chi2_cc,
+  round((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1.0
+        / nullif(n10 + n01, 0), 6) > 3.841459 AS reject_5pct
+FROM cells
+""",
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — the within-subject
+    sibling of stat_chi2_independence (which assumes independent
+    samples and is the wrong test when both indicators are measured on
+    the SAME unit): does the probability a customer ever places an
+    URGENT order differ from the probability they ever place a HIGH
+    one? Only the discordant cells carry information — χ² =
+    (n10−n01)²/(n10+n01), continuity-corrected form alongside, verdict
+    from the corrected statistic at the χ²₁ 5% bound (3.841459), the
+    stat_jarque_bera rounded-verdict discipline.
+
+    Scale shape: ONE custkey-keyed partial-aggregated shuffle to the
+    per-pair flag frame, then a 1-row fold — the same two-phase shape
+    as agg_kmv_jaccard's combo frame. All cells exact integers; the
+    two divisions are the only float ops, 6dp-rounded on both engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    pair = o.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)
+        ).alias("b"),
+    )
+    cells = pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n_both"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+    )
+    diff = F.col("n10") - F.col("n01")
+    denom = F.nullif((F.col("n10") + F.col("n01")).cast("double"), F.lit(0.0))
+    chi2 = F.round(diff * diff / denom, 6)
+    cc_num = (F.abs(diff) - 1) * (F.abs(diff) - 1)
+    chi2_cc = F.round(cc_num / denom, 6)
+    return cells.select(
+        "n_pairs",
+        "n_both",
+        "n10",
+        "n01",
+        chi2.alias("chi2"),
+        chi2_cc.alias("chi2_cc"),
+        (chi2_cc > 3.841459).alias("reject_5pct"),
+    )
+
+
+@query(
+    "stat_bartlett",
+    """
+WITH g AS (
+  SELECT l_returnflag AS grp,
+    count(*) AS n,
+    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s,
+    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+        * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS ss
+  FROM lineitem GROUP BY 1
+),
+v AS (
+  SELECT grp, n,
+    CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+         AS DOUBLE) / n AS vnum
+  FROM g
+),
+fold AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+    CAST(count(*) AS BIGINT) AS k,
+    sum(vnum) AS sp_num,
+    sum((n - 1) * ln(vnum / (n * (n - 1.0)))) AS sum_ln,
+    sum(1.0 / (n - 1)) AS inv_sum
+  FROM v
+)
+SELECT n_total, k,
+  round(sp_num / (n_total - k) / 10000.0, 4) AS pooled_var,
+  round(((n_total - k) * ln(sp_num / (n_total - k))
+         - sum_ln)
+        / (1 + (inv_sum - 1.0 / (n_total - k)) / (3.0 * (k - 1))), 6)
+    AS bartlett_stat,
+  CAST(k - 1 AS BIGINT) AS df,
+  round(((n_total - k) * ln(sp_num / (n_total - k))
+         - sum_ln)
+        / (1 + (inv_sum - 1.0 / (n_total - k)) / (3.0 * (k - 1))), 6)
+    > 5.991465 AS reject_5pct
+FROM fold
+""",
+)
+def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the 3 return-flag
+    populations of l_extendedprice — the parametric (normality-
+    assuming, most powerful) member of the homoscedasticity ladder
+    beside stat_brown_forsythe (robust, median-based): the gatekeeper
+    check before pooled-variance tests like stat_anova_oneway trust
+    their pooled σ².
+
+    Numeric discipline (the stat_cuped template): 2dp prices become
+    exact integer cents, per-group (n, Σx, Σx²) are exact integer
+    sums, and each moment combination n·Σx²−(Σx)² routes through
+    DECIMAL(38,0) (DuckDB HUGEINT is exact natively). The statistic is
+    SCALE-INVARIANT — (N−k)·ln(Sp²) − Σ(nᵢ−1)·ln(sᵢ²) cancels the
+    cents²-unit ln term exactly because the coefficients balance — so
+    the whole computation stays on the exact-integer lattice until the
+    final ln/divide, 6dp-rounded; the verdict derives from the ROUNDED
+    statistic (stat_jarque_bera discipline). Scale shape: one
+    partial-aggregatable groupBy to 3 moment rows, then a 1-row fold.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents.cast(d38) * cents.cast(d38)).alias("ss"),
+    )
+    v = g.select(
+        "grp",
+        "n",
+        (
+            (
+                F.col("n").cast(d38) * F.col("ss")
+                - F.col("s").cast(d38) * F.col("s").cast(d38)
+            ).cast("double")
+            / F.col("n")
+        ).alias("vnum"),
+    )
+    fold = v.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("vnum").alias("sp_num"),
+        F.sum(
+            (F.col("n") - 1)
+            * F.log(F.col("vnum") / (F.col("n") * (F.col("n") - 1.0)))
+        ).alias("sum_ln"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("inv_sum"),
+    )
+    nt, k = F.col("n_total"), F.col("k")
+    stat = F.round(
+        (
+            (nt - k) * F.log(F.col("sp_num") / (nt - k))
+            - F.col("sum_ln")
+        )
+        / (1 + (F.col("inv_sum") - 1.0 / (nt - k)) / (3.0 * (k - 1))),
+        6,
+    )
+    return fold.select(
+        "n_total",
+        "k",
+        F.round(F.col("sp_num") / (nt - k) / 10000.0, 4).alias(
+            "pooled_var"
+        ),
+        stat.alias("bartlett_stat"),
+        (k - 1).cast("long").alias("df"),
+        (stat > 5.991465).alias("reject_5pct"),
+    )

@@ -80,6 +80,48 @@ _DECODE_SCHEMA = (
 _WAV_RATE = 8000
 
 
+def wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) frame of genuine RIFF/WAV containers — the
+    shared synth stage for the audio-tier operators (the fixtures
+    carry no media files): stdlib ``wave`` writer, 16-bit mono PCM at
+    _WAV_RATE whose samples expand deterministically from the text
+    bytes. One streaming Arrow mapInPandas pass; the kernel is a
+    self-contained closure (§7.3 foreign-cwd pickling)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode_wav(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as _wave
+
+        import numpy as _np
+
+        rate = 8000  # keep in sync with _WAV_RATE (closure-local: §7.3)
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = _np.frombuffer(
+                    text.encode("utf-8"), dtype=_np.uint8
+                )
+                pcm = (
+                    (raw.astype(_np.int16) - 128) * 256
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(pcm.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(encode_wav, "doc_id bigint, payload binary")
+
+
 @query("mm_decode_features")
 def mm_decode_features(
     spark: SparkSession, sf_dir: str, payloads: DataFrame | None = None
@@ -115,44 +157,10 @@ def mm_decode_features(
     — the production entry point (binaryFile scans plug in here) and
     how tests drive the corrupt branch with real garbage bytes.
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def encode_wav(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        import io
-        import wave as _wave
-
-        import numpy as _np
-
-        rate = 8000  # keep in sync with _WAV_RATE (closure-local: §7.3)
-
-        for pdf in batches:
-            payloads = []
-            for text in pdf["text"]:
-                raw = _np.frombuffer(
-                    text.encode("utf-8"), dtype=_np.uint8
-                )
-                pcm = (
-                    (raw.astype(_np.int16) - 128) * 256
-                ).astype("<i2")
-                buf = io.BytesIO()
-                with _wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(rate)
-                    w.writeframes(pcm.tobytes())
-                payloads.append(buf.getvalue())
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads}
-            )
-
     wavs = (
         payloads
         if payloads is not None
-        else docs.mapInPandas(
-            encode_wav, "doc_id bigint, payload binary"
-        )
+        else wav_payloads(spark, sf_dir)
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -489,4 +497,96 @@ def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("entropy") > 7.5, 1).otherwise(0))
         .cast("long")
         .alias("n_compressed_like"),
+    )
+
+
+_SILENCE_FRAME = 80     # 10 ms at 8 kHz
+_SILENCE_REL = 0.1      # silent = frame RMS < 10% of the doc's peak
+
+
+@query("mm_audio_silence")
+def mm_audio_silence(
+    spark: SparkSession, sf_dir: str, payloads: DataFrame | None = None
+) -> DataFrame:
+    """Windowed silence detection over the decoded PCM stream — the
+    second real-decode audio operator (speech pipelines gate on
+    silence fraction before paying for transcription, and trim
+    leading/trailing silence before chunking): per document, the
+    decoded int16 samples split into 10 ms frames (_SILENCE_FRAME
+    samples), a frame is silent when its RMS falls below _SILENCE_REL
+    of the document's peak amplitude, and the row reports frame count,
+    silent fraction, the longest silent run (the cut-point signal),
+    and whether the doc leads with silence.
+
+    Rows-only (codec round-trip, no SQL twin);
+    tests/test_multimodal_decode.py recomputes frames/RMS/runs in
+    plain Python. Same two-stage Arrow shape as mm_decode_features,
+    same ``payloads`` injection point for production binaryFile scans;
+    corrupt payloads quarantine in-row (status='corrupt').
+    """
+    wavs = (
+        payloads
+        if payloads is not None
+        else wav_payloads(spark, sf_dir)
+    )
+
+    def silence(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as _wave
+
+        import numpy as _np
+
+        frame_n, rel = 80, 0.1  # keep in sync with module constants
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "n_frames": [],
+                "n_silent": [],
+                "silence_frac": [],
+                "max_silent_run": [],
+                "leads_with_silence": [],
+                "status": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    with _wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        x = _np.frombuffer(
+                            w.readframes(w.getnframes()), dtype="<i2"
+                        ).astype(_np.float64)
+                    n_f = len(x) // frame_n
+                    frames = x[: n_f * frame_n].reshape(n_f, frame_n)
+                    rms = _np.sqrt((frames * frames).mean(axis=1))
+                    peak = _np.abs(x).max() if len(x) else 0.0
+                    sil = rms < rel * peak
+                    runs, cur = [], 0
+                    for s in sil:
+                        cur = cur + 1 if s else 0
+                        runs.append(cur)
+                    out["n_frames"].append(n_f)
+                    out["n_silent"].append(int(sil.sum()))
+                    out["silence_frac"].append(
+                        round(float(sil.mean()), 4) if n_f else 0.0
+                    )
+                    out["max_silent_run"].append(
+                        max(runs) if runs else 0
+                    )
+                    out["leads_with_silence"].append(
+                        bool(sil[0]) if n_f else False
+                    )
+                    out["status"].append("ok")
+                except Exception:
+                    out["n_frames"].append(0)
+                    out["n_silent"].append(0)
+                    out["silence_frac"].append(0.0)
+                    out["max_silent_run"].append(0)
+                    out["leads_with_silence"].append(False)
+                    out["status"].append("corrupt")
+            yield pd.DataFrame(out)
+
+    return wavs.mapInPandas(
+        silence,
+        "doc_id bigint, n_frames int, n_silent int, silence_frac double, "
+        "max_silent_run int, leads_with_silence boolean, status string",
     )

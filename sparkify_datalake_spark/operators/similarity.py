@@ -1825,3 +1825,79 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(10)
     )
+
+
+@query("sim_ivf_pq_topk")
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for vec_id=0 via IVF + PQ COMPOSED — the production
+    index layout (FAISS IVFPQ): the coarse quantizer prunes to the
+    nprobe=3 nearest cluster PARTITIONS (directory-level pruning, only
+    nprobe/k of the corpus listed), the ADC pass scans only the PROBED
+    vectors' 16-byte codes (never their floats), and only the
+    top-_PQ_RERANK ADC candidates rejoin the raw corpus for the exact
+    re-rank. The standalone tiers (sim_ivf_topk scans probed FLOATS;
+    sim_pq_topk ADCs ALL codes) each pay one cost this composition
+    avoids — at 100 TB this shape reads nprobe/k of a codes table that
+    is itself 16× smaller than the vectors, which is why it is the
+    default serving index everywhere.
+
+    Rows-only (recall probabilistic by design);
+    tests/test_oracle.py bounds overlap with the brute-force twin like
+    the other ANN tiers. Reuses both persisted indexes unchanged —
+    build once, probe many.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent, _ = ivf_build(spark, sf_dir)
+    books, codes_path = pq_build(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:_IVF_NPROBE]
+    m_sub, k_sub, d_sub = books.shape
+    lut = np.stack(
+        [
+            (
+                (q[m * d_sub : (m + 1) * d_sub][None, :] - books[m]) ** 2
+            ).sum(axis=1)
+            for m in range(m_sub)
+        ]
+    )
+
+    # membership of the probed partitions: column-pruned directory-
+    # pruned scan — vec_id only, no floats read
+    member = ivf_probe_scan(spark, sf_dir, probe).select("vec_id")
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            dist = lut[np.arange(m_sub)[None, :], codes].sum(axis=1)
+            keep = pdf["vec_id"].to_numpy() != 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "adc_dist": dist[keep],
+                }
+            )
+
+    candidates = (
+        spark.read.parquet(codes_path)
+        .join(F.broadcast(member), "vec_id")
+        .mapInPandas(adc, "vec_id long, adc_dist double")
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(_PQ_RERANK)
+    )
+    cos = _dot("embedding", F.array(*[F.lit(float(v)) for v in q])) / (
+        _norm("embedding") * float(np.sqrt((q * q).sum()))
+    )
+    return (
+        emb.join(F.broadcast(candidates.select("vec_id")), "vec_id")
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -2043,3 +2043,143 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_TTR_WIN = 50
+
+
+@query(
+    "text_ttr_windowed",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+    unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+  FROM documents
+),
+win AS (
+  SELECT doc_id, CAST(floor((pos - 1) / {_TTR_WIN}.0) AS BIGINT) AS w,
+    count(DISTINCT tok) AS n_types, count(*) AS n_toks
+  FROM toks GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_windows,
+  round(avg(n_types * 1.0 / n_toks), 6) AS mattr,
+  round(min(n_types * 1.0 / n_toks), 6) AS min_ttr
+FROM win GROUP BY doc_id
+""",
+)
+def text_ttr_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed type-token ratio (MATTR-style lexical diversity): each
+    document's token stream is cut into 50-token (_TTR_WIN) tumbling
+    windows, TTR = distinct/total per window, and the doc reports the
+    mean and min — the length-robust replacement for raw TTR (which
+    decays mechanically with doc length, so long docs always look
+    "less diverse") and the repetition signal quality gates want:
+    templated/looping text shows a LOW min_ttr long before the global
+    vocabulary statistics (text_vocab_growth's Heaps fit) notice.
+
+    Tumbling (not sliding) windows keep the computation one
+    aggregation: posexplode to (doc, window, token) grain, a
+    partial-aggregatable distinct count per window, then a per-doc
+    fold over ≤ n_tokens/_TTR_WIN window rows. Exact integer
+    ratios behind 6dp rounds; window boundaries are pure position
+    arithmetic, so both engines bucket identically.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos0", "tok"
+        ),
+    )
+    win = toks.groupBy(
+        "doc_id",
+        F.floor(F.col("pos0") / _TTR_WIN).cast("long").alias("w"),
+    ).agg(
+        F.countDistinct("tok").alias("n_types"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    ttr = F.col("n_types") / F.col("n_toks").cast("double")
+    return win.groupBy("doc_id").agg(
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.round(F.avg(ttr), 6).alias("mattr"),
+        F.round(F.min(ttr), 6).alias("min_ttr"),
+    )
+
+
+_PREFIX_DEDUP_CHARS = 120
+
+
+@query(
+    "dedup_prefix",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+    md5(substring(text, 1, {_PREFIX_DEDUP_CHARS})) AS pk,
+    md5(text) AS fk
+  FROM documents
+),
+cluster AS (
+  SELECT pk,
+    min(doc_id) AS survivor_id,
+    count(*) AS n_members,
+    count(DISTINCT fk) AS n_full_variants,
+    CAST(min(n_chars) AS BIGINT) AS min_chars,
+    CAST(max(n_chars) AS BIGINT) AS max_chars
+  FROM keyed GROUP BY pk
+)
+SELECT survivor_id, n_members, n_full_variants,
+  n_full_variants > 1 AS is_truncation_family,
+  min_chars, max_chars
+FROM cluster WHERE n_members > 1
+ORDER BY survivor_id
+""",
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup — the truncation-duplicate detector exact dedup
+    misses: crawls routinely carry the same article cut at different
+    lengths (pagination, reader-mode extraction, feed summaries), so
+    byte-exact hashing sees N distinct documents. Clustering on the
+    md5 of the first _PREFIX_DEDUP_CHARS (120) characters groups those
+    families in ONE map-side hash + one shuffle; n_full_variants
+    distinguishes true truncation families (same prefix, different
+    full text — is_truncation_family) from families exact dedup would
+    also catch, and min/max_chars show the truncation spread. Between
+    dedup_exact (byte-identical only) and the MinHash stack (any
+    near-dup, ~8 hashes + banding + verify) this is the cheap middle
+    tier real pipelines run first.
+
+    Scale shape: identical to dedup_exact — the shuffle key is a
+    16-byte hash, survivors aggregate with min/count, output is
+    cluster-sized not corpus-sized. The ≤120-char
+    substring bounds per-row hash cost regardless of document length.
+    """
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.substring("text", 1, _PREFIX_DEDUP_CHARS)).alias("pk"),
+        F.md5("text").alias("fk"),
+    )
+    return (
+        keyed.groupBy("pk")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("fk").alias("n_full_variants"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(
+            "survivor_id",
+            "n_members",
+            "n_full_variants",
+            (F.col("n_full_variants") > 1).alias("is_truncation_family"),
+            "min_chars",
+            "max_chars",
+        )
+        .orderBy("survivor_id")
+    )

@@ -2459,3 +2459,127 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+_LB_LAGS = 7
+_LB_CHI2_95_DF7 = 14.067140
+
+
+@query(
+    "ts_ljung_box",
+    f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*) AS n,
+    avg(CAST(cnt AS DOUBLE)) AS mu,
+    sum(CAST(cnt AS DOUBLE) * cnt) - sum(CAST(cnt AS DOUBLE)) * avg(CAST(cnt AS DOUBLE)) AS ss
+  FROM daily GROUP BY 1
+),
+lagged AS (
+  SELECT event_type, cnt,
+    {", ".join(
+        f"lag(cnt, {k}) OVER (PARTITION BY event_type ORDER BY d) AS l{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )}
+  FROM daily
+),
+acf AS (
+  SELECT g.event_type, s.n,
+    {", ".join(
+        f"round(sum((g.cnt - s.mu) * (g.l{k} - s.mu)) / max(s.ss), 6) AS r{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )}
+  FROM lagged g JOIN stats s USING (event_type)
+  GROUP BY g.event_type, s.n
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  round(n * (n + 2.0) * (
+    {" + ".join(f"r{k} * r{k} / (n - {k})" for k in range(1, _LB_LAGS + 1))}
+  ), 6) AS q_stat,
+  CAST({_LB_LAGS} AS BIGINT) AS df,
+  round(n * (n + 2.0) * (
+    {" + ".join(f"r{k} * r{k} / (n - {k})" for k in range(1, _LB_LAGS + 1))}
+  ), 6) > {_LB_CHI2_95_DF7} AS reject_white_noise
+FROM acf ORDER BY event_type
+""",
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test over each event type's
+    daily count series, lags 1..7 — the residual-diagnostics companion
+    the forecast ladder was missing: ts_autocorr reads single lags,
+    this folds ALL of them into Q = n(n+2)·Σ r̂ₖ²/(n−k) and asks "is
+    there ANY autocorrelation structure left?" (the standard
+    post-forecast-fit check; on raw counts it doubles as a
+    seasonality detector that stat-tests what ts_weekday_seasonality
+    eyeballs).
+
+    Determinism: the ACF numerators/denominator reduce over ~30 exact
+    integer counts; each r̂ₖ is 6dp-rounded BEFORE the Q fold (the
+    ts_stl_strength discipline: both engines fold identical literals,
+    so libm/reassociation noise cannot reach the statistic), and the
+    verdict compares the ROUNDED Q to the χ²₇ 5% bound. Scale shape:
+    the ts_autocorr template — one map-side-combinable groupBy to the
+    daily grain, ONE window pass carrying all 7 lags, a broadcast of
+    the 5-row moment frame, 5-row output.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("cnt").cast("double")).alias("mu"),
+        (
+            F.sum(F.col("cnt").cast("double") * F.col("cnt"))
+            - F.sum(F.col("cnt").cast("double"))
+            * F.avg(F.col("cnt").cast("double"))
+        ).alias("ss"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "cnt",
+        *[
+            F.lag("cnt", k).over(w).alias(f"l{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    acf = (
+        lagged.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            *[
+                F.round(
+                    F.sum(
+                        (F.col("cnt") - F.col("mu"))
+                        * (F.col(f"l{k}") - F.col("mu"))
+                    )
+                    / F.max("ss"),
+                    6,
+                ).alias(f"r{k}")
+                for k in range(1, _LB_LAGS + 1)
+            ]
+        )
+    )
+    n = F.col("n")
+    q = F.round(
+        n
+        * (n + 2.0)
+        * sum(
+            F.col(f"r{k}") * F.col(f"r{k}") / (n - k)
+            for k in range(1, _LB_LAGS + 1)
+        ),
+        6,
+    )
+    return acf.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        q.alias("q_stat"),
+        F.lit(_LB_LAGS).cast("long").alias("df"),
+        (q > _LB_CHI2_95_DF7).alias("reject_white_noise"),
+    ).orderBy("event_type")

@@ -626,3 +626,74 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(med, 6).alias("mov_median7"),
     )
+
+
+@query(
+    "win_cume_dist",
+    """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+  round(cume_dist() OVER (
+    PARTITION BY o_orderstatus ORDER BY o_totalprice), 6) AS cume
+FROM orders
+""",
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist per order status — the ECDF window function (fraction
+    of the partition with value ≤ current row's), completing the
+    ranking-family coverage beside win_percent_rank/win_range_ntile.
+    Tie-safe by definition: all rows sharing a price share a cume
+    value, so the hash needs no tiebreak column.
+
+    NOT executed as the naive 3-value-status-key window (the
+    win_ntile_twophase lesson: a low-cardinality partition key turns
+    the sort into 3 single-task multi-million-row sorts at 64×).
+    Binned two-phase plan, bin = floor(price/1000): cume numerator =
+    broadcast per-bin prefix offset + a same-bin RANGE running count
+    (ties never span bins because equal prices share a bin);
+    denominator = broadcast status totals. One (status, bin) exchange
+    does all the row-grain work; every other frame is bins-sized.
+    """
+    BAND = 1000.0
+    base = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn(
+            "bin",
+            F.floor(F.col("o_totalprice") / F.lit(BAND)).cast("long"),
+        )
+    )
+    bin_totals = base.groupBy("o_orderstatus", "bin").agg(
+        F.count(F.lit(1)).alias("bin_cnt")
+    )
+    w_off = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bin_totals.select(
+        "o_orderstatus",
+        "bin",
+        F.coalesce(F.sum("bin_cnt").over(w_off), F.lit(0)).alias("off"),
+    )
+    totals = bin_totals.groupBy("o_orderstatus").agg(
+        F.sum("bin_cnt").alias("n_status")
+    )
+    w_same = (
+        Window.partitionBy("o_orderstatus", "bin")
+        .orderBy("o_totalprice")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(offsets), ["o_orderstatus", "bin"])
+        .join(F.broadcast(totals), "o_orderstatus")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.round(
+                (F.col("off") + F.count(F.lit(1)).over(w_same))
+                / F.col("n_status").cast("double"),
+                6,
+            ).alias("cume"),
+        )
+    )

@@ -123,3 +123,72 @@ def test_wav_decode_quarantines_corrupt_payload(spark, sf_dir):
     assert rows[3]["decode_status"] == "ok"
     assert rows[3]["n_frames"] == 2
     assert rows[3]["sample_rate"] == 8000
+
+
+def test_audio_silence_matches_python_twin_and_detects_runs(spark, sf_dir):
+    """mm_audio_silence: (a) per-doc frames/silent-fraction agree with
+    a plain-Python recomputation on fixture docs, (b) injected audio
+    with a genuinely silent middle region reports the run correctly,
+    (c) garbage quarantines in-row."""
+    from sparkify_datalake_spark.operators.multimodal import (
+        mm_audio_silence,
+    )
+    from sparkify_datalake_spark.registry import queries
+
+    # (a) twin check on the registered query
+    rows = {
+        r["doc_id"]: r
+        for r in queries()["mm_audio_silence"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 20"
+    ).fetchall()
+    con.close()
+    for doc_id, text in docs:
+        samples = [(b - 128) * 256 for b in text.encode("utf-8")]
+        n_f = len(samples) // 80
+        frames = [samples[i * 80 : (i + 1) * 80] for i in range(n_f)]
+        peak = max(abs(s) for s in samples)
+        sil = [
+            math.sqrt(sum(s * s for s in f) / 80) < 0.1 * peak
+            for f in frames
+        ]
+        got = rows[doc_id]
+        assert got["status"] == "ok"
+        assert got["n_frames"] == n_f
+        assert got["n_silent"] == sum(sil)
+        assert got["silence_frac"] == pytest.approx(
+            round(sum(sil) / n_f, 4) if n_f else 0.0, abs=1e-9
+        )
+
+    # (b) loud - silent(3 frames) - loud, via the injection entry point
+    loud = [20000, -20000] * 40        # one 80-sample loud frame
+    pcm = loud * 2 + [0] * 240 + loud  # 2 loud, 3 silent, 1 loud
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(
+                int(s).to_bytes(2, "little", signed=True) for s in pcm
+            )
+        )
+    injected = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not riff"))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in mm_audio_silence(
+            spark, sf_dir, payloads=injected
+        ).collect()
+    }
+    assert got[1]["status"] == "ok"
+    assert got[1]["n_frames"] == 6
+    assert got[1]["n_silent"] == 3
+    assert got[1]["max_silent_run"] == 3
+    assert got[1]["leads_with_silence"] is False
+    assert got[2]["status"] == "corrupt"

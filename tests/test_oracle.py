@@ -74,3 +74,21 @@ def test_sim_pq_topk_recall_vs_brute_force(spark, sf_dir):
     ]
     assert len(pq) == 10
     assert len(set(pq) & set(brute)) >= 7
+
+
+def test_sim_ivf_pq_topk_recall_vs_brute_force(spark, sf_dir):
+    """Composed IVF+PQ (partition-pruned ADC + exact re-rank) must
+    recover most of the exact top-10 — bounded like the standalone
+    tiers; misses can only come from IVF's nprobe pruning, since the
+    retuned PQ sketch re-ranks at recall 1.0 (ANN_CURVES_x64.json)."""
+    from sparkify_datalake_spark.registry import queries
+
+    qs = queries()
+    ann = [
+        r["vec_id"] for r in qs["sim_ivf_pq_topk"](spark, sf_dir).collect()
+    ]
+    brute = [
+        r["vec_id"] for r in qs["sim_cosine_topk"](spark, sf_dir).collect()
+    ]
+    assert len(ann) == 10
+    assert len(set(ann) & set(brute)) >= 7
