@@ -3877,3 +3877,255 @@ def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k - 1).cast("long").alias("df"),
         (stat > 5.991465).alias("reject_5pct"),
     )
+
+
+@query(
+    "stat_gtest",
+    """
+WITH cell AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c, count(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+margins AS (
+  SELECT r, c, o,
+    sum(o) OVER (PARTITION BY r) AS row_n,
+    sum(o) OVER (PARTITION BY c) AS col_n,
+    sum(o) OVER () AS n
+  FROM cell
+),
+fold AS (
+  SELECT
+    CAST(max(n) AS BIGINT) AS n_total,
+    CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+    CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
+    2 * sum(o * ln(o * CAST(n AS DOUBLE) / (row_n * CAST(col_n AS DOUBLE))))
+      AS g_raw
+  FROM margins
+)
+SELECT n_total, n_rows, n_cols,
+  CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS df,
+  round(g_raw, 6) AS g_stat,
+  round(g_raw, 6) > 15.507313 AS reject_5pct
+FROM fold
+""",
+)
+def stat_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio independence test) on the order
+    priority × status contingency table — the information-theoretic
+    sibling of stat_chi2_independence: G = 2·Σ O·ln(O·N/(R·C)) is
+    additive under table partitioning (χ² is not), equals 2N·I(r; c)
+    in nats (the mutual information events_type_affinity reports, made
+    into a test), and is the form recommended when any O/E ratio is
+    large. Verdict from the ROUNDED statistic at the χ²₈ 5% bound
+    (5 priorities × 3 statuses → df = 8).
+
+    Determinism: cell counts and margins are exact integers from ONE
+    groupBy (margins via windows over the ≤15-row cell frame, the
+    zero-scan way to get row/col/grand totals); each ln argument is an
+    exact-integer ratio, the ≤15-term fold is noise-free at 6dp.
+    Scale shape: one partial-aggregatable shuffle to the cell frame;
+    everything after is arithmetic on ≤15 rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.col("o_orderpriority").alias("r"),
+        F.col("o_orderstatus").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    wall = Window.partitionBy()
+    margins = cell.select(
+        "r",
+        "c",
+        "o",
+        F.sum("o").over(wr).alias("row_n"),
+        F.sum("o").over(wc).alias("col_n"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    fold = margins.agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.countDistinct("r").cast("long").alias("n_rows"),
+        F.countDistinct("c").cast("long").alias("n_cols"),
+        (
+            2
+            * F.sum(
+                F.col("o")
+                * F.log(
+                    F.col("o")
+                    * F.col("n").cast("double")
+                    / (F.col("row_n") * F.col("col_n").cast("double"))
+                )
+            )
+        ).alias("g_raw"),
+    )
+    g = F.round(F.col("g_raw"), 6)
+    return fold.select(
+        "n_total",
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("long")
+        .alias("df"),
+        g.alias("g_stat"),
+        (g > 15.507313).alias("reject_5pct"),
+    )
+
+
+@query(
+    "stat_friedman",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+wk AS (
+  SELECT event_type, cnt,
+    CAST(floor(date_diff('day', DATE '2024-01-01', d) / 7.0) AS BIGINT)
+      AS week,
+    dayofweek(d) AS dow
+  FROM daily
+),
+complete AS (
+  SELECT event_type, week FROM wk GROUP BY 1, 2 HAVING count(*) = 7
+),
+ranked AS (
+  SELECT w.event_type, w.week, w.dow, w.cnt,
+    rank() OVER (PARTITION BY w.event_type, w.week ORDER BY w.cnt)
+      + (count(*) OVER (PARTITION BY w.event_type, w.week, w.cnt) - 1)
+        / 2.0 AS r
+  FROM wk w JOIN complete c USING (event_type, week)
+),
+ties AS (
+  SELECT event_type, sum(t * t * t - t) AS tie_term
+  FROM (SELECT event_type, week, cnt, count(*) AS t
+        FROM ranked GROUP BY 1, 2, 3)
+  GROUP BY 1
+),
+colsum AS (
+  SELECT event_type, dow, sum(r) AS rj
+  FROM ranked GROUP BY 1, 2
+),
+agg AS (
+  SELECT c.event_type,
+    count(*) AS k,
+    max(n.n_weeks) AS n,
+    sum(c.rj * c.rj) AS sum_rj2
+  FROM colsum c
+  JOIN (SELECT event_type, count(*) AS n_weeks FROM complete GROUP BY 1) n
+    USING (event_type)
+  GROUP BY 1
+)
+SELECT a.event_type,
+  CAST(a.n AS BIGINT) AS n_weeks,
+  round((12.0 / (a.n * a.k * (a.k + 1)) * a.sum_rj2
+         - 3.0 * a.n * (a.k + 1))
+        / nullif(1 - t.tie_term / (a.n * a.k
+                                   * (CAST(a.k AS DOUBLE) * a.k * a.k - a.k)
+                                   / a.k), 0), 6) AS q_stat,
+  CAST(a.k - 1 AS BIGINT) AS df,
+  round((12.0 / (a.n * a.k * (a.k + 1)) * a.sum_rj2
+         - 3.0 * a.n * (a.k + 1))
+        / nullif(1 - t.tie_term / (a.n * a.k
+                                   * (CAST(a.k AS DOUBLE) * a.k * a.k - a.k)
+                                   / a.k), 0), 6) > 12.591587
+    AS reject_5pct
+FROM agg a JOIN ties t USING (event_type)
+ORDER BY a.event_type
+""",
+)
+def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test per event type: do weekdays differ in event volume
+    once WEEK-level shifts are blocked out? Blocks = complete calendar
+    weeks (Jan-2024 starts on a Monday; weeks missing any day drop
+    out), treatments = the 7 weekdays, values = daily counts — the
+    repeated-measures sibling of stat_kruskal_wallis (which pools all
+    days and would confound a weekday effect with week-over-week
+    growth) and the nonparametric counterpart of a two-way blocked
+    ANOVA. Midranks within each (type, week) block handle ties; the
+    statistic uses the standard tie-corrected form Q = [12/(nk(k+1))
+    ΣRⱼ² − 3n(k+1)] / [1 − Σ(t³−t)/(nk(k²−1))], verdict from the
+    ROUNDED Q at the χ²₆ 5% bound.
+
+    Determinism: midranks are dyadic rationals (x or x.5 — exact in
+    binary), Rⱼ sums and squares stay exact, tie counts are integers;
+    the two divisions are the only inexact ops, 6dp-rounded on both
+    engines. Scale shape: one map-side-combinable day rollup, ranks
+    via windows over the ≤(types × weeks × 7)-row frame — bounded by
+    the calendar, not the data.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wk = daily.select(
+        "event_type",
+        "cnt",
+        F.floor(
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")) / 7.0
+        )
+        .cast("long")
+        .alias("week"),
+        F.dayofweek("d").alias("dow"),
+    )
+    complete = (
+        wk.groupBy("event_type", "week")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") == 7)
+        .select("event_type", "week")
+    )
+    w_rank = Window.partitionBy("event_type", "week").orderBy("cnt")
+    w_tie = Window.partitionBy("event_type", "week", "cnt")
+    ranked = wk.join(complete, ["event_type", "week"]).select(
+        "event_type",
+        "week",
+        "dow",
+        "cnt",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+        ).alias("r"),
+    )
+    ties = (
+        ranked.groupBy("event_type", "week", "cnt")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_term")
+        )
+    )
+    colsum = ranked.groupBy("event_type", "dow").agg(
+        F.sum("r").alias("rj")
+    )
+    n_weeks = complete.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_weeks")
+    )
+    agg = (
+        colsum.join(F.broadcast(n_weeks), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.max("n_weeks").alias("n"),
+            F.sum(F.col("rj") * F.col("rj")).alias("sum_rj2"),
+        )
+    )
+    n, k = F.col("n"), F.col("k")
+    q_raw = (
+        12.0 / (n * k * (k + 1)) * F.col("sum_rj2") - 3.0 * n * (k + 1)
+    )
+    corr = 1 - F.col("tie_term") / (
+        n * k * (k.cast("double") * k * k - k) / k
+    )
+    q = F.round(q_raw / F.nullif(corr, F.lit(0.0)), 6)
+    return (
+        agg.join(F.broadcast(ties), "event_type")
+        .select(
+            "event_type",
+            n.cast("long").alias("n_weeks"),
+            q.alias("q_stat"),
+            (k - 1).cast("long").alias("df"),
+            (q > 12.591587).alias("reject_5pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -1710,3 +1710,73 @@ def pipeline_star_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+@query(
+    "split_source_balance",
+    f"""
+WITH labeled AS (
+  SELECT source,
+    CASE WHEN {_MD5_BUCKET_SQL} <= 'cb' THEN 'train'
+         WHEN {_MD5_BUCKET_SQL} <= 'e5' THEN 'valid'
+         ELSE 'test' END AS split
+  FROM documents
+),
+cell AS (
+  SELECT split, source, count(*) AS n FROM labeled GROUP BY 1, 2
+),
+tot AS (
+  SELECT split, sum(n) AS n_split FROM cell GROUP BY 1
+)
+SELECT c.split,
+  CAST(max(t.n_split) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_sources,
+  round(-sum((c.n * 1.0 / t.n_split) * ln(c.n * 1.0 / t.n_split)), 6)
+    AS source_entropy,
+  round(max(c.n * 1.0 / t.n_split), 6) AS max_source_share
+FROM cell c JOIN tot t USING (split)
+GROUP BY c.split ORDER BY c.split
+""",
+)
+def split_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix balance audit of the md5 train/valid/test split — the
+    check that runs right after split_train_valid_test in a real
+    curation pipeline: a hash split is provably unbiased in
+    EXPECTATION, but a finite corpus can still deal one source
+    disproportionately into a small split (the valid/test sets are the
+    ones that matter and the smallest, so they skew first). Per split:
+    doc count, source count, Shannon entropy of the source shares
+    (max ln(n_sources) = perfectly balanced) and the largest single
+    source share — drift between the splits' entropies is the alarm.
+
+    Same split predicate as split_train_valid_test / pipeline_corpus_e2e
+    (membership a pure function of doc_id — the leak-proofing
+    property), so this audit certifies THE split the pipeline actually
+    uses. One map-side-labeled groupBy to the ≤(3×sources)-row cell
+    frame; entropy is exact-integer ratios behind 6dp rounds.
+    """
+    docs = load(spark, sf_dir, "documents")
+    b = F.expr(_MD5_BUCKET_SPARK)
+    labeled = docs.select(
+        "source",
+        F.when(b <= "cb", "train")
+        .when(b <= "e5", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cell = labeled.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cell.groupBy("split").agg(F.sum("n").alias("n_split"))
+    p = F.col("n") / F.col("n_split").cast("double")
+    return (
+        cell.join(F.broadcast(tot), "split")
+        .groupBy("split")
+        .agg(
+            F.max("n_split").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("source_entropy"),
+            F.round(F.max(p), 6).alias("max_source_share"),
+        )
+        .orderBy("split")
+    )

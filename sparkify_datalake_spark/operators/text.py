@@ -2183,3 +2183,96 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("survivor_id")
     )
+
+
+_DNC_N = 5  # shingle width for duplicate-n-gram coverage
+
+
+@query(
+    "text_dup_ngram_coverage",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest(
+    list_distinct(list_transform(
+      range(1, len(string_split(lower(text),' ')) - {_DNC_N - 2}),
+      i -> concat({", ' ', ".join(
+          f"string_split(lower(text),' ')[i+{j}]" for j in range(_DNC_N)
+      ).replace(", ' ', ", ", ' ', ")}))))
+    AS g
+  FROM documents
+  WHERE len(string_split(lower(text),' ')) >= {_DNC_N}
+),
+gram_docs AS (
+  SELECT g, count(*) AS n_docs FROM sh GROUP BY 1
+),
+per_doc AS (
+  SELECT s.doc_id,
+    count(*) AS n_grams,
+    sum(CASE WHEN gd.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM sh s JOIN gram_docs gd USING (g)
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(n_dup AS BIGINT) AS n_dup_grams,
+  round(n_dup * 1.0 / n_grams, 6) AS dup_frac,
+  round(n_dup * 1.0 / n_grams, 6) > 0.5 AS flag_dup_heavy
+FROM per_doc ORDER BY doc_id
+""",
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram coverage — the Gopher/Dolma repetition signal
+    that looks ACROSS documents where text_repetition looks within:
+    for each document, the fraction of its distinct word-5-grams that
+    also appear in at least one other document. High coverage means
+    the doc is assembled from corpus-common phrasing (boilerplate,
+    templates, near-dup fragments below the dedup threshold) — the
+    docs MinHash keeps but a quality-weighted sampler should
+    down-weight; the 0.5 flag is the conventional gate.
+
+    Scale shape: distinct shingles explode to (doc, gram) grain ONCE;
+    gram document-frequency is a partial-aggregatable groupBy on the
+    gram (at 100 TB: hash the gram to 16 bytes first — the
+    text_line_dedup discipline); the join back is gram-keyed, and the
+    per-doc rollup ends at doc grain. No pairs are ever enumerated —
+    this reads the same signal dedup_ngram's O(n²) anchor measures,
+    at O(total grams).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    concat_expr = "concat(" + ", ' ', ".join(
+        f"toks[i+{j}]" for j in range(_DNC_N)
+    ) + ")"
+    sh = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= _DNC_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(toks) - {_DNC_N}), "
+                        f"i -> {concat_expr})"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    gram_docs = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        sh.join(gram_docs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_dup"
+            ),
+        )
+    )
+    frac = F.round(F.col("n_dup") / F.col("n_grams").cast("double"), 6)
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_dup").cast("long").alias("n_dup_grams"),
+        frac.alias("dup_frac"),
+        (frac > 0.5).alias("flag_dup_heavy"),
+    ).orderBy("doc_id")
