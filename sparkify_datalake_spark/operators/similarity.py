@@ -1901,3 +1901,107 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+@query("embed_matryoshka_eval")
+def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation sweep: retrieval quality of
+    PREFIX-dimension embeddings (dims 8/16/32/64) against the full
+    64-dim exact top-10 — the eval that decides whether a cheaper
+    first-pass tier can run on truncated vectors (MRL-trained models
+    make prefixes meaningful; this measures what THIS corpus's
+    geometry gives up per dropped dimension, alongside the
+    quantization tiers sim_hamming_topk / embed_quantize_int8 probe).
+
+    One fused Arrow pass computes all four truncation levels' cosines
+    per batch and emits only per-batch local top-10s per level
+    (the blocked-GEMM discipline: shuffle carries O(levels × k ×
+    partitions), never the corpus); the global top-10 per level is a
+    window over that bounded pool, and recall@10 is a self-join
+    against the dim-64 row set — the whole eval is ONE plan. Rows-only
+    (recall is a set-overlap scalar; deterministic via 6dp rounding +
+    vec_id tiebreaks, rerun-guarded in tests/test_determinism.py).
+
+    On THIS corpus the verdict is honest and negative: the synthetic
+    embeddings are near-isotropic, so prefixes carry almost no signal
+    (recall@10 ≈ 0.1–0.5 below dim 64, measured at sf0.01) — i.e.
+    "do not truncate" — while the dim-64 row pins recall 1.0 as the
+    self-consistency check. An MRL-trained production model is
+    exactly what would move the low-dim rows toward 1.0.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    dims = list(_MRL_DIMS)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mask = pdf["vec_id"].to_numpy() != 0
+            if not mask.any():
+                continue
+            xs = np.stack(pdf["embedding"].to_numpy()[mask]).astype(
+                np.float64
+            )
+            ids = pdf["vec_id"].to_numpy()[mask]
+            out = {"dim": [], "vec_id": [], "cos_sim": []}
+            for d in dims:
+                xd, qd = xs[:, :d], q[:d]
+                sims = (xd @ qd) / (
+                    np.sqrt((xd * xd).sum(axis=1))
+                    * np.sqrt((qd * qd).sum())
+                )
+                sims = np.round(sims, 6)
+                top = np.argsort(-sims, kind="stable")[:10]
+                out["dim"] += [d] * len(top)
+                out["vec_id"] += ids[top].tolist()
+                out["cos_sim"] += sims[top].tolist()
+            yield pd.DataFrame(out)
+
+    pool = emb.mapInPandas(
+        score, "dim int, vec_id long, cos_sim double"
+    )
+    w = Window.partitionBy("dim").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    topk = (
+        pool.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("dim", "vec_id")
+        .localCheckpoint()  # consumed twice: per-level sets + the truth
+    )
+    truth = topk.filter(F.col("dim") == max(dims)).select(
+        F.col("vec_id").alias("tv")
+    )
+    return (
+        topk.join(
+            F.broadcast(truth), F.col("vec_id") == F.col("tv"), "left"
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(
+                F.when(F.col("tv").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hit"),
+            F.round(
+                F.sum(
+                    F.when(F.col("tv").isNotNull(), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("dim")
+    )

@@ -2583,3 +2583,89 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_LB_LAGS).cast("long").alias("df"),
         (q > _LB_CHI2_95_DF7).alias("reject_white_noise"),
     ).orderBy("event_type")
+
+
+_RC_WIN = 14  # trailing days for the rolling correlation
+
+
+@query(
+    "ts_rolling_corr",
+    f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1
+),
+rolled AS (
+  SELECT d,
+    count(*) OVER w AS n,
+    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+    sum(x * y) OVER w AS sxy,
+    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN {_RC_WIN - 1} PRECEDING
+               AND CURRENT ROW)
+)
+SELECT d, CAST(n AS BIGINT) AS n_days,
+  round((n * sxy - sx * sy) /
+        nullif(sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 0),
+        6) AS roll_corr
+FROM rolled WHERE n = {_RC_WIN} ORDER BY d
+""",
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-14-day rolling Pearson correlation between the view and
+    click daily volumes — the metric-coupling monitor (two KPIs that
+    normally move together DE-correlating is an incident signal long
+    before either crosses an absolute threshold; the pairs-trading
+    primitive under another name), extending ts_cross_correlation's
+    single whole-series number into a time series of its own.
+
+    Determinism: daily x/y are exact integers, every windowed sum is
+    an exact-integer sum (ROWS frame, no float accumulation), and the
+    correlation assembles from the integer moments in one closed form
+    per row — the only float ops are one sqrt and one divide behind a
+    6dp round. Warm-up rows (n < 14) are dropped on both engines.
+    Scale shape: map-side day rollup (the ts_autocorr discipline),
+    then ONE unpartitioned-but-bounded window over the ≤|days| frame —
+    bounded by the calendar, never by the data.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("y"),
+    )
+    w = (
+        Window.orderBy("d").rowsBetween(-(_RC_WIN - 1), Window.currentRow)
+    )
+    rolled = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        rolled.filter(n == _RC_WIN)
+        .select(
+            "d",
+            n.cast("long").alias("n_days"),
+            F.round(num / F.nullif(den, F.lit(0.0)), 6).alias(
+                "roll_corr"
+            ),
+        )
+        .orderBy("d")
+    )
