@@ -1780,3 +1780,94 @@ def split_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "dq_category_drift",
+    """
+WITH bounds AS (
+  SELECT min(ts) AS lo, max(ts) AS hi FROM events
+),
+tagged AS (
+  SELECT event_type AS cat,
+    epoch(ts) * 2 <= epoch(b.lo) + epoch(b.hi) AS early
+  FROM events CROSS JOIN bounds b
+),
+cell AS (
+  SELECT cat,
+    sum(CASE WHEN early THEN 1 ELSE 0 END) AS n_early,
+    sum(CASE WHEN early THEN 0 ELSE 1 END) AS n_late
+  FROM tagged GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_early) AS te, sum(n_late) AS tl FROM cell
+)
+SELECT c.cat,
+  CAST(c.n_early AS BIGINT) AS n_early,
+  CAST(c.n_late AS BIGINT) AS n_late,
+  round(c.n_early * 1.0 / t.te, 6) AS share_early,
+  round(c.n_late * 1.0 / t.tl, 6) AS share_late,
+  round(c.n_late * 1.0 / t.tl - c.n_early * 1.0 / t.te, 6)
+    AS share_delta,
+  round(((c.n_late * 1.0 / t.tl) - (c.n_early * 1.0 / t.te))
+        * ln((c.n_late * 1.0 / t.tl) / (c.n_early * 1.0 / t.te)), 6)
+    AS psi_term
+FROM cell c CROSS JOIN tot t
+ORDER BY c.cat
+""",
+)
+def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix drift, early vs late half of the time range —
+    the CATEGORICAL sibling of stat_psi_drift (whose decile machinery
+    only fits numeric columns): each event type's traffic share in the
+    two halves, the share delta, and the per-category PSI term
+    (Δp·ln-ratio, summable to the headline categorical PSI with the
+    same <0.1/>0.25 conventions) — the monitor that catches "the
+    serving mix shifted" (a new client version changing event ratios)
+    before any numeric distribution moves.
+
+    Same integer-epoch period split as stat_psi_drift (2·t ≤ lo+hi, no
+    double midpoint); one map-side-tagged groupBy to the ≤|categories|
+    cell frame (checkpointed — its totals and final projection would
+    otherwise re-run the scan, the r7 psi lesson applied from birth);
+    exact-integer shares behind 6dp rounds.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        F.col("event_type").alias("cat"),
+        (
+            F.unix_timestamp("ts") * 2
+            <= F.unix_timestamp("lo") + F.unix_timestamp("hi")
+        ).alias("early"),
+    )
+    cell = (
+        tagged.groupBy("cat")
+        .agg(
+            F.sum(F.when(F.col("early"), 1).otherwise(0)).alias(
+                "n_early"
+            ),
+            F.sum(F.when(F.col("early"), 0).otherwise(1)).alias(
+                "n_late"
+            ),
+        )
+        .localCheckpoint()
+    )
+    tot = cell.agg(
+        F.sum("n_early").alias("te"), F.sum("n_late").alias("tl")
+    )
+    pe = F.col("n_early") / F.col("te").cast("double")
+    pl = F.col("n_late") / F.col("tl").cast("double")
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "cat",
+            F.col("n_early").cast("long").alias("n_early"),
+            F.col("n_late").cast("long").alias("n_late"),
+            F.round(pe, 6).alias("share_early"),
+            F.round(pl, 6).alias("share_late"),
+            F.round(pl - pe, 6).alias("share_delta"),
+            F.round((pl - pe) * F.log(pl / pe), 6).alias("psi_term"),
+        )
+        .orderBy("cat")
+    )

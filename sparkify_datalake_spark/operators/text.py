@@ -2276,3 +2276,96 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("dup_frac"),
         (frac > 0.5).alias("flag_dup_heavy"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_ngram_novelty_curve",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest(
+    list_distinct(list_transform(
+      range(1, len(string_split(lower(text),' ')) - 1),
+      i -> concat(string_split(lower(text),' ')[i], ' ',
+                  string_split(lower(text),' ')[i+1], ' ',
+                  string_split(lower(text),' ')[i+2]))))
+    AS g
+  FROM documents
+  WHERE len(string_split(lower(text),' ')) >= 3
+),
+first_seen AS (
+  SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY 1
+),
+per_doc AS (
+  SELECT s.doc_id,
+    count(*) AS n_grams,
+    sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_new
+  FROM sh s JOIN first_seen f USING (g)
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(n_new AS BIGINT) AS n_new_grams,
+  round(n_new * 1.0 / n_grams, 6) AS novelty,
+  CAST(sum(n_new) OVER (ORDER BY doc_id) AS BIGINT) AS cum_vocab_3g
+FROM per_doc ORDER BY doc_id
+""",
+)
+def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve — the corpus-saturation signal data
+    curation decides "collect more?" with: for each document in ingest
+    (doc_id) order, the fraction of its distinct word-3-grams never
+    seen in any earlier document, plus the running 3-gram vocabulary.
+    A healthy growing corpus holds novelty roughly flat (Heaps-law
+    regime, the n-gram analog of text_vocab_growth's token curve); a
+    saturating or template-heavy crawl decays toward 0 — and the
+    per-doc novelty doubles as a quality score (near-0 novelty late in
+    the crawl ≈ assembled from seen phrasing, the
+    text_dup_ngram_coverage signal made temporal).
+
+    Scale shape: distinct 3-grams explode ONCE to (doc, gram) grain;
+    first-occurrence is one partial-aggregatable min(doc_id) per gram
+    (the text_vocab_growth discipline — running-distinct without any
+    running state); the join back is gram-keyed; the cumulative vocab
+    is a window over the |docs|-row frame. At 100 TB, hash the gram to
+    16 bytes first and the whole op is two 16-byte-keyed shuffles.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    sh = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 3), "
+                        "i -> concat(toks[i], ' ', toks[i+1], ' ', "
+                        "toks[i+2]))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
+                    0
+                )
+            ).alias("n_new"),
+        )
+    )
+    w = Window.orderBy("doc_id")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_new").cast("long").alias("n_new_grams"),
+        F.round(
+            F.col("n_new") / F.col("n_grams").cast("double"), 6
+        ).alias("novelty"),
+        F.sum("n_new").over(w).cast("long").alias("cum_vocab_3g"),
+    ).orderBy("doc_id")
