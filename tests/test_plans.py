@@ -866,3 +866,31 @@ def test_scd2_pit_is_window_carry_forward_not_interval_join(spark):
     # equi-join(s); the dim side must arrive via Union + Window
     assert "Union" in plan and "Window" in plan, plan
     assert "last(regime" in plan, plan
+
+
+def test_cume_dist_two_phase_has_no_status_only_window(spark):
+    # win_cume_dist (round 8): the ECDF numerator's full-size window
+    # must key on (status, bin); a status-only window over
+    # o_totalprice would be the 3-task single-sort pathology the
+    # binned plan exists to avoid. The only status-keyed window
+    # allowed is the tiny per-bin offset rollup (ordered by bin).
+    plan = _plan(spark, "win_cume_dist")
+    assert re.search(
+        r"windowspecdefinition\(o_orderstatus#\d+, bin#\d+", plan
+    ), plan[:2000]
+    for m in re.finditer(
+        r"windowspecdefinition\(o_orderstatus#\d+, o_totalprice", plan
+    ):
+        raise AssertionError(f"status-only row-level window: {m.group(0)}")
+    # dims arrive broadcast, never shuffled against the row grain
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dup_ngram_coverage_never_enumerates_pairs(spark):
+    # the O(total grams) contract: gram document-frequency joins back
+    # to the (doc, gram) grain by the gram key — no self-join of the
+    # corpus against itself (no cartesian, no doc×doc key) appears
+    plan = _plan(spark, "text_dup_ngram_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
