@@ -251,3 +251,84 @@ def test_vacuum_shrinks_store_and_preserves_assignments(
     stats2 = inc.dedup_store_vacuum(spark, store)
     assert stats2["bucket_reps"]["rows_before"] == after["bucket_reps"]
     assert stats2["bucket_reps"]["rows_after"] == after["bucket_reps"]
+
+
+def test_streaming_ingest_vacuum_lifecycle(spark, sf_dir, store, tmp_path):
+    """The FULL production lifecycle as one pipeline (round-8): build →
+    streamed micro-batch ingest → mid-life VACUUM → more streamed
+    ingest → vacuum again. What must hold: (a) vacuum between
+    micro-batches never changes any assignment the stream would have
+    produced without it, (b) store size drops at each vacuum and
+    resumes bounded growth after, (c) the final reps table equals the
+    no-vacuum control run's reps exactly — compaction is invisible to
+    semantics, which is the property that makes it safe to schedule
+    on a maintenance cadence against a LIVE store."""
+    import os
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 200)
+    slices = [
+        docs.filter(F.col("doc_id").between(200, 299)),
+        docs.filter(F.col("doc_id").between(300, 399)),
+        docs.filter(F.col("doc_id") >= 400),
+    ]
+
+    # control: same batches, no vacuum
+    control = str(tmp_path / "control_store")
+    inc.dedup_store_build(spark, base, control)
+    for s in slices:
+        inc.dedup_store_ingest(spark, s, control)
+    control_reps = {
+        r["doc_id"]: r["rep"]
+        for r in spark.read.parquet(f"{control}/reps").collect()
+    }
+
+    # lifecycle under test: stream batches with vacuums interleaved
+    inc.dedup_store_build(spark, base, store)
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src, exist_ok=True)
+
+    def n_rows(sub):
+        return spark.read.parquet(f"{store}/{sub}").count()
+
+    def stream_one(s):
+        s.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                lambda b, _i: None
+                if b.isEmpty()
+                else inc.dedup_store_ingest(b.sparkSession, b, store)
+            )
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    stream_one(slices[0])
+    before_v1 = n_rows("bucket_reps")
+    inc.dedup_store_vacuum(spark, store)
+    after_v1 = n_rows("bucket_reps")
+    assert after_v1 < before_v1  # churned buckets merged
+
+    stream_one(slices[1])
+    stream_one(slices[2])
+    grown = n_rows("bucket_reps")
+    assert grown > after_v1  # growth resumes bounded, not frozen
+    inc.dedup_store_vacuum(spark, store)
+    assert n_rows("bucket_reps") <= grown
+
+    reps = {
+        r["doc_id"]: r["rep"]
+        for r in spark.read.parquet(f"{store}/reps").collect()
+    }
+    assert reps == control_reps, (
+        "vacuum changed streamed-ingest semantics: "
+        f"{ {d: (reps.get(d), control_reps.get(d)) for d in set(reps) ^ set(control_reps) or list(reps)[:3]} }"
+    )
