@@ -77,6 +77,7 @@ def test_survey_section2_matches_registry():
         "stream_stateful_dedup",
         "stream_static_enrich",
         "stream_join_left_outer",
+        "dedup_store_vacuum",  # round 8: store compaction lifecycle
     }, f"test-class rows drifted: {sorted(test_class)}"
 
 
