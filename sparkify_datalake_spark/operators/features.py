@@ -4129,3 +4129,81 @@ def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stat_poisson_rate_ratio",
+    """
+WITH bounds AS (
+  SELECT min(ts) AS lo, max(ts) AS hi FROM events
+),
+tagged AS (
+  SELECT event_type,
+    epoch(ts) * 2 <= epoch(b.lo) + epoch(b.hi) AS early
+  FROM events CROSS JOIN bounds b WHERE event_type = 'error'
+),
+cnt AS (
+  SELECT sum(CASE WHEN early THEN 1 ELSE 0 END) AS n1,
+    sum(CASE WHEN early THEN 0 ELSE 1 END) AS n2
+  FROM tagged
+)
+SELECT CAST(n1 AS BIGINT) AS n_early,
+  CAST(n2 AS BIGINT) AS n_late,
+  round(n2 * 1.0 / n1, 6) AS rate_ratio,
+  round(exp(ln(n2 * 1.0 / n1)
+        - 1.959963984540054 * sqrt(1.0 / n1 + 1.0 / n2)), 6) AS ci_lo,
+  round(exp(ln(n2 * 1.0 / n1)
+        + 1.959963984540054 * sqrt(1.0 / n1 + 1.0 / n2)), 6) AS ci_hi,
+  (round(exp(ln(n2 * 1.0 / n1)
+         - 1.959963984540054 * sqrt(1.0 / n1 + 1.0 / n2)), 6) > 1.0
+   OR round(exp(ln(n2 * 1.0 / n1)
+          + 1.959963984540054 * sqrt(1.0 / n1 + 1.0 / n2)), 6) < 1.0)
+    AS significant_5pct
+FROM cnt
+""",
+)
+def stat_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-ratio test for ERROR events, late vs early half of
+    the time range (equal exposure windows by construction, so counts
+    compare directly): the incident-review primitive "did the error
+    rate actually change?" with the standard log-rate normal CI
+    exp(ln(n2/n1) ± z·√(1/n1+1/n2)) — the count-data sibling of
+    stat_abtest_ztest (proportions) and the significance layer on top
+    of what events_error_budget merely reports. Significance derives
+    from the ROUNDED CI excluding 1.0 (the jarque-bera discipline:
+    no verdict can flip on an ulp).
+
+    Scale shape: the same integer-epoch split predicate as
+    stat_psi_drift, one filtered map-side-combinable count pass to a
+    1-row frame; ln/sqrt/exp on exact-integer ratios, 6dp-rounded.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    tagged = (
+        ev.filter(F.col("event_type") == "error")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.unix_timestamp("ts") * 2
+                <= F.unix_timestamp("lo") + F.unix_timestamp("hi")
+            ).alias("early")
+        )
+    )
+    cnt = tagged.agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    z = 1.959963984540054
+    lr = F.log(n2 / n1.cast("double"))
+    se = F.sqrt(1.0 / n1 + 1.0 / n2)
+    lo = F.round(F.exp(lr - z * se), 6)
+    hi = F.round(F.exp(lr + z * se), 6)
+    return cnt.select(
+        n1.cast("long").alias("n_early"),
+        n2.cast("long").alias("n_late"),
+        F.round(n2 / n1.cast("double"), 6).alias("rate_ratio"),
+        lo.alias("ci_lo"),
+        hi.alias("ci_hi"),
+        ((lo > 1.0) | (hi < 1.0)).alias("significant_5pct"),
+    )

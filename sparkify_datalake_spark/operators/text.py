@@ -2369,3 +2369,118 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("novelty"),
         F.sum("n_new").over(w).cast("long").alias("cum_vocab_3g"),
     ).orderBy("doc_id")
+
+
+_SPLIT_SQL = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+_SPLIT_SPARK = "substring(md5(cast(doc_id AS string)), 1, 2)"
+
+
+@query(
+    "text_js_drift_by_split",
+    f"""
+WITH labeled AS (
+  SELECT CASE WHEN {_SPLIT_SQL} <= 'cb' THEN 'train'
+              WHEN {_SPLIT_SQL} <= 'e5' THEN 'valid'
+              ELSE 'test' END AS split,
+    unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT split, token, count(*) AS n FROM labeled GROUP BY 1, 2
+),
+totals AS (
+  SELECT split, sum(n) AS tot FROM counts GROUP BY 1
+),
+p AS (
+  SELECT token,
+    coalesce(max(CASE WHEN c.split = 'train'
+      THEN n / CAST(t.tot AS DOUBLE) END), 0.0) AS pt,
+    coalesce(max(CASE WHEN c.split = 'valid'
+      THEN n / CAST(t.tot AS DOUBLE) END), 0.0) AS pv,
+    coalesce(max(CASE WHEN c.split = 'test'
+      THEN n / CAST(t.tot AS DOUBLE) END), 0.0) AS ps
+  FROM counts c JOIN totals t ON c.split = t.split
+  GROUP BY token
+)
+SELECT 'valid' AS split,
+  round(sum(
+    CASE WHEN pt > 0 THEN 0.5 * pt * log2(pt / ((pt + pv) / 2)) ELSE 0 END
+    + CASE WHEN pv > 0 THEN 0.5 * pv * log2(pv / ((pt + pv) / 2)) ELSE 0 END
+  ), 6) AS js_vs_train_bits
+FROM p
+UNION ALL
+SELECT 'test',
+  round(sum(
+    CASE WHEN pt > 0 THEN 0.5 * pt * log2(pt / ((pt + ps) / 2)) ELSE 0 END
+    + CASE WHEN ps > 0 THEN 0.5 * ps * log2(ps / ((pt + ps) / 2)) ELSE 0 END
+  ), 6)
+FROM p
+ORDER BY split
+""",
+)
+def text_js_drift_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each held-out split's unigram
+    distribution against TRAIN — the post-split audit beside
+    split_source_balance (which checks the source MIX; this checks the
+    actual token content): a high valid- or test-vs-train JS means the
+    eval sets measure a different distribution than the model trains
+    on, biasing every loss comparison. Uses THE md5 split the pipeline
+    runs (same predicate as split_train_valid_test), so the number
+    certifies the real artifact; near-0 here is the honest hash-split
+    all-clear, and the same query pointed at a time- or source-based
+    split is where it earns its keep.
+
+    Shape: one token-grain pass to per-split counts (the
+    text_js_divergence discipline extended to a 3-way pivot), the two
+    divergences fold over the shared |vocab|-row frame in ONE
+    aggregate pass each, zero-support terms pinned by CASE on both
+    engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    b = F.expr(_SPLIT_SPARK)
+    labeled = docs.select(
+        F.when(b <= "cb", "train")
+        .when(b <= "e5", "valid")
+        .otherwise("test")
+        .alias("split"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    counts = labeled.groupBy("split", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("split").agg(F.sum("n").alias("tot"))
+    pr = F.col("n") / F.col("tot").cast("double")
+
+    def share(split):
+        return F.coalesce(
+            F.max(F.when(F.col("split") == split, pr)), F.lit(0.0)
+        )
+
+    p = (
+        counts.join(F.broadcast(totals), "split")
+        .groupBy("token")
+        .agg(
+            share("train").alias("pt"),
+            share("valid").alias("pv"),
+            share("test").alias("ps"),
+        )
+        .localCheckpoint(eager=False)  # two divergence consumers
+    )
+
+    def js(a, bcol):
+        m = (F.col(a) + F.col(bcol)) / 2
+        ta = F.when(
+            F.col(a) > 0, 0.5 * F.col(a) * F.log2(F.col(a) / m)
+        ).otherwise(0.0)
+        tb = F.when(
+            F.col(bcol) > 0, 0.5 * F.col(bcol) * F.log2(F.col(bcol) / m)
+        ).otherwise(0.0)
+        return F.round(F.sum(ta + tb), 6)
+
+    valid = p.agg(js("pt", "pv").alias("js_vs_train_bits")).select(
+        F.lit("valid").alias("split"), "js_vs_train_bits"
+    )
+    test = p.agg(js("pt", "ps").alias("js_vs_train_bits")).select(
+        F.lit("test").alias("split"), "js_vs_train_bits"
+    )
+    return valid.unionByName(test).orderBy("split")
