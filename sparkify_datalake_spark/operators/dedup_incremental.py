@@ -226,6 +226,11 @@ def dedup_store_vacuum(
         tmp, old = p + ".vacuum-staging", p + ".vacuum-old"
         if not os.path.exists(p) and os.path.exists(old):
             os.rename(old, p)  # recover a mid-swap crash first
+        elif os.path.exists(p):
+            # crash between rename(tmp, p) and rmtree(old) leaves a
+            # stale old dir beside a complete p; it must be cleared or
+            # the rename(p, old) below fails forever (ADVICE r8)
+            shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         df = spark.read.parquet(p)
         before = df.count()

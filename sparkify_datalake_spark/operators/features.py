@@ -2247,9 +2247,12 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # holds ~1.2e10 rows). DuckDB's HUGEINT sums are exact natively, and
     # both engines then round the same exact integer to double at the
     # single division in the tie correction.
-    # decimal(12,0) keeps the product chain exact: 12·12 → p25, 25·12 →
-    # p38 (no 38-cap truncation), while t ≤ 1e12 covers any real lattice.
-    t_dec = F.col("t").cast("decimal(12,0)")
+    # decimal(13,0) (ADVICE r8): the 12,0 cast itself overflowed first
+    # (t > 1e12 → ANSI error / silent NULL dropping the tie term). At
+    # 13,0 the cast survives to 1e13 and the cube chain (13·13 → p27,
+    # 27·13+1 caps at p38 scale 0) stays EXACT for t up to ~4.6e12 —
+    # past that Spark 4's ANSI mode fails LOUDLY instead of silently.
+    t_dec = F.col("t").cast("decimal(13,0)")
     tie = tv.agg(
         F.sum(t_dec * t_dec * t_dec - t_dec).alias("tt")
     )
@@ -3792,7 +3795,7 @@ fold AS (
   SELECT CAST(sum(n) AS BIGINT) AS n_total,
     CAST(count(*) AS BIGINT) AS k,
     sum(vnum) AS sp_num,
-    sum((n - 1) * ln(vnum / (n * (n - 1.0)))) AS sum_ln,
+    sum((n - 1) * ln(vnum / (n - 1.0))) AS sum_ln,
     sum(1.0 / (n - 1)) AS inv_sum
   FROM v
 )
@@ -3853,8 +3856,7 @@ def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("vnum").alias("sp_num"),
         F.sum(
-            (F.col("n") - 1)
-            * F.log(F.col("vnum") / (F.col("n") * (F.col("n") - 1.0)))
+            (F.col("n") - 1) * F.log(F.col("vnum") / (F.col("n") - 1.0))
         ).alias("sum_ln"),
         F.sum(1.0 / (F.col("n") - 1)).alias("inv_sum"),
     )

@@ -1809,9 +1809,10 @@ SELECT c.cat,
   round(c.n_late * 1.0 / t.tl, 6) AS share_late,
   round(c.n_late * 1.0 / t.tl - c.n_early * 1.0 / t.te, 6)
     AS share_delta,
-  round(((c.n_late * 1.0 / t.tl) - (c.n_early * 1.0 / t.te))
-        * ln((c.n_late * 1.0 / t.tl) / (c.n_early * 1.0 / t.te)), 6)
-    AS psi_term
+  CASE WHEN c.n_early > 0 AND c.n_late > 0 THEN
+    round(((c.n_late * 1.0 / t.tl) - (c.n_early * 1.0 / t.te))
+          * ln((c.n_late * 1.0 / t.tl) / (c.n_early * 1.0 / t.te)), 6)
+  ELSE NULL END AS psi_term
 FROM cell c CROSS JOIN tot t
 ORDER BY c.cat
 """,
@@ -1867,7 +1868,14 @@ def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pe, 6).alias("share_early"),
             F.round(pl, 6).alias("share_late"),
             F.round(pl - pe, 6).alias("share_delta"),
-            F.round((pl - pe) * F.log(pl / pe), 6).alias("psi_term"),
+            # zero-support guard (ADVICE r8): a category present in
+            # only one half would hit ln(0)/div-by-zero, where Spark
+            # and DuckDB diverge (NULL vs -inf) exactly when real
+            # drift appears; NULL is the explicit new/retired sentinel
+            F.when(
+                (F.col("n_early") > 0) & (F.col("n_late") > 0),
+                F.round((pl - pe) * F.log(pl / pe), 6),
+            ).alias("psi_term"),
         )
         .orderBy("cat")
     )
