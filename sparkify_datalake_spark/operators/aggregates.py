@@ -1106,9 +1106,14 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     error-bounded version).
     """
     orders = load(spark, sf_dir, "orders")
+    # localCheckpoint the 5-row median frame: it is referenced by BOTH
+    # exact_percentiles scans of the deviation pass AND the final join,
+    # and Spark re-derives common subtrees per reference — without the
+    # checkpoint the whole 2-scan median plan runs 3x (8 parquet scans
+    # total, measured; 4 after). The checkpoint is KB-sized.
     med = exact_percentiles(
         orders, ["o_orderpriority"], "o_totalprice", [(0.5, "med_price")]
-    )
+    ).localCheckpoint()
     dev = orders.join(F.broadcast(med), "o_orderpriority").select(
         "o_orderpriority",
         F.abs(F.col("o_totalprice") - F.col("med_price")).alias("adev"),

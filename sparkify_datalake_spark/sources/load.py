@@ -67,15 +67,37 @@ def corpus_fingerprint(sf_dir: str, name: str) -> str:
     return hashlib.md5(raw.encode()).hexdigest()[:10]
 
 
+# Per-session relation cache: spark.read.parquet costs ~0.1 s per call
+# (file listing + footer schema read through py4j), and a composite
+# query loads 2-7 tables — that metadata tax dominated the low end of
+# the per-query latency distribution. The cache plays the role a real
+# lakehouse catalog/metastore plays at 100 TB: resolve the table's
+# schema once, serve the immutable logical relation afterwards. Keyed
+# by the live SparkSession (WeakKeyDictionary: a stopped/collected
+# session drops its entries) and the corpus fingerprint (path + size +
+# mtime), so regenerated fixtures invalidate instead of serving stale.
+from weakref import WeakKeyDictionary
+
+_RELATION_CACHE: "WeakKeyDictionary[SparkSession, dict]" = (
+    WeakKeyDictionary()
+)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame with normalized types.
 
     ``events.ts`` comes back as a proper microsecond TIMESTAMP_NTZ; all
     other tables are returned exactly as stored.
     """
+    per_session = _RELATION_CACHE.setdefault(spark, {})
+    key = (sf_dir.rstrip("/"), name, corpus_fingerprint(sf_dir, name))
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
     configure_session(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = _events_from_nanos(df)
+    per_session[key] = df
     return df

@@ -1,0 +1,46 @@
+"""Unit test for the bench-regression ratchet (VERDICT r8 #4): the
+round close must refuse to seal when any query's min-of-N regresses
+past the gate vs the previous round's sealed BENCH_FULL copy, unless
+the regression is explicitly allow-listed."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+from round_close import check_bench_ratchet  # noqa: E402
+
+
+def test_planted_regression_trips_the_gate():
+    prev = {"q_fast": 0.2, "q_heavy": 2.0, "q_mid": 1.0}
+    cur = {"q_fast": 0.25, "q_heavy": 3.5, "q_mid": 1.1}
+    bad = check_bench_ratchet(prev, cur, allowlist={})
+    assert bad == ["q_heavy: 2.00s -> 3.50s"]
+
+
+def test_subfloor_jitter_does_not_trip():
+    # 0.1 -> 0.4 is a 4x "regression" entirely inside scheduler jitter;
+    # the absolute floor keeps it from blocking a seal.
+    assert check_bench_ratchet({"q": 0.1}, {"q": 0.4}, allowlist={}) == []
+
+
+def test_allowlist_and_new_queries_pass():
+    prev = {"q_heavy": 2.0}
+    cur = {"q_heavy": 9.0, "q_new": 5.0}
+    assert (
+        check_bench_ratchet(prev, cur, allowlist={"q_heavy": "rewrite"})
+        == []
+    )
+
+
+def test_clean_round_seals():
+    prev = {"a": 1.0, "b": 2.0}
+    cur = {"a": 1.2, "b": 1.4}
+    assert check_bench_ratchet(prev, cur, allowlist={}) == []

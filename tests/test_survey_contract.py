@@ -78,6 +78,8 @@ def test_survey_section2_matches_registry():
         "stream_static_enrich",
         "stream_join_left_outer",
         "dedup_store_vacuum",  # round 8: store compaction lifecycle
+        # round 9 (VERDICT r8 #5): stream -> ingest -> vacuum pipeline
+        "stream_ingest_vacuum_lifecycle",
     }, f"test-class rows drifted: {sorted(test_class)}"
 
 

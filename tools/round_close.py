@@ -60,6 +60,71 @@ def _assert_fresh(rnd: str) -> None:
           f"{len(declared)} registered queries")
 
 
+#: Queries allowed to regress past the ratchet this round, with the
+#: reason recorded next to each (VERDICT r8 #4: intentional rewrites
+#: must be allow-listed, never silently absorbed).
+RATCHET_ALLOWLIST: dict[str, str] = {}
+
+#: A sealed min-of-N may not regress more than this factor vs the
+#: previous round's sealed copy (absolute floor guards the sub-0.3 s
+#: queries whose times are pure scheduler jitter).
+RATCHET_FACTOR = 1.5
+RATCHET_FLOOR_SECONDS = 0.6
+
+
+def check_bench_ratchet(
+    prev: dict[str, float],
+    cur: dict[str, float],
+    allowlist: dict[str, str] | None = None,
+    factor: float = RATCHET_FACTOR,
+    floor: float = RATCHET_FLOOR_SECONDS,
+) -> list[str]:
+    """Return the queries whose sealed time regressed past the gate.
+
+    A query trips the ratchet when it exists in both rounds, its new
+    min-of-N exceeds ``factor``× the previous sealed min AND the new
+    time is above ``floor`` seconds (sub-floor times are scheduler
+    jitter on this VM, not plan changes), and it is not allow-listed.
+    """
+    allow = allowlist if allowlist is not None else RATCHET_ALLOWLIST
+    bad = []
+    for name, t_prev in prev.items():
+        t_cur = cur.get(name)
+        if t_cur is None or name in allow:
+            continue
+        if t_cur > floor and t_cur > factor * t_prev:
+            bad.append(f"{name}: {t_prev:.2f}s -> {t_cur:.2f}s")
+    return sorted(bad)
+
+
+def _assert_ratchet(rnd: str) -> None:
+    try:
+        prev_n = int(rnd) - 1
+    except ValueError:
+        return
+    prev_path = os.path.join(REPO, f"BENCH_FULL_r{prev_n}.json")
+    if not os.path.exists(prev_path):
+        print(f"ratchet: no {prev_path}, skipping", file=sys.stderr)
+        return
+    with open(prev_path) as f:
+        prev = json.load(f)["queries"]
+    with open(os.path.join(REPO, "BENCH_FULL_local.json")) as f:
+        cur = json.load(f)["queries"]
+    bad = check_bench_ratchet(prev, cur)
+    if bad:
+        print(
+            "BENCH RATCHET: sealed regressions > "
+            f"{RATCHET_FACTOR}x vs r{prev_n} (allow-list intentional "
+            "changes in RATCHET_ALLOWLIST):\n  " + "\n  ".join(bad),
+            file=sys.stderr,
+        )
+        sys.exit(4)
+    print(
+        f"ratchet ok: no query regressed >{RATCHET_FACTOR}x "
+        f"vs BENCH_FULL_r{prev_n}.json"
+    )
+
+
 def main() -> None:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "X"
     steps = [
@@ -77,6 +142,7 @@ def main() -> None:
                   "refusing to seal", file=sys.stderr)
             sys.exit(r.returncode)
     _assert_fresh(rnd)
+    _assert_ratchet(rnd)
     # Write-once sealed copy: the driver regenerates
     # BENCH_FULL_local.json post-seal, so the round's measurement
     # lives in its own immutable file.
