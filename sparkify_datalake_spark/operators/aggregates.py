@@ -1113,7 +1113,7 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total, measured; 4 after). The checkpoint is KB-sized.
     med = exact_percentiles(
         orders, ["o_orderpriority"], "o_totalprice", [(0.5, "med_price")]
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     dev = orders.join(F.broadcast(med), "o_orderpriority").select(
         "o_orderpriority",
         F.abs(F.col("o_totalprice") - F.col("med_price")).alias("adev"),
@@ -1394,7 +1394,7 @@ def agg_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = (
         cust.filter(F.col("c_mktsegment") == "AUTOMOBILE")
         .select("c_custkey")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     build_pos = (
         dim.select(
@@ -1416,7 +1416,7 @@ def agg_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
-        .localCheckpoint()  # ≤2048 rows, 4 consumers
+        .localCheckpoint(eager=False)  # ≤2048 rows, 4 consumers
     )
     # row-group-capped scan parallelism (2-3 groups at sf0.1) would run
     # the per-row md5 on 3 cores; spread the probe first. The k
@@ -1633,7 +1633,7 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     combos = (
         flags.groupBy(*fcols)
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()  # ≤32 rows; feeds truth AND n_min
+        .localCheckpoint(eager=False)  # ≤32 rows; feeds truth AND n_min
     )
     truth = (
         combos.crossJoin(F.broadcast(pairs))

@@ -385,7 +385,7 @@ def phash_dedup_pairs(
     # materialized once: the self-join references the band frame on BOTH
     # sides and the bucket-count guard a third time — without this the
     # Python signature kernel re-runs per consumer (measured 3×)
-    sig = phash_signatures(payloads).localCheckpoint()
+    sig = phash_signatures(payloads).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         "phash",

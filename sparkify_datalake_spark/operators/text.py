@@ -665,12 +665,12 @@ def dedup_verified_frame(
     toksets = (
         docs.repartition(32)
         .select("doc_id", F.array_distinct(_tokens()).alias("toks"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     buckets = (
         toksets.select("doc_id", "toks", sig.alias("sig"))
         .select("doc_id", F.explode(bands).alias("bucket"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     small_buckets = (
         buckets.groupBy("bucket")
@@ -725,7 +725,7 @@ def dedup_verified_frame(
                 "doc_id", F.concat_ws("#", F.lit("self"), "doc_id").alias("bucket")
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rep = _propagate_min_labels(edges)
     return rep.select("doc_id", F.col("rep").alias("rep_id"))
