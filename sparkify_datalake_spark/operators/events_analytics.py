@@ -1469,7 +1469,7 @@ def orders_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
         )
         .agg(F.sum(dec2("o_totalprice", 18)).alias("rev"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     mx = yr.agg(F.max("y").alias("max_y"))
     w_next = Window.partitionBy("o_custkey").orderBy("y")
@@ -1816,7 +1816,7 @@ def orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
         )
         .agg(F.sum(dec2("o_totalprice", 18)).alias("rev"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     terc = yr.select(
         "y",

@@ -697,11 +697,17 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("user_id", "next_user").alias("b"),
         )
         .distinct()
+        # eager: e feeds 3 concurrent plan branches (both unionAll arms
+        # + the ends join); without the checkpoint each re-derives the
+        # events scan + window + distinct (10 parquet scans measured),
+        # and a LAZY checkpoint would race the concurrent branches onto
+        # the same first materialization (the dedup_simhash lesson).
+        .localCheckpoint()
     )
     adj = e.select(F.col("a").alias("u")).unionAll(
         e.select(F.col("b").alias("u"))
     )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     da = deg.select(F.col("u").alias("a"), F.col("d").alias("dx"))
     db = deg.select(F.col("u").alias("b"), F.col("d").alias("dy"))
     ends = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")

@@ -83,7 +83,7 @@ def mine_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized by the final action, not a separate eager job; the
     # corpus-size scalar rides a broadcast 1-row aggregate instead of a
     # driver-side count() so the whole query is one job
-    kept = items.join(sized, "l_orderkey").localCheckpoint(eager=False)
+    kept = items.join(sized, "l_orderkey").localCheckpoint()
     stats = sized.agg(F.count(F.lit(1)).alias("n_orders"))
     item_n = kept.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     a = kept.select(
@@ -765,7 +765,7 @@ def mine_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("basket") <= _TRIPLE_MAX_BASKET)
         .select("l_orderkey")
     )
-    kept = items.join(sized, "l_orderkey").localCheckpoint(eager=False)
+    kept = items.join(sized, "l_orderkey").localCheckpoint()
     a = kept.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
     b = kept.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
     c = kept.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pc"))
@@ -865,7 +865,7 @@ def mine_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("p")
     )
-    fbt = fb.join(F.broadcast(topp), "p").localCheckpoint(eager=False)
+    fbt = fb.join(F.broadcast(topp), "p").localCheckpoint()
     nx = fbt.groupBy("p").agg(F.count(F.lit(1)).alias("n_x"))
     a = fbt.select(
         F.col("c").alias("ca"), F.col("p").alias("px"), F.col("d").alias("da")
