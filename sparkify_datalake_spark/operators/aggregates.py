@@ -34,7 +34,7 @@ from sparkify_datalake_spark.operators.percentiles import (
     exact_percentiles_multi,
 )
 from sparkify_datalake_spark.registry import query
-from sparkify_datalake_spark.sources.load import load
+from sparkify_datalake_spark.sources.load import load, widen_if_starved
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,6 +54,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz")
+    )
+    # 8 aggregates × integer-cents/decimal work per row is the hot
+    # loop; spread it when the file layout starves scan parallelism
+    # (no-op at production layouts — see widen_if_starved)
+    li = widen_if_starved(
+        spark,
+        li.select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ),
     )
 
     disc4 = cents_long("l_extendedprice") * (
@@ -970,7 +980,12 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quotient operands bit-identical across engines before the one
     double division.
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = widen_if_starved(
+        spark,
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+        ),
+    )
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     qty = F.col("l_quantity").cast("decimal(12,2)")
     # products in integer units (cents × 1e-4-discount = 1e-6 units):

@@ -2017,35 +2017,29 @@ tok AS (
 counts AS (
   SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2
 ),
-ttr AS (
-  SELECT source, count(*) AS n_distinct, sum(n) AS tot
-  FROM counts GROUP BY 1
-),
-corpus AS (
-  SELECT token, sum(n) AS cn FROM counts GROUP BY 1
-),
-ctot AS (SELECT sum(cn) AS ct FROM corpus),
-grid AS (
-  SELECT s.source, c.token, c.cn, coalesce(k.n, 0) AS n
-  FROM (SELECT DISTINCT source FROM counts) s
-  CROSS JOIN corpus c
-  LEFT JOIN counts k ON k.source = s.source AND k.token = c.token
+ctot AS (SELECT sum(n) AS ct FROM counts),
+winc AS (
+  SELECT source, n,
+    sum(n) OVER (PARTITION BY token) AS cn,
+    sum(n) OVER (PARTITION BY source) AS tot
+  FROM counts
 ),
 js AS (
-  SELECT g.source,
+  SELECT w.source,
+    count(*) AS n_distinct,
+    sum(w.n) AS tot,
     sum(
-      CASE WHEN g.n > 0 THEN
-        0.5 * (g.n / CAST(r.tot AS DOUBLE))
-        * log2((g.n / CAST(r.tot AS DOUBLE))
-               / ((g.n / CAST(r.tot AS DOUBLE)
-                   + g.cn / CAST(c.ct AS DOUBLE)) / 2))
-      ELSE 0 END
-      + 0.5 * (g.cn / CAST(c.ct AS DOUBLE))
-        * log2((g.cn / CAST(c.ct AS DOUBLE))
-               / ((g.n / CAST(r.tot AS DOUBLE)
-                   + g.cn / CAST(c.ct AS DOUBLE)) / 2))
-    ) AS js_bits
-  FROM grid g JOIN ttr r ON g.source = r.source CROSS JOIN ctot c
+      0.5 * (w.n / CAST(w.tot AS DOUBLE))
+      * log2((w.n / CAST(w.tot AS DOUBLE))
+             / ((w.n / CAST(w.tot AS DOUBLE)
+                 + w.cn / CAST(c.ct AS DOUBLE)) / 2))
+      + 0.5 * (w.cn / CAST(c.ct AS DOUBLE))
+        * log2((w.cn / CAST(c.ct AS DOUBLE))
+               / ((w.n / CAST(w.tot AS DOUBLE)
+                   + w.cn / CAST(c.ct AS DOUBLE)) / 2))
+    )
+    + 0.5 * (1.0 - sum(w.cn / CAST(c.ct AS DOUBLE))) AS js_bits
+  FROM winc w CROSS JOIN ctot c
   GROUP BY 1
 ),
 sh AS (
@@ -2076,11 +2070,10 @@ SELECT p.source,
   CAST(p.total_toks AS BIGINT) AS n_tokens,
   round(p.n_pass * 1.0 / p.n_docs, 6) AS gopher_pass_rate,
   round(p.total_stop * 1.0 / p.total_toks, 6) AS stopword_ratio,
-  round(r.n_distinct * 1.0 / r.tot, 6) AS ttr,
+  round(j.n_distinct * 1.0 / j.tot, 6) AS ttr,
   round(d.n_dup * 1.0 / d.n_grams, 6) AS dup5_rate,
   round(j.js_bits, 6) AS js_vs_corpus_bits
 FROM per_doc p
-JOIN ttr r ON p.source = r.source
 JOIN dup d ON p.source = d.source
 JOIN js j ON p.source = j.source
 ORDER BY p.source
@@ -2113,12 +2106,16 @@ def corpus_quality_scorecard(
     Scale shape: three passes over documents, each collapsing at its
     natural grain before any join — doc grain (per-row predicates →
     groupBy source), token grain (partial-agg (source, token) counts;
-    TTR and totals are second-stage rollups of that frame; the
-    vocab × sources JS grid joins the KB-sized corpus frame, never
-    raw text), and doc-distinct 5-gram grain (gram-keyed df join, the
-    dup_ngram_coverage shape — no pair enumeration). Final assembly
-    joins four ≤|sources|-row frames. At 100 TB: hash grams/tokens to
-    16 bytes first; every shuffle key is already the aggregation key.
+    TTR, totals, AND the JS fold are all rollups of that one frame:
+    a token absent from a source contributes exactly 0.5·q to JS
+    because log2(q/(q/2)) is exactly 1 in IEEE, so the missing-token
+    mass folds to the closed form 0.5·(1 − Σ_present q) and no
+    vocab × sources grid is ever built — one token-keyed window
+    supplies the corpus counts), and doc-distinct 5-gram grain
+    (gram-keyed df join, the dup_ngram_coverage shape — no pair
+    enumeration). Final assembly joins four ≤|sources|-row frames.
+    At 100 TB: hash grams/tokens to 16 bytes first; every shuffle key
+    is already the aggregation key.
     """
     from sparkify_datalake_spark.operators.text import _STOPWORDS
 
@@ -2166,33 +2163,38 @@ def corpus_quality_scorecard(
         t.select("source", F.explode("toks").alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
-    )  # three consumers (ttr, corpus, grid) — don't re-derive the scan
-    ttr = counts.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_distinct"), F.sum("n").alias("tot")
-    )
-    corpus = counts.groupBy("token").agg(F.sum("n").alias("cn"))
-    ctot = corpus.agg(F.sum("cn").alias("ct"))
-    sources = counts.select("source").distinct()
-    grid = (
-        corpus.crossJoin(F.broadcast(sources))
-        .join(counts, ["source", "token"], "left_outer")
-        .select(
-            "source", "cn", F.coalesce(F.col("n"), F.lit(0)).alias("n")
-        )
+        .localCheckpoint()
+    )  # eager: three CONCURRENT consumers (ttr, corpus, grid) — lazy
+    # would race them onto the first materialization
+    ctot = counts.agg(F.sum("n").alias("ct"))
+    # JS without the vocab × sources grid: a token ABSENT from a source
+    # contributes exactly 0.5·q — log2(q/(q/2)) is exactly 1 in IEEE
+    # (q/2 is a power-of-two scaling) — so the whole missing-token mass
+    # folds to the closed form 0.5·(1 − Σ_present q) and the fold only
+    # ever touches the PRESENT (source, token) rows: one token-keyed
+    # window for the corpus count, a source-keyed window for the
+    # per-source total (which also lets TTR ride this aggregate — no
+    # separate rollup or join), no grid join, no zero guards.
+    winc = counts.select(
+        "source",
+        "n",
+        F.sum("n").over(Window.partitionBy("token")).alias("cn"),
+        F.sum("n").over(Window.partitionBy("source")).alias("tot"),
     )
     p = F.col("n") / F.col("tot").cast("double")
     q = F.col("cn") / F.col("ct").cast("double")
     m = (p + q) / 2
-    term = (
-        F.when(F.col("n") > 0, 0.5 * p * F.log2(p / m)).otherwise(0.0)
-        + 0.5 * q * F.log2(q / m)
-    )
+    term = 0.5 * p * F.log2(p / m) + 0.5 * q * F.log2(q / m)
     js = (
-        grid.join(F.broadcast(ttr), "source")
-        .crossJoin(F.broadcast(ctot))
+        winc.crossJoin(F.broadcast(ctot))
         .groupBy("source")
-        .agg(F.sum(term).alias("js_bits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("n").alias("tot"),
+            (
+                F.sum(term) + 0.5 * (F.lit(1.0) - F.sum(q))
+            ).alias("js_bits"),
+        )
     )
 
     # --- doc-distinct 5-gram grain: cross-doc redundancy per source ---
@@ -2213,8 +2215,8 @@ def corpus_quality_scorecard(
                 )
             ).alias("g"),
         )
-        .localCheckpoint(eager=False)
-    )  # two consumers (gram_df + the join back)
+        .localCheckpoint()
+    )  # eager: two concurrent consumers (gram_df + the join back)
     gram_df = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs_g"))
     dup = (
         sh.join(gram_df, "g")
@@ -2228,8 +2230,7 @@ def corpus_quality_scorecard(
     )
 
     return (
-        per_doc.join(ttr, "source")
-        .join(dup, "source")
+        per_doc.join(dup, "source")
         .join(js, "source")
         .select(
             "source",

@@ -2257,6 +2257,10 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
+    # eager: sh feeds the df aggregate AND the join-back as concurrent
+    # branches — unchecked, the explode+array_distinct subtree (the
+    # op's dominant CPU) runs twice; lazy would race the branches
+    sh = sh.localCheckpoint()
     gram_docs = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (
         sh.join(gram_docs, "g")
@@ -2346,6 +2350,10 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
+    # eager: sh feeds first-occurrence AND the join-back concurrently
+    # (the dup_ngram_coverage shape) — checkpoint so the shingle
+    # explode runs once
+    sh = sh.localCheckpoint()
     first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         sh.join(first_seen, "g")

@@ -83,6 +83,27 @@ _RELATION_CACHE: "WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def widen_if_starved(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a frame whose SCAN parallelism is
+    starved by the physical file layout.
+
+    Parquet scan parallelism is capped by row-group count, not split
+    count (SURVEY §7.3): a small fixture written as one 128 MB row
+    group runs every downstream per-row expression single-threaded, a
+    pathology AQE cannot fix because it only replans shuffles. For
+    per-row-CPU-heavy aggregates (decimal money sums, md5 ladders) the
+    established in-repo remedy is an explicit spread before the work
+    (stat_bootstrap_ci, agg_bloom_runtime_filter); this helper gates
+    that spread on the frame actually being starved, so at production
+    layouts (128 MB groups × thousands of files — always ≥ cores-wide)
+    it is a metadata check and a no-op: no shuffle is added at 100 TB.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(cores // 2, 2):
+        return df.repartition(cores)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame with normalized types.
 
