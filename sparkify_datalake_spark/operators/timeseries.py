@@ -549,7 +549,11 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # checkpoint: the sketch-bracketed exact percentile reads its input
     # twice, and recomputing the lag windows costs more than re-reading
-    # the materialized (type, gap) pairs.
+    # the materialized (type, gap) pairs. LAZY deliberately: the gap
+    # frame is DATA-SIZED (6.4M rows at the 64× probe) — an eager
+    # checkpoint materializes it as its own serial job before the main
+    # action (measured 4.9 s → 11.4 s at 64× when tried in r9); the
+    # eager-for-concurrent-branches rule applies to KB-sized frames.
     gaps = within.unionAll(boundary).localCheckpoint(eager=False)
     pct = exact_percentiles(
         gaps, ["event_type"], "gap_us", [(0.5, "p50"), (0.95, "p95")]

@@ -99,7 +99,13 @@ def widen_if_starved(spark: SparkSession, df: DataFrame) -> DataFrame:
     it is a metadata check and a no-op: no shuffle is added at 100 TB.
     """
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(cores // 2, 2):
+    # cores//4: a scan already running at a quarter of the machine
+    # amortizes per-row CPU well enough that a full round-robin
+    # shuffle costs more than it buys (measured at the 64× probe:
+    # widening a 12-partition 38M-row scan on 32 cores regressed
+    # agg_weighted_avg 3.2 s → 4.4 s). The gate is for the 1-3
+    # partition single-row-group pathology, not mild under-width.
+    if df.rdd.getNumPartitions() < max(cores // 4, 2):
         return df.repartition(cores)
     return df
 
