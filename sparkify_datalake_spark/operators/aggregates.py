@@ -1121,24 +1121,37 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     error-bounded version).
     """
     orders = load(spark, sf_dir, "orders")
-    # localCheckpoint the 5-row median frame: it is referenced by BOTH
-    # exact_percentiles scans of the deviation pass AND the final join,
-    # and Spark re-derives common subtrees per reference — without the
-    # checkpoint the whole 2-scan median plan runs 3x (8 parquet scans
-    # total, measured; 4 after). The checkpoint is KB-sized.
-    med = exact_percentiles(
+    # The 5-row group-median frame is a BOUNDED driver-held model (one
+    # row per o_orderpriority — group-key cardinality, not data size;
+    # the same discipline as the collected IVF centroids/PQ codebooks),
+    # so collect it and re-enter the deviation pass as a literal map
+    # lookup. vs the former broadcast-join carry: the deviation
+    # subtree loses its join AND its 3 broadcast-build jobs, the final
+    # median column needs no join back, and there is no lazy-checkpoint
+    # recompute race between the second pass's two scans (16 Spark
+    # jobs → ~11 measured). At 100 TB the collect is still 5 rows.
+    med_rows = exact_percentiles(
         orders, ["o_orderpriority"], "o_totalprice", [(0.5, "med_price")]
-    ).localCheckpoint(eager=False)
-    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+    ).collect()
+    med_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in med_rows
+            for x in (r["o_orderpriority"], float(r["med_price"]))
+        ]
+    )
+    dev = orders.select(
         "o_orderpriority",
-        F.abs(F.col("o_totalprice") - F.col("med_price")).alias("adev"),
+        F.abs(
+            F.col("o_totalprice") - med_map[F.col("o_orderpriority")]
+        ).alias("adev"),
     )
     mad = exact_percentiles(
         dev, ["o_orderpriority"], "adev", [(0.5, "mad_raw")]
     )
-    return med.join(mad, "o_orderpriority").select(
+    return mad.select(
         "o_orderpriority",
-        F.round("med_price", 2).alias("median_price"),
+        F.round(med_map[F.col("o_orderpriority")], 2).alias("median_price"),
         F.round("mad_raw", 2).alias("mad"),
         F.round(F.col("mad_raw") * 1.4826, 2).alias("mad_sigma"),
     )
@@ -1180,22 +1193,39 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable sketch, same downstream shape.
     """
     orders = load(spark, sf_dir, "orders")
-    q = exact_percentiles(
+    # Bounded driver-held bound frame (one row per priority — group-key
+    # cardinality), collected and re-entered as literal map lookups:
+    # the clamp pass loses its broadcast join and the query is a plain
+    # single-scan aggregate after pass one (same discipline as agg_mad).
+    q_rows = exact_percentiles(
         orders,
         ["o_orderpriority"],
         "o_totalprice",
         [(0.10, "lo"), (0.90, "hi")],
+    ).collect()
+    lo_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in q_rows
+            for x in (r["o_orderpriority"], float(r["lo"]))
+        ]
     )
-    joined = orders.join(F.broadcast(q), "o_orderpriority")
-    clamped = F.least(
-        F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+    hi_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in q_rows
+            for x in (r["o_orderpriority"], float(r["hi"]))
+        ]
     )
-    return joined.groupBy("o_orderpriority").agg(
+    lo = lo_map[F.col("o_orderpriority")]
+    hi = hi_map[F.col("o_orderpriority")]
+    clamped = F.least(F.greatest(F.col("o_totalprice"), lo), hi)
+    return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.avg("o_totalprice"), 2).alias("mean_raw"),
         F.round(F.avg(clamped), 2).alias("mean_winsorized"),
-        F.round(F.min("lo"), 2).alias("p10"),
-        F.round(F.min("hi"), 2).alias("p90"),
+        F.round(F.min(lo), 2).alias("p10"),
+        F.round(F.min(hi), 2).alias("p90"),
     )
 
 

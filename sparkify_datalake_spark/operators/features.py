@@ -665,30 +665,47 @@ def stat_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the box-plot rule, the
     quartile-based sibling of agg_mad's median-based robust screen.
     Exact interpolated quartiles (percentile ≍ quantile_cont, the
-    agg_percentile discipline) on the 5-group frame broadcast back
-    onto orders; fences compare on UNROUNDED quartiles so a display
-    round can't flip a boundary row. Two passes over orders by
-    necessity (fences depend on the group quartiles); both shuffles
-    ride the same 5-value key, and at 100 TB percentile_approx makes
+    agg_percentile discipline) collapse to a 5-row frame — group-key
+    cardinality, a bounded driver-held model — collected and re-entered
+    as literal map lookups, so the fence pass is a plain single-scan
+    aggregate with no broadcast join (the agg_mad discipline); fences
+    compare on UNROUNDED quartiles so a display round can't flip a
+    boundary row. Two passes over orders by necessity (fences depend
+    on the group quartiles), and at 100 TB percentile_approx makes
     pass one sketch-mergeable.
     """
     orders = load(spark, sf_dir, "orders")
-    q = exact_percentiles(
+    q_rows = exact_percentiles(
         orders,
         ["o_orderpriority"],
         "o_totalprice",
         [(0.25, "q1"), (0.75, "q3")],
+    ).collect()
+    q1_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in q_rows
+            for x in (r["o_orderpriority"], float(r["q1"]))
+        ]
     )
-    joined = orders.join(F.broadcast(q), "o_orderpriority")
-    iqr = F.col("q3") - F.col("q1")
+    q3_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in q_rows
+            for x in (r["o_orderpriority"], float(r["q3"]))
+        ]
+    )
+    q1 = q1_map[F.col("o_orderpriority")]
+    q3 = q3_map[F.col("o_orderpriority")]
+    iqr = q3 - q1
     is_out = (
-        (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr)
-        | (F.col("o_totalprice") > F.col("q3") + 1.5 * iqr)
+        (F.col("o_totalprice") < q1 - 1.5 * iqr)
+        | (F.col("o_totalprice") > q3 + 1.5 * iqr)
     ).cast("int")
-    return joined.groupBy("o_orderpriority").agg(
+    return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.any_value("q1"), 2).alias("q1"),
-        F.round(F.any_value("q3"), 2).alias("q3"),
+        F.round(F.any_value(q1), 2).alias("q1"),
+        F.round(F.any_value(q3), 2).alias("q3"),
         F.sum(is_out).cast("long").alias("n_outliers"),
         F.round(
             F.sum(is_out) / F.count(F.lit(1)).cast("double"), 6

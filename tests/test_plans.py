@@ -536,15 +536,17 @@ def test_spearman_joins_midranks_broadcast(spark):
 
 
 def test_referential_integrity_prunes_to_fk_column(spark):
-    # Each FK edge runs its own pass with the child scan pruned to
-    # exactly ONE column — lineitem appears as three single-column
-    # scans, never a 3-column scan expanded ×3 (the GROUPING SETS
-    # form measured 22.8 s vs 9.2 s per-edge at the 64× probe: Expand
-    # multiplies the fact stream before partial aggregation). The
-    # parent joins are UNHINTED — at fixture scale the planner still
-    # broadcasts every (small) parent key set, while at 64×+ AQE
-    # crosses the fact-sized parents to shuffle joins (the old forced
-    # broadcast of 9.6M orders keys was a scale bug).
+    # Each FK edge contributes its own single-column-pruned child scan
+    # — lineitem appears as three single-column scans, never a
+    # 3-column scan expanded ×3 (the GROUPING SETS form measured
+    # 22.8 s vs 9.2 s per-edge at the 64× probe: Expand multiplies the
+    # fact stream before partial aggregation). Since round 9 the seven
+    # per-edge pipelines fuse under an edge tag into ONE key-grain
+    # left join + one edge-grain fold (27 jobs → ~12), so the plan
+    # must show exactly one audit join, still UNHINTED: at fixture
+    # scale the planner may broadcast the unioned parent key set,
+    # while at 64×+ AQE crosses it to a co-partitioned shuffle join
+    # (the child side is already deduped key grain).
     plan = _plan(spark, "dq_referential_integrity")
     for col in ("l_orderkey", "l_partkey", "l_suppkey"):
         scans = re.findall(rf"FileScan parquet \[{col}[^\]]*\]", plan)
@@ -554,8 +556,10 @@ def test_referential_integrity_prunes_to_fk_column(spark):
                   if c != col]
         assert not any(o in scans[0] for o in others), scans[0]
     assert "Expand" not in plan, "per-edge passes must not Expand"
-    assert plan.count("BroadcastHashJoin") >= 6
-    assert "SortMergeJoin" not in plan
+    n_joins = plan.count("BroadcastHashJoin") + plan.count(
+        "SortMergeJoin"
+    ) + plan.count("ShuffledHashJoin")
+    assert n_joins == 1, f"expected ONE fused audit join, saw {n_joins}"
 
 
 def test_link_prediction_caps_hubs_and_broadcasts_degrees(spark):
