@@ -1471,13 +1471,15 @@ def orders_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec2("o_totalprice", 18)).alias("rev"))
         .localCheckpoint()
     )
-    mx = yr.agg(F.max("y").alias("max_y"))
+    # trailing-edge censor: a collected scalar (the checkpoint is
+    # already materialized, so this is a KB read, and the broadcast
+    # crossJoin layer it replaces was a whole extra job)
+    max_y = yr.agg(F.max("y")).collect()[0][0]
     w_next = Window.partitionBy("o_custkey").orderBy("y")
     paired = (
         yr.withColumn("lead_y", F.lead("y").over(w_next))
         .withColumn("lead_rev", F.lead("rev").over(w_next))
-        .crossJoin(F.broadcast(mx))
-        .filter(F.col("y") + 1 <= F.col("max_y"))
+        .filter(F.col("y") + 1 <= F.lit(max_y))
         .select(
             (F.col("y") + 1).alias("y"),
             F.col("rev").alias("rev0"),

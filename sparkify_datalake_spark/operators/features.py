@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from sparkify_datalake_spark.operators.percentiles import exact_percentiles
 from sparkify_datalake_spark.registry import query
-from sparkify_datalake_spark.sources.load import load
+from sparkify_datalake_spark.sources.load import load, widen_if_starved
 
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 
@@ -1666,7 +1666,7 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feat_robust_scaler",
     """
 SELECT event_type,
-  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(value) AS BIGINT) AS n,
   round(quantile_cont(value, 0.25), 6) AS q1,
   round(quantile_cont(value, 0.50), 6) AS median,
   round(quantile_cont(value, 0.75), 6) AS q3,
@@ -1696,18 +1696,18 @@ def feat_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         "value",
         [(0.25, "q1r"), (0.5, "medr"), (0.75, "q3r")],
+        # n rides the selection pass for free (count(value) — the
+        # values actually fitted); the former shape paid a third full
+        # scan + join for it.
+        counts=[("value", "n")],
     )
-    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return (
-        pct.join(n, "event_type")
-        .select(
-            "event_type",
-            F.col("n").cast("long").alias("n"),
-            F.round(F.col("q1r"), 6).alias("q1"),
-            F.round(F.col("medr"), 6).alias("median"),
-            F.round(F.col("q3r"), 6).alias("q3"),
-            F.round(F.col("q3r") - F.col("q1r"), 6).alias("iqr"),
-        )
+    return pct.select(
+        "event_type",
+        "n",
+        F.round(F.col("q1r"), 6).alias("q1"),
+        F.round(F.col("medr"), 6).alias("median"),
+        F.round(F.col("q3r"), 6).alias("q3"),
+        F.round(F.col("q3r") - F.col("q1r"), 6).alias("iqr"),
     )
 
 
@@ -2108,49 +2108,52 @@ def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrain) completing stat_ks_test (two fixed cohorts) with the
     train-vs-serve temporal framing.
 
-    The period split is a pure row predicate on the broadcast (lo, hi)
-    bounds (2·epoch ≤ lo+hi — integer arithmetic, no double midpoint);
-    decile boundaries come from the exact percentile engine on the
-    reference half; bucketing is a 9-literal comparison fused into the
-    scan side (broadcast boundary frame); all counts integer, PSI
-    terms exact-integer ratios behind 6dp rounds.
+    The period split is a pure row predicate on the COLLECTED (lo, hi)
+    date bounds (2·epoch ≤ lo+hi — integer arithmetic, no double
+    midpoint); decile boundaries come from the exact percentile engine
+    on the reference half and are likewise collected — both frames are
+    1-row driver-held scalars (the bounded-collect discipline), so the
+    split predicate and the 9-literal bucketing fuse into the scans as
+    plain literals instead of riding crossJoin-broadcast layers into
+    all four passes; all counts integer, PSI terms exact-integer
+    ratios behind 6dp rounds.
     """
     o = load(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
-    bounds = o.agg(
-        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
-    )
-    tagged = o.crossJoin(F.broadcast(bounds)).select(
-        F.col("o_totalprice").alias("x"),
+    thr = o.agg(
         (
-            F.unix_timestamp("o_orderdate") * 2
-            <= F.unix_timestamp("lo") + F.unix_timestamp("hi")
-        ).alias("early"),
-    )
+            F.unix_timestamp(F.min("o_orderdate"))
+            + F.unix_timestamp(F.max("o_orderdate"))
+        ).alias("t")
+    ).collect()[0]["t"]
+    early = F.unix_timestamp("o_orderdate") * 2 <= F.lit(int(thr))
+    tagged = o.select(F.col("o_totalprice").alias("x"), early.alias("early"))
     ref = tagged.filter("early").select(F.lit(1).alias("g"), "x")
-    qs = exact_percentiles(
+    q_row = exact_percentiles(
         ref, ["g"], "x", [(p, f"q{i}") for i, p in enumerate(_PSI_DECILES)]
-    ).select(F.array(*[f"q{i}" for i in range(9)]).alias("q"))
-    binned = tagged.crossJoin(F.broadcast(qs)).select(
+    ).collect()[0]
+    q_arr = F.array(*[F.lit(float(q_row[f"q{i}"])) for i in range(9)])
+    binned = tagged.select(
         "early",
         (
             1
-            + F.size(F.filter("q", lambda b: F.col("x") > b))
+            + F.size(F.filter(q_arr, lambda b: F.col("x") > b))
         ).alias("bin"),
     )
-    cnt = (
-        binned.groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n_ref"),
-            F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("n_cur"),
-        )
-        .localCheckpoint()  # 10 rows, 2 consumers: without this the
-        # totals join re-runs the whole bucket scan (r7 2.64 s tail)
+    cnt = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("n_cur"),
     )
-    tot = cnt.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
-    p_ref = F.col("n_ref").cast("double") / F.col("tr")
-    p_cur = F.col("n_cur").cast("double") / F.col("tc")
+    # totals via a global window over the 10-row bin frame: one plan,
+    # one consumer of the bucket scan — the former checkpoint + totals
+    # agg + crossJoin triple (r7's 2.64 s tail, then an eager-
+    # checkpoint job) is a single window function on ≤10 rows.
+    w_all = Window.partitionBy()
+    tr = F.sum("n_ref").over(w_all)
+    tc = F.sum("n_cur").over(w_all)
+    p_ref = F.col("n_ref").cast("double") / tr
+    p_cur = F.col("n_cur").cast("double") / tc
     return (
-        cnt.crossJoin(F.broadcast(tot))
+        cnt
         .select(
             "bin",
             F.col("n_ref").cast("long").alias("n_ref"),
@@ -2968,7 +2971,9 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     means are ROUNDED before ranking (engine-stable order statistics).
     """
     o = load(spark, sf_dir, "orders")
-    w = o.repartition(spark.sparkContext.defaultParallelism).select(
+    w = widen_if_starved(
+        spark, o.select("o_orderkey", "o_totalprice")
+    ).select(
         F.col("o_totalprice").alias("x"),
         F.expr(
             _boot_weights_sql("cast(o_orderkey as string)")
@@ -2978,8 +2983,14 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the grid explode multiplies the scan 32x; 64 aggregates over the
     # weight array in one map-side pass + a 32-branch stack produce
     # the identical (sx, sw) pairs without ever materializing
-    # replicate rows.
-    aggs = []
+    # replicate rows. The headline n/mean ride the SAME aggregate (the
+    # former separate orders scan + crossJoin is gone), and the
+    # md5-ladder spread is gated on actual scan starvation
+    # (widen_if_starved) instead of an unconditional repartition.
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mean"),
+    ]
     for b in range(_BOOT_B):
         wb = F.expr(f"element_at(arr, {b + 1})")
         aggs.append(F.sum(wb * F.col("x")).alias(f"sx{b}"))
@@ -2989,10 +3000,16 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{b}, sx{b}, CAST(sw{b} AS DOUBLE)" for b in range(_BOOT_B)
     )
     e = wide.select(
-        F.expr(f"stack({_BOOT_B}, {stack}) AS (b, sx, sw)")
+        "n",
+        "mean",
+        F.expr(f"stack({_BOOT_B}, {stack}) AS (b, sx, sw)"),
     )
-    m = e.select("b", F.round(F.col("sx") / F.col("sw"), 6).alias("bm"))
+    m = e.select(
+        "n", "mean", "b", F.round(F.col("sx") / F.col("sw"), 6).alias("bm")
+    )
     rk = m.select(
+        "n",
+        "mean",
         "bm",
         F.row_number()
         .over(Window.orderBy("bm", "b"))
@@ -3006,11 +3023,11 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(F.when(F.col("rn") == _BOOT_B, F.col("bm"))).alias("v32"),
         F.count(F.lit(1)).alias("nb"),
+        F.max("n").alias("n"),
+        F.max("mean").alias("mean"),
     )
-    g = o.agg(F.count(F.lit(1)).alias("n"), F.avg("o_totalprice").alias("mean"))
     return (
-        F.broadcast(g)
-        .crossJoin(ci)
+        ci
         .select(
             F.col("n").cast("long").alias("n_rows"),
             F.col("nb").cast("long").alias("n_replicates"),

@@ -88,6 +88,7 @@ def exact_percentiles(
     group_cols: Sequence[str],
     value_col: str,
     specs: Sequence[tuple[float, str]],
+    counts: Sequence[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``value_col`` per group.
 
@@ -98,13 +99,16 @@ def exact_percentiles(
     value are absent from the output, matching ``quantile_cont`` under
     GROUP BY.
     """
-    return exact_percentiles_multi(df, group_cols, [(value_col, specs)])
+    return exact_percentiles_multi(
+        df, group_cols, [(value_col, specs)], counts=counts
+    )
 
 
 def exact_percentiles_multi(
     df: DataFrame,
     group_cols: Sequence[str],
     col_specs: Sequence[tuple[str, Sequence[tuple[float, str]]]],
+    counts: Sequence[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Exact percentiles for several value columns in two shared scans.
 
@@ -113,6 +117,14 @@ def exact_percentiles_multi(
     appears when ANY column has a non-null value; a column's outputs
     are null for groups where that column is all-null (same as
     ``quantile_cont`` under GROUP BY with joined per-column frames).
+
+    ``counts`` optionally maps value columns to output column names
+    carrying that column's per-group NON-NULL count (``count(v)``
+    semantics). The count rides FREE on the selection pass — every
+    row of a spec contributes to exactly one contrib slice, so the
+    per-spec Σcnt in the final fold is already the column's row count
+    — sparing callers (feat_robust_scaler's former shape) a third
+    full scan + join just for ``n``.
     """
     g = list(group_cols)
     dummy = not g
@@ -273,6 +285,27 @@ def exact_percentiles_multi(
         spec_aggs.append(
             (v_lo + (v_hi - v_lo) * frac + guard).alias(str(name))
         )
+    if counts:
+        # First spec index of each value column: every row of a spec
+        # lands in exactly one contrib slice, so Σcnt over the spec is
+        # the column's non-null row count — no extra scan.
+        first_spec: dict[str, int] = {}
+        i = 0
+        for c, specs in col_specs:
+            first_spec.setdefault(c, i)
+            i += len(specs)
+        for c, out_name in counts:
+            i0 = first_spec[c]
+            spec_aggs.append(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__i") == i0, F.col("__cnt"))
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(str(out_name))
+            )
     out = ranked.groupBy(*g).agg(*spec_aggs)
     if dummy:
         out = out.drop("__g")
