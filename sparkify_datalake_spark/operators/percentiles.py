@@ -239,52 +239,57 @@ def exact_percentiles_multi(
     )
     ranked = contrib.withColumn("__cum", F.sum("__cnt").over(w_cum))
 
-    # Pick + pivot FUSED into one conditional aggregation straight to
-    # the per-group output row (one tiny shuffle instead of the former
-    # picked-groupBy + pivot-groupBy pair — two stages per engine
-    # invocation, and every consumer pays the engine 1–2×). For each
-    # spec index i the rank picks and the interpolation fraction are
-    # min/max-folded over only that spec's rows via `__i == i` gates;
-    # a spec with NO rows (its value column all-null in this group —
-    # the multi-column semantics) folds to null, which the coverage
-    # guard must NOT treat as a sketch violation, hence the per-spec
-    # row-presence gate `__seen`.
-    spec_aggs: list[Column] = []
-    for i, name in enumerate(names):
-        isi = F.col("__i") == i
-        v_lo = F.min(
-            F.when(
-                isi & (F.col("__cum") >= F.col("__k_lo")), F.col("__bv")
-            )
-        )
-        v_hi = F.min(
-            F.when(
-                isi & (F.col("__cum") >= F.col("__k_hi")), F.col("__bv")
-            )
-        )
-        frac = F.max(F.when(isi, F.col("__frac")))
-        seen = F.max(F.when(isi, F.lit(1)))
-        # Coverage invariant, loudly enforced: a null pick on a spec
-        # that HAS rows means the band's rank mass fell short of a
-        # target; a ±inf pick means the target rank sat outside the
-        # band. assert_true yields NULL when the invariant holds, so
-        # the coalesce is arithmetic identity.
-        ok = seen.isNull() | (
-            v_lo.isNotNull()
-            & v_hi.isNotNull()
-            & (v_lo > F.lit(-_INF))
-            & (v_hi < F.lit(_INF))
-        )
-        guard = F.coalesce(
-            F.assert_true(
-                ok,
-                F.lit("exact_percentiles: sketch band missed target rank"),
-            ).cast("double"),
-            F.lit(0.0),
-        )
-        spec_aggs.append(
-            (v_lo + (v_hi - v_lo) * frac + guard).alias(str(name))
-        )
+    # Rank picks: a PARTITION-LOCAL aggregate — the grouping keys
+    # extend the window's (g, __i) partitioning, so Catalyst inserts
+    # no exchange, and the hot per-row work stays TWO narrow min
+    # buffers (a wide per-spec conditional fold here was measured ~2×
+    # slower at the 64× probe: 16+ CASE buffers per ranked row push
+    # the window+aggregate stage out of whole-stage codegen). __n
+    # (Σcnt over the slice) rides along for the free per-column
+    # counts. The slice row count is the spec's total row count.
+    picked = ranked.groupBy(*g, "__i", "__k_lo", "__k_hi", "__frac").agg(
+        F.min(
+            F.when(F.col("__cum") >= F.col("__k_lo"), F.col("__bv"))
+        ).alias("__v_lo"),
+        F.min(
+            F.when(F.col("__cum") >= F.col("__k_hi"), F.col("__bv"))
+        ).alias("__v_hi"),
+        F.sum("__cnt").alias("__n"),
+    )
+    # Coverage invariant, loudly enforced: a null pick means the
+    # band's total rank mass fell short of a target; a ±inf pick means
+    # the target rank sat outside the band. assert_true yields NULL
+    # when the invariant holds, so the coalesce is arithmetic
+    # identity. (A spec with NO rows — its value column all-null in
+    # this group — has no picked row at all and correctly folds to a
+    # null output below.)
+    ok = (
+        F.col("__v_lo").isNotNull()
+        & F.col("__v_hi").isNotNull()
+        & (F.col("__v_lo") > F.lit(-_INF))
+        & (F.col("__v_hi") < F.lit(_INF))
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            ok, F.lit("exact_percentiles: sketch band missed target rank")
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    interp = (
+        F.col("__v_lo")
+        + (F.col("__v_hi") - F.col("__v_lo")) * F.col("__frac")
+        + guard
+    )
+    per = picked.select(*g, "__i", interp.alias("__val"), "__n")
+
+    # Tail FUSED: the former pivot-groupBy is one conditional
+    # aggregation over the ≤ groups×specs picked rows straight to the
+    # per-group output row (one less tiny exchange + stage per engine
+    # invocation, and every consumer pays the engine 1–2×).
+    spec_aggs: list[Column] = [
+        F.max(F.when(F.col("__i") == i, F.col("__val"))).alias(str(name))
+        for i, name in enumerate(names)
+    ]
     if counts:
         # First spec index of each value column: every row of a spec
         # lands in exactly one contrib slice, so Σcnt over the spec is
@@ -298,15 +303,15 @@ def exact_percentiles_multi(
             i0 = first_spec[c]
             spec_aggs.append(
                 F.coalesce(
-                    F.sum(
-                        F.when(F.col("__i") == i0, F.col("__cnt"))
+                    F.max(
+                        F.when(F.col("__i") == i0, F.col("__n"))
                     ),
                     F.lit(0),
                 )
                 .cast("long")
                 .alias(str(out_name))
             )
-    out = ranked.groupBy(*g).agg(*spec_aggs)
+    out = per.groupBy(*g).agg(*spec_aggs)
     if dummy:
         out = out.drop("__g")
     return out
