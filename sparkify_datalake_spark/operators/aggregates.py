@@ -34,7 +34,11 @@ from sparkify_datalake_spark.operators.percentiles import (
     exact_percentiles_multi,
 )
 from sparkify_datalake_spark.registry import query
-from sparkify_datalake_spark.sources.load import load, widen_if_starved
+from sparkify_datalake_spark.sources.load import (
+    load,
+    scan_width,
+    widen_if_starved,
+)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,6 +68,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_linestatus", "l_quantity",
             "l_extendedprice", "l_discount", "l_tax",
         ),
+        width=scan_width(sf_dir, "lineitem"),
     )
 
     disc4 = cents_long("l_extendedprice") * (
@@ -985,6 +990,7 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem").select(
             "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
         ),
+        width=scan_width(sf_dir, "lineitem"),
     )
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     qty = F.col("l_quantity").cast("decimal(12,2)")

@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 from sparkify_datalake_spark.operators.percentiles import exact_percentiles
 from sparkify_datalake_spark.registry import query
-from sparkify_datalake_spark.sources.load import load, widen_if_starved
+from sparkify_datalake_spark.sources.load import (
+    load,
+    scan_width,
+    widen_if_starved,
+)
 
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 
@@ -2971,8 +2975,16 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     means are ROUNDED before ranking (engine-stable order statistics).
     """
     o = load(spark, sf_dir, "orders")
+    # width from row-group metadata (planned splits overcount: the 64×
+    # orders file plans 32 splits over 10 row groups and delivers 10
+    # working tasks); want=cores — 2 md5 calls + a 32-weight ladder
+    # per row dwarf a 2-column shuffle write (24.6 s vs 37.3 s at 64×
+    # when left 10-wide).
     w = widen_if_starved(
-        spark, o.select("o_orderkey", "o_totalprice")
+        spark,
+        o.select("o_orderkey", "o_totalprice"),
+        width=scan_width(sf_dir, "orders"),
+        want=spark.sparkContext.defaultParallelism,
     ).select(
         F.col("o_totalprice").alias("x"),
         F.expr(

@@ -83,7 +83,47 @@ _RELATION_CACHE: "WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
-def widen_if_starved(spark: SparkSession, df: DataFrame) -> DataFrame:
+def scan_width(sf_dir: str, name: str) -> int:
+    """Effective scan parallelism of a fixture table: its total parquet
+    row-group count. Parquet scan parallelism is capped by row groups,
+    not planned splits (SURVEY §7.3) — Spark happily PLANS 32 splits
+    over a 10-row-group file and leaves 22 of them empty, which is why
+    a planned-partition count is a lying signal for the starvation
+    gate below (hit round 9: the 64× orders file plans 32, delivers
+    10, and the md5 ladder ran ~3× slow). Metadata-only; cached per
+    corpus fingerprint."""
+    key = ("width", sf_dir.rstrip("/"), name,
+           corpus_fingerprint(sf_dir, name))
+    hit = _WIDTH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    path = Path(sf_dir.rstrip("/")) / f"{name}.parquet"
+    try:
+        if path.is_dir():
+            n = sum(
+                pq.ParquetFile(str(f)).metadata.num_row_groups
+                for f in path.glob("*.parquet")
+            )
+        else:
+            n = pq.ParquetFile(str(path)).metadata.num_row_groups
+    except Exception:
+        n = 1
+    _WIDTH_CACHE[key] = max(n, 1)
+    return _WIDTH_CACHE[key]
+
+
+_WIDTH_CACHE: dict = {}
+
+
+def widen_if_starved(
+    spark: SparkSession,
+    df: DataFrame,
+    width: int | None = None,
+    want: int | None = None,
+) -> DataFrame:
     """Round-robin repartition a frame whose SCAN parallelism is
     starved by the physical file layout.
 
@@ -97,15 +137,24 @@ def widen_if_starved(spark: SparkSession, df: DataFrame) -> DataFrame:
     that spread on the frame actually being starved, so at production
     layouts (128 MB groups × thousands of files — always ≥ cores-wide)
     it is a metadata check and a no-op: no shuffle is added at 100 TB.
+
+    ``width``: the caller's best estimate of true scan parallelism —
+    pass ``scan_width(sf_dir, table)`` (row-group count); the planned-
+    partition fallback OVERCOUNTS when splits exceed row groups.
+    ``want``: the parallelism worth shuffling for — defaults to
+    cores//4 (a scan at a quarter of the machine amortizes cheap
+    per-row work; widening a 12-partition 38M-row scan regressed
+    agg_weighted_avg 3.2 → 4.4 s at the 64× probe). Callers whose
+    per-row cost dwarfs a 2-column shuffle write (the md5 weight
+    ladder: measured 24.6 s vs 37.3 s at 64× when left 10-wide) pass
+    ``want=cores`` for the full spread.
     """
     cores = spark.sparkContext.defaultParallelism
-    # cores//4: a scan already running at a quarter of the machine
-    # amortizes per-row CPU well enough that a full round-robin
-    # shuffle costs more than it buys (measured at the 64× probe:
-    # widening a 12-partition 38M-row scan on 32 cores regressed
-    # agg_weighted_avg 3.2 s → 4.4 s). The gate is for the 1-3
-    # partition single-row-group pathology, not mild under-width.
-    if df.rdd.getNumPartitions() < max(cores // 4, 2):
+    if want is None:
+        want = max(cores // 4, 2)
+    if width is None:
+        width = df.rdd.getNumPartitions()
+    if width < want:
         return df.repartition(cores)
     return df
 
