@@ -1693,6 +1693,15 @@ def feat_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
     object-hash percentile whose per-group single-reducer merge is the
     documented 64×-probe scale-killer; exactness matches quantile_cont
     interpolation so the fit is hash-checked.
+
+    Semantics note (r9 change, confirmed r10): ``n`` counts NON-NULL
+    values (count(value), the free ride on the percentile pick
+    aggregate), not rows. events.value is non-nullable in every
+    fixture SF (0 nulls in parquet stats at sf0.001/0.01/0.1) so the
+    two are equal here; on a hypothetical all-null group the engine
+    omits the group (no rankable values) while count(*) semantics
+    would emit n>0 with NULL quartiles — a scaler can't be FIT on a
+    group with no values, so omission is the intended behavior.
     """
     ev = load(spark, sf_dir, "events").select("event_type", "value")
     pct = exact_percentiles(
@@ -2129,6 +2138,16 @@ def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.unix_timestamp(F.max("o_orderdate"))
         ).alias("t")
     ).collect()[0]["t"]
+    if thr is None:
+        # Empty orders: min/max are NULL and the collected scalar is
+        # None — degrade to an empty result frame (the lazy-plan
+        # shape this had before the bounded-collect rewrite) instead
+        # of raising TypeError at plan-build time.
+        return spark.createDataFrame(
+            [],
+            "bin int, n_ref long, n_cur long, "
+            "frac_delta double, psi_term double",
+        )
     early = F.unix_timestamp("o_orderdate") * 2 <= F.lit(int(thr))
     tagged = o.select(F.col("o_totalprice").alias("x"), early.alias("early"))
     ref = tagged.filter("early").select(F.lit(1).alias("g"), "x")

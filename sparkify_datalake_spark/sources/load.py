@@ -97,11 +97,19 @@ def scan_width(sf_dir: str, name: str) -> int:
     hit = _WIDTH_CACHE.get(key)
     if hit is not None:
         return hit
-    import pyarrow.parquet as pq
     from pathlib import Path
 
     path = Path(sf_dir.rstrip("/")) / f"{name}.parquet"
+    # Metadata failures (missing pyarrow, unreadable footer, odd
+    # layout) return 0 = "unknown" rather than a pessimistic 1: a
+    # fake width-1 would silently turn the starvation gate into an
+    # unconditional repartition(cores) shuffle. widen_if_starved
+    # treats 0 as unknown and falls back to the planned-partition
+    # signal. ArrowInvalid subclasses ValueError, so (OSError,
+    # ValueError) covers corrupt/truncated footers.
     try:
+        import pyarrow.parquet as pq
+
         if path.is_dir():
             n = sum(
                 pq.ParquetFile(str(f)).metadata.num_row_groups
@@ -109,10 +117,11 @@ def scan_width(sf_dir: str, name: str) -> int:
             )
         else:
             n = pq.ParquetFile(str(path)).metadata.num_row_groups
-    except Exception:
-        n = 1
-    _WIDTH_CACHE[key] = max(n, 1)
-    return _WIDTH_CACHE[key]
+        n = max(n, 1)
+    except (ImportError, OSError, ValueError):
+        n = 0
+    _WIDTH_CACHE[key] = n
+    return n
 
 
 _WIDTH_CACHE: dict = {}
@@ -152,7 +161,11 @@ def widen_if_starved(
     cores = spark.sparkContext.defaultParallelism
     if want is None:
         want = max(cores // 4, 2)
-    if width is None:
+    if not width:
+        # None (caller has no estimate) or 0 (scan_width metadata
+        # failure): use the planned-partition count. It OVERCOUNTS
+        # when splits exceed row groups, so this fallback can only
+        # under-widen — never adds a shuffle the metadata would skip.
         width = df.rdd.getNumPartitions()
     if width < want:
         return df.repartition(cores)

@@ -93,3 +93,44 @@ def test_bartlett_equal_variance_synthetic(spark, tmp_path):
     )
     assert row["bartlett_stat"] == pytest.approx(expected, rel=1e-6, abs=1e-4)
     assert expected < 13.9  # equal variances: far from the r8 bug's 45573
+
+
+def test_psi_drift_empty_orders_degrades(spark, tmp_path):
+    """ADVICE r9: the collected date-bound scalar is None on an empty
+    orders table; the guard must return an empty 5-column frame, not
+    raise TypeError at plan-build time (parity with the lazy shape the
+    op had before the bounded-collect rewrite)."""
+    import pandas as pd
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+        }
+    ).to_parquet(d / "orders.parquet", index=False)
+
+    from sparkify_datalake_spark.operators.features import stat_psi_drift
+
+    out = stat_psi_drift(spark, str(d))
+    assert out.columns == ["bin", "n_ref", "n_cur", "frac_delta", "psi_term"]
+    assert out.count() == 0
+
+
+def test_scan_width_unknown_falls_back_to_planned(spark, tmp_path):
+    """ADVICE r9: a metadata failure must report width 0 ("unknown"),
+    and widen_if_starved must then use the planned-partition signal
+    instead of pessimistically shuffling every caller."""
+    from sparkify_datalake_spark.sources.load import (
+        scan_width,
+        widen_if_starved,
+    )
+
+    # nonexistent table -> unreadable footer -> 0, not 1
+    assert scan_width(str(tmp_path), "no_such_table") == 0
+
+    # width=0 falls back to getNumPartitions: a frame already wider
+    # than `want` must NOT be repartitioned (same plan object back)
+    wide = spark.range(0, 1000, 1, 32)
+    assert widen_if_starved(spark, wide, width=0) is wide

@@ -118,6 +118,11 @@ def _remeasure(names: list[str], repeat: int = 4) -> None:
     r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                        cwd=REPO, env=env)
     if r.returncode != 0:
+        # bench.py with BENCH_ONLY has already overwritten the full
+        # artifact with the subset-only map; restore the saved full
+        # map so a failed re-measure doesn't clobber the baseline.
+        with open(full_path, "w") as f:
+            json.dump(full, f, sort_keys=True)
         sys.exit(r.returncode)
     with open(full_path) as f:
         patch = json.load(f)["queries"]
