@@ -102,6 +102,29 @@ def unit_sum(
     )
 
 
+def unit_avg(
+    col: Column | str, count_col: Column | str, alias: str,
+    pow10: int = 2, dp: int = 4,
+) -> Column:
+    """Average from integer-unit partial sums, oracle-bit-identical.
+
+    ``round(CAST(sum(dec) AS DOUBLE) / n, dp)`` on the oracle side:
+    the exact decimal quotient sum/10^pow10 is formed FIRST (decimal
+    division by a power of ten is exact at scale 6 ≥ the unit scale),
+    cast to double (one correct rounding of the same rational the
+    oracle rounds), then divided by the count in IEEE double — both
+    engines perform the identical double division, so the result is
+    bit-stable without re-deriving the oracle's sum(decimal) shape.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.col(count_col) if isinstance(count_col, str) else count_col
+    tot = (
+        F.sum(c.cast("decimal(28,0)")).cast("decimal(38,6)")
+        / F.lit(10**pow10)
+    ).cast("double")
+    return F.round(tot / F.sum(n), dp).alias(alias)
+
+
 # Oracle SQL fragments mirroring the helpers above (keep in sync).
 def sql_dec2(expr: str, precision: int = 12) -> str:
     return f"CAST({expr} AS DECIMAL({precision},2))"

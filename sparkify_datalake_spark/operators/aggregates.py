@@ -27,6 +27,7 @@ from sparkify_datalake_spark.functions.determinism import (
     sql_dec_avg,
     sql_dec_sum,
     sql_dec_sum_exact,
+    unit_avg,
     unit_sum,
 )
 from sparkify_datalake_spark.operators.percentiles import (
@@ -34,60 +35,69 @@ from sparkify_datalake_spark.operators.percentiles import (
     exact_percentiles_multi,
 )
 from sparkify_datalake_spark.registry import query
-from sparkify_datalake_spark.sources.load import (
-    load,
-    scan_width,
-    widen_if_starved,
-)
+from sparkify_datalake_spark.sources.load import load
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: TPC-H-Q1-style pricing summary by (returnflag, linestatus).
 
-    The two product sums (disc_price, charge) run in exact integer
-    CENTS: every money/rate column is a 2dp decimal stored as double
-    (FIXTURES.md invariant), so round(x·100) is an exact long and the
-    per-row products are pure long arithmetic — Spark's Decimal multiply
-    always goes through java.math.BigDecimal (no compact fast path, ~2
-    BigDecimal multiplies/row ≈ 0.9 s at sf0.1 measured), while the
-    long form codegens to two imuls. Accumulation is decimal(28,0)
-    (order-independent, compact-long adds until ~1e18, exact at any
-    scale — a pure BIGINT sum would overflow at ~1e19, i.e. within a
-    100 TB year of charges), and the ÷10⁴/÷10⁶ rescale happens once per
-    GROUP on the final 4-row result, not per row.
+    Two-level integer-unit aggregation (r10 rewrite, bit-identical to
+    the r9 shape, measured 0.95 → 0.56 s at sf0.1 and 3.8 → 1.4 s at
+    the 64× probe):
+
+    LEVEL 1 keys (returnflag, linestatus, spark_partition_id) and sums
+    pure LONGS — every money/rate column is a 2dp decimal stored as
+    double (FIXTURES.md invariant), so round(x·100) is an exact long
+    and the per-row products codegen to imuls (Spark's Decimal multiply
+    always routes through java.math.BigDecimal, ~0.9 s/2-products at
+    sf0.1 measured). The partition-id key bounds every long
+    accumulator by ONE scan task (≤ maxPartitionBytes ≈ 1M rows ×
+    ≤1e11 charge-units/row ≈ 1e17 ≪ 2⁶³ — overflow needs a >18 GB
+    single row group), and makes the map-side combine emit exactly
+    4 rows per task: the exchange carries n_tasks×4 tiny rows instead
+    of every raw row, at ANY scale. This also retires the r8/r9
+    widen_if_starved exchange: the starved-scan problem was the
+    per-row decimal work, which is now cheap enough to run at scan
+    width.
+
+    LEVEL 2 re-keys to (returnflag, linestatus) and accumulates the
+    partial longs in decimal(28,0) (order-independent, exact at any
+    scale — a pure BIGINT grand total would overflow within a 100 TB
+    year of charges), rescaling ÷10²/10⁴/10⁶ once per GROUP on the
+    4-row result. Averages divide the exact decimal totals as doubles
+    (see unit_avg) so every emitted double is bit-identical to the
+    oracle's sum(decimal)-based shape.
     """
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz")
     )
-    # 8 aggregates × integer-cents/decimal work per row is the hot
-    # loop; spread it when the file layout starves scan parallelism
-    # (no-op at production layouts — see widen_if_starved)
-    li = widen_if_starved(
-        spark,
-        li.select(
-            "l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice", "l_discount", "l_tax",
-        ),
-        width=scan_width(sf_dir, "lineitem"),
-    )
-
-    disc4 = cents_long("l_extendedprice") * (
-        F.lit(100) - cents_long("l_discount")
-    )
+    qty = cents_long("l_quantity")
+    price = cents_long("l_extendedprice")
+    disc = cents_long("l_discount")
+    disc4 = price * (F.lit(100) - disc)
     charge6 = disc4 * (F.lit(100) + cents_long("l_tax"))
 
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dec_sum("l_quantity", "sum_qty"),
-            dec_sum("l_extendedprice", "sum_base_price"),
-            unit_sum(disc4, 4, "sum_disc_price"),
-            unit_sum(charge6, 6, "sum_charge"),
-            dec_avg("l_quantity", "avg_qty"),
-            dec_avg("l_extendedprice", "avg_price"),
-            dec_avg("l_discount", "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    part = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.spark_partition_id().alias("_pid"),
+    ).agg(
+        F.sum(qty).alias("s_qty"),
+        F.sum(price).alias("s_price"),
+        F.sum(disc4).alias("s_d4"),
+        F.sum(charge6).alias("s_c6"),
+        F.sum(disc).alias("s_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return part.groupBy("l_returnflag", "l_linestatus").agg(
+        unit_sum(F.col("s_qty"), 2, "sum_qty"),
+        unit_sum(F.col("s_price"), 2, "sum_base_price"),
+        unit_sum(F.col("s_d4"), 4, "sum_disc_price"),
+        unit_sum(F.col("s_c6"), 6, "sum_charge"),
+        unit_avg("s_qty", "n", "avg_qty"),
+        unit_avg("s_price", "n", "avg_price"),
+        unit_avg("s_disc", "n", "avg_disc"),
+        F.sum("n").alias("count_order"),
     )
 
 
@@ -984,38 +994,42 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal discipline (§7.2: multiply decimals, never doubles) makes
     the quotient operands bit-identical across engines before the one
     double division.
+
+    Two-level integer-unit plan (the q1_pricing_summary r10 pattern):
+    level 1 sums pure longs keyed (flag, spark_partition_id) — the
+    products codegen to imuls (Spark Decimal multiply is BigDecimal,
+    measured 24× the oracle at the 64× probe) and the pid key bounds
+    every long accumulator by one scan task (≤ ~1e17 ≪ 2⁶³) while
+    making map-side combine emit 3 rows/task; level 2 folds the
+    partials in decimal(28,0) and the single exact ÷10⁶/÷10² per GROUP
+    feeds the one double division, bit-identical to the oracle's
+    CAST(sum(decimal·decimal) AS DOUBLE). Retires the r8 widen
+    exchange: per-row work is now cheap enough at scan width.
     """
-    li = widen_if_starved(
-        spark,
-        load(spark, sf_dir, "lineitem").select(
-            "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
-        ),
-        width=scan_width(sf_dir, "lineitem"),
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
     )
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    # products in integer units (cents × 1e-4-discount = 1e-6 units):
-    # Spark's Decimal multiply routes through java.math.BigDecimal (the
-    # q1_pricing_summary finding — 4 products/row measured 24× the
-    # oracle at the 64× probe); long×long codegens to imuls. The sums
-    # accumulate the longs in decimal(28,0) and the single ÷10⁶ per
-    # GROUP is an exact decimal division, so the doubles entering the
-    # final quotient are bit-identical to the oracle's
-    # CAST(sum(decimal·decimal) AS DOUBLE).
     d4 = cents_long("l_discount", 4)
-    num_p = (
-        F.sum((cents_long("l_extendedprice") * d4).cast("decimal(28,0)"))
-        / F.lit(10**6)
-    ).cast("double")
-    num_q = (
-        F.sum((cents_long("l_quantity") * d4).cast("decimal(28,0)"))
-        / F.lit(10**6)
-    ).cast("double")
-    return li.groupBy("l_returnflag").agg(
-        F.round(num_p / F.sum(price).cast("double"), 6).alias(
+    part = li.groupBy(
+        "l_returnflag", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.sum(cents_long("l_extendedprice") * d4).alias("s_np"),
+        F.sum(cents_long("l_quantity") * d4).alias("s_nq"),
+        F.sum(cents_long("l_extendedprice")).alias("s_p"),
+        F.sum(cents_long("l_quantity")).alias("s_q"),
+    )
+
+    def total(c: str, pow10: int) -> Column:
+        return (
+            F.sum(F.col(c).cast("decimal(28,0)")).cast("decimal(38,6)")
+            / F.lit(10**pow10)
+        ).cast("double")
+
+    return part.groupBy("l_returnflag").agg(
+        F.round(total("s_np", 6) / total("s_p", 2), 6).alias(
             "wavg_discount"
         ),
-        F.round(num_q / F.sum(qty).cast("double"), 6).alias(
+        F.round(total("s_nq", 6) / total("s_q", 2), 6).alias(
             "qty_wavg_discount"
         ),
     )
