@@ -2137,8 +2137,9 @@ def corpus_quality_scorecard(
     mass folds to the closed form 0.5·(1 − Σ_present q) and no
     vocab × sources grid is ever built — one token-keyed window
     supplies the corpus counts), and doc-distinct 5-gram grain
-    (gram-keyed df join, the dup_ngram_coverage shape — no pair
-    enumeration). Final assembly joins four ≤|sources|-row frames.
+    (document frequency via ONE gram-keyed window — no pair
+    enumeration, no join-back, no checkpoint; r10 shape). Final
+    assembly joins three ≤|sources|-row frames.
     At 100 TB: hash grams/tokens to 16 bytes first; every shuffle key
     is already the aggregation key.
     """
@@ -2188,30 +2189,41 @@ def corpus_quality_scorecard(
         t.select("source", F.explode("toks").alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
-    )  # eager: three CONCURRENT consumers (ttr, corpus, grid) — lazy
-    # would race them onto the first materialization
-    ctot = counts.agg(F.sum("n").alias("ct"))
+        .localCheckpoint(eager=False)
+    )  # LAZY (r10): the 20-row per-source totals below are COLLECTED —
+    # that one action materializes the checkpoint, and the JS fold is
+    # then the only remaining plan consumer, so there is no concurrent-
+    # branch race left to guard with an eager job (bounded-collect
+    # discipline: |sources| is group-key cardinality, driver-held).
+    # This also retires the former Window.partitionBy("source") over
+    # the data-sized counts frame — a 20-key window is the documented
+    # low-cardinality single-task-sort killer at 100 TB; the totals
+    # re-enter as a literal map lookup instead.
+    tot_rows = counts.groupBy("source").agg(
+        F.sum("n").alias("tot")
+    ).collect()
+    ct_val = sum(r["tot"] for r in tot_rows)
+    tot_map = F.create_map(
+        *[x for r in tot_rows for x in (F.lit(r["source"]), F.lit(r["tot"]))]
+    )
     # JS without the vocab × sources grid: a token ABSENT from a source
     # contributes exactly 0.5·q — log2(q/(q/2)) is exactly 1 in IEEE
     # (q/2 is a power-of-two scaling) — so the whole missing-token mass
     # folds to the closed form 0.5·(1 − Σ_present q) and the fold only
     # ever touches the PRESENT (source, token) rows: one token-keyed
-    # window for the corpus count, a source-keyed window for the
-    # per-source total (which also lets TTR ride this aggregate — no
-    # separate rollup or join), no grid join, no zero guards.
+    # window for the corpus count (token is high-cardinality, so the
+    # window partitioning stays wide), no grid join, no zero guards.
     winc = counts.select(
         "source",
         "n",
         F.sum("n").over(Window.partitionBy("token")).alias("cn"),
-        F.sum("n").over(Window.partitionBy("source")).alias("tot"),
     )
-    p = F.col("n") / F.col("tot").cast("double")
-    q = F.col("cn") / F.col("ct").cast("double")
+    p = F.col("n") / tot_map[F.col("source")].cast("double")
+    q = F.col("cn") / F.lit(float(ct_val))
     m = (p + q) / 2
     term = 0.5 * p * F.log2(p / m) + 0.5 * q * F.log2(q / m)
     js = (
-        winc.crossJoin(F.broadcast(ctot))
+        winc
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_distinct"),
@@ -2240,11 +2252,15 @@ def corpus_quality_scorecard(
                 )
             ).alias("g"),
         )
-        .localCheckpoint()
-    )  # eager: two concurrent consumers (gram_df + the join back)
-    gram_df = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs_g"))
+    )
+    # r10: document frequency as ONE gram-keyed window instead of the
+    # former groupBy(g) + join-back (which needed an eager checkpoint
+    # and shuffled sh by g twice). sh is doc-distinct per gram, so
+    # count(*) over partitionBy(g) IS the gram's document frequency;
+    # one shuffle, a single linear plan, no multi-consumer race.
+    n_docs_g = F.count(F.lit(1)).over(Window.partitionBy("g"))
     dup = (
-        sh.join(gram_df, "g")
+        sh.select("source", n_docs_g.alias("n_docs_g"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
