@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from sparkify_datalake_spark.operators.percentiles import exact_percentiles
 from sparkify_datalake_spark.registry import query
 from sparkify_datalake_spark.sources.load import (
+    column_minmax,
     load,
     scan_width,
     widen_if_starved,
@@ -2132,12 +2133,24 @@ def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios behind 6dp rounds.
     """
     o = load(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
-    thr = o.agg(
-        (
-            F.unix_timestamp(F.min("o_orderdate"))
-            + F.unix_timestamp(F.max("o_orderdate"))
-        ).alias("t")
-    ).collect()[0]["t"]
+    # date bounds from the parquet footer statistics (zero Spark jobs —
+    # the same metadata predicate pushdown reads); Spark-agg fallback
+    # when any row group lacks min/max stats
+    bounds = column_minmax(sf_dir, "orders", "o_orderdate")
+    if bounds is not None:
+        from datetime import timezone
+
+        thr = sum(
+            int(b.replace(tzinfo=timezone.utc).timestamp())
+            for b in bounds
+        )
+    else:
+        thr = o.agg(
+            (
+                F.unix_timestamp(F.min("o_orderdate"))
+                + F.unix_timestamp(F.max("o_orderdate"))
+            ).alias("t")
+        ).collect()[0]["t"]
     if thr is None:
         # Empty orders: min/max are NULL and the collected scalar is
         # None — degrade to an empty result frame (the lazy-plan

@@ -127,6 +127,44 @@ def scan_width(sf_dir: str, name: str) -> int:
 _WIDTH_CACHE: dict = {}
 
 
+def column_minmax(sf_dir: str, name: str, col: str):
+    """(min, max) of one column straight from the parquet row-group
+    statistics — the same footer metadata predicate pushdown evaluates,
+    so a driver-held bound derived here costs ZERO Spark jobs (the
+    catalog/statistics path a warehouse would use). Returns None when
+    any row group lacks min/max stats (or any metadata failure), and
+    callers must then fall back to a Spark aggregate; values arrive as
+    pyarrow's Python scalars (datetime for timestamp columns — fixture
+    timestamps are naive/UTC, matching the pinned session timezone).
+
+    Correct at any scale: folds min-of-mins / max-of-maxes across every
+    row group of every file, no data read.
+    """
+    from pathlib import Path
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = Path(sf_dir.rstrip("/")) / f"{name}.parquet"
+        files = (
+            sorted(path.glob("*.parquet")) if path.is_dir() else [path]
+        )
+        lo = hi = None
+        for f in files:
+            pf = pq.ParquetFile(str(f))
+            i = pf.schema_arrow.get_field_index(col)
+            md = pf.metadata
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(i).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return None if lo is None else (lo, hi)
+    except (ImportError, OSError, ValueError, KeyError):
+        return None
+
+
 def widen_if_starved(
     spark: SparkSession,
     df: DataFrame,
