@@ -54,12 +54,32 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Per-query BUILD-phase job count: Spark jobs triggered while the
+    # query callable constructs its plan (bounded collects, eager
+    # checkpoints) — 0 means the query is a single deferred action
+    # (its only jobs are the final write's AQE chain). The p90 split
+    # over that class is the driver-visible tail metric VERDICT r9 #1
+    # asked for: multi-action ops pay a structural jobs × job-floor
+    # cost that no plan change removes at fixture scale.
+    tracker = spark.sparkContext.statusTracker()
+
+    def _jobs() -> set:
+        return set(tracker.getJobIdsForGroup(None) or [])
+
     timings: dict[str, float] = {}
+    build_jobs: dict[str, int] = {}
     for name in names:
         best = float("inf")
         for _ in range(repeat):
+            j0 = _jobs()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
+            # min across reps: the first call pays a one-off schema-
+            # read job on the relation-cache miss that is not part of
+            # the query's action structure
+            build_jobs[name] = min(
+                build_jobs.get(name, 1 << 30), len(_jobs() - j0)
+            )
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
@@ -79,6 +99,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "build_jobs": build_jobs,
                 "sf": sf,
             },
             fh,
@@ -86,7 +107,7 @@ def main() -> None:
             sort_keys=True,
         )
 
-    print(compact_line(timings, total, sf))
+    print(compact_line(timings, total, sf, build_jobs=build_jobs))
     spark.stop()
 
 
@@ -131,8 +152,16 @@ HEADLINE = [
 ]
 
 
+def _p90(ts: list[float]) -> float | None:
+    if not ts:
+        return None
+    s = sorted(ts)
+    return round(s[min(int(len(s) * 0.9), len(s) - 1)], 3)
+
+
 def compact_line(
-    timings: dict[str, float], total: float, sf: float | None, budget: int = 1850
+    timings: dict[str, float], total: float, sf: float | None,
+    budget: int = 1850, build_jobs: dict[str, int] | None = None,
 ) -> str:
     """One-line JSON ≤ `budget` bytes: headline queries first, then the
     alphabetical rest, dropped from the end until the line fits."""
@@ -146,7 +175,18 @@ def compact_line(
         "sf": sf,
         "n_queries": len(timings),
         "full": "BENCH_FULL_local.json",
+        "p90": _p90(list(timings.values())),
     }
+    if build_jobs:
+        # Tail split (VERDICT r9 #1): p90 over SINGLE-ACTION queries
+        # (zero driver-side jobs during plan build — no collects or
+        # eager checkpoints), vs the multi-action rest whose tail is
+        # a structural jobs × per-job-floor product.
+        single = [
+            t for n, t in timings.items() if build_jobs.get(n, 0) == 0
+        ]
+        base["p90_1act"] = _p90(single)
+        base["n_1act"] = len(single)
     keep = len(order)
     while keep > 0:
         line = json.dumps(
