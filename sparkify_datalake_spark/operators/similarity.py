@@ -1828,7 +1828,12 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("sim_ivf_pq_topk")
-def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
     """ANN top-10 for vec_id=0 via IVF + PQ COMPOSED — the production
     index layout (FAISS IVFPQ): the coarse quantizer prunes to the
     nprobe=3 nearest cluster PARTITIONS (directory-level pruning, only
@@ -1844,11 +1849,15 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (recall probabilistic by design);
     tests/test_oracle.py bounds overlap with the brute-force twin like
     the other ANN tiers. Reuses both persisted indexes unchanged —
-    build once, probe many.
+    build once, probe many. ``nprobe``/``rerank`` default to the
+    registered constants; tools/ann_curves.py sweeps them for the
+    composed recall-vs-cost grid (ANN_CURVES_hard.json "ivfpq").
     """
     import numpy as np
     import pandas as pd
 
+    nprobe = _IVF_NPROBE if nprobe is None else int(nprobe)
+    rerank = _PQ_RERANK if rerank is None else int(rerank)
     cent, _ = ivf_build(spark, sf_dir)
     books, codes_path = pq_build(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1856,7 +1865,7 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"],
         dtype=np.float64,
     )
-    probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:_IVF_NPROBE]
+    probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:nprobe]
     m_sub, k_sub, d_sub = books.shape
     lut = np.stack(
         [
@@ -1890,7 +1899,7 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(member), "vec_id")
         .mapInPandas(adc, "vec_id long, adc_dist double")
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
-        .limit(_PQ_RERANK)
+        .limit(rerank)
     )
     cos = _dot("embedding", F.array(*[F.lit(float(v)) for v in q])) / (
         _norm("embedding") * float(np.sqrt((q * q).sum()))

@@ -144,28 +144,112 @@ def pq_recall(spark, sf_dir: str) -> dict:
     }
 
 
+def ivfpq_grid(spark, sf_dir: str) -> dict:
+    """COMPOSED IVF+PQ recall-vs-cost surface (VERDICT r9 #3): the two
+    tiers compound their losses only in composition — IVF can prune
+    the true neighbor's partition away AND the ADC ordering can push
+    it below the rerank cutoff. Sweeps nprobe × rerank-depth over
+    sim_ivf_pq_topk (the production index) and records recall@10 vs
+    the exact anchor plus both cost fractions: scanned_frac (rows in
+    the probed partitions / corpus — the IVF dial) and rerank_frac
+    (exactly re-ranked pool / corpus — the PQ dial)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparkify_datalake_spark.operators import similarity as sim
+    from sparkify_datalake_spark.registry import queries
+    from sparkify_datalake_spark.sources.load import load
+
+    qs = queries()
+    exact = {
+        r["vec_id"] for r in qs["sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    cent, _ = sim.ivf_build(spark, sf_dir)
+    q = np.array(
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    order = np.argsort(((cent - q) ** 2).sum(axis=1))
+    total = load(spark, sf_dir, "embeddings").count()
+    scanned_by_nprobe = {}
+    points = []
+    for nprobe in (1, 2, 3, 4, 8):
+        if nprobe not in scanned_by_nprobe:
+            scanned_by_nprobe[nprobe] = sim.ivf_probe_scan(
+                spark, sf_dir, order[:nprobe]
+            ).count()
+        scanned = scanned_by_nprobe[nprobe]
+        for rerank in (20, 50, 100, 500):
+            ann = {
+                r["vec_id"]
+                for r in sim.sim_ivf_pq_topk(
+                    spark, sf_dir, nprobe=nprobe, rerank=rerank
+                ).collect()
+            }
+            points.append(
+                {
+                    "nprobe": nprobe,
+                    "rerank_pool": rerank,
+                    "recall_at_10": round(len(ann & exact) / len(exact), 3),
+                    "scanned_rows": scanned,
+                    "scanned_frac": round(scanned / total, 4),
+                    "rerank_frac": round(min(rerank, scanned) / total, 5),
+                }
+            )
+    return {
+        "k": sim._IVF_K,
+        "m": sim._PQ_M,
+        "default_nprobe": sim._IVF_NPROBE,
+        "default_rerank": sim._PQ_RERANK,
+        "corpus_rows": total,
+        "points": points,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/tmp/sparkify_probe_x64_v2")
     ap.add_argument("--out", default=os.path.join(REPO, "ANN_CURVES_x64.json"))
+    ap.add_argument(
+        "--hard",
+        action="store_true",
+        help="run on the adversarial fixture (gen_hard_fixture; write "
+        "ANN_CURVES_hard.json) instead of the 64x probe fixture",
+    )
     args = ap.parse_args()
-
-    from gen_probe_fixture import generate
 
     from sparkify_datalake_spark.session import get_spark
 
     spark = get_spark("ann-curves")
-    generate(spark, args.dir, 64.0)
+    if args.hard:
+        if args.dir == "/tmp/sparkify_probe_x64_v2":
+            args.dir = "/tmp/sparkify_hard_v1"
+        if args.out == os.path.join(REPO, "ANN_CURVES_x64.json"):
+            args.out = os.path.join(REPO, "ANN_CURVES_hard.json")
+        if not os.path.exists(
+            os.path.join(args.dir, "embeddings.parquet")
+        ):
+            from gen_hard_fixture import write_fixture
+
+            write_fixture(args.dir)
+    else:
+        from gen_probe_fixture import generate
+
+        generate(spark, args.dir, 64.0)
 
     result = {
         "fixture": args.dir,
         "ivf": ivf_curve(spark, args.dir),
         "pq": pq_recall(spark, args.dir),
+        "ivfpq": ivfpq_grid(spark, args.dir),
     }
     with open(args.out, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
     print(json.dumps(result["ivf"]["points"]))
     print(json.dumps(result["pq"]))
+    print(json.dumps(result["ivfpq"]["points"]))
     spark.stop()
 
 
