@@ -1421,6 +1421,239 @@ def doc_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+# Gopher-gate fragments shared by the two e2e composites (identical
+# predicate to text_gopher_rules / the scorecard's doc grain).
+_GATE_SQL = f"""
+  len(string_split(lower(text), ' ')) BETWEEN 5 AND 1000
+    AND CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                                     t -> len(t))) AS DOUBLE)
+        / len(string_split(lower(text), ' ')) BETWEEN 2 AND 10
+    AND CAST(len(list_filter(string_split(lower(text), ' '),
+                             t -> regexp_matches(t, '^[a-z]+$')))
+             AS DOUBLE)
+        / len(string_split(lower(text), ' ')) >= 0.8
+"""
+
+_CURATION_ORACLE = f"""
+WITH gated AS (
+  SELECT doc_id, source,
+    len(string_split(lower(text), ' ')) AS tok
+  FROM documents
+  WHERE {_GATE_SQL}
+),
+g AS (
+  SELECT source, count(*) AS n_docs, sum(tok) AS toks
+  FROM gated GROUP BY 1
+),
+t AS (SELECT sum(toks) AS total, sum(sqrt(toks)) AS wsum FROM g),
+r AS (
+  SELECT g.source, g.n_docs, g.toks,
+    sqrt(g.toks) / t.wsum AS alpha,
+    (sqrt(g.toks) / t.wsum) / (g.toks / CAST(t.total AS DOUBLE)) AS rate
+  FROM g CROSS JOIN t
+),
+p AS (
+  SELECT r.*, round(r.rate / mr.maxr, 6) AS prob
+  FROM r CROSS JOIN (SELECT max(rate) AS maxr FROM r) mr
+),
+s AS (
+  SELECT gated.source, gated.doc_id, gated.tok
+  FROM gated JOIN p ON gated.source = p.source
+  WHERE {_md5_u01('CAST(doc_id AS VARCHAR)')} < p.prob
+),
+b AS (
+  SELECT source, tok, cum,
+    floor((cum - tok) / {_PACK_BUDGET}.0) AS sb,
+    floor((cum - 1) / {_PACK_BUDGET}.0) AS eb
+  FROM (
+    SELECT source, tok,
+      sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum
+    FROM s
+  )
+),
+sg AS (
+  SELECT source, count(*) AS n_s, sum(tok) AS tok_s, max(cum) AS max_cum,
+    sum(CASE WHEN eb > sb THEN 1 ELSE 0 END) AS docs_split
+  FROM b GROUP BY 1
+),
+ts AS (SELECT sum(tok_s) AS total_s FROM sg)
+SELECT p.source,
+  CAST(p.n_docs AS BIGINT) AS n_docs_gated,
+  CAST(p.toks AS BIGINT) AS n_tokens_gated,
+  round(p.alpha, 6) AS alpha_share,
+  round(p.rate, 6) AS sampling_rate,
+  p.prob AS sample_prob,
+  CAST(coalesce(sg.n_s, 0) AS BIGINT) AS n_docs_sampled,
+  CAST(coalesce(sg.tok_s, 0) AS BIGINT) AS sampled_tokens,
+  round(coalesce(sg.tok_s, 0) / CAST(ts.total_s AS DOUBLE), 6)
+    AS realized_share,
+  round(coalesce(sg.tok_s, 0) / CAST(ts.total_s AS DOUBLE) - p.alpha, 6)
+    AS share_gap,
+  CAST(coalesce(floor((sg.max_cum - 1) / {_PACK_BUDGET}.0) + 1, 0)
+       AS BIGINT) AS n_blocks,
+  CAST(coalesce(sg.docs_split, 0) AS BIGINT) AS docs_split
+FROM p LEFT JOIN sg ON p.source = sg.source CROSS JOIN ts
+ORDER BY p.source
+"""
+
+
+@query("pipeline_curation_e2e", _CURATION_ORACLE)
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus MIXING pipeline END-TO-END as one hash row (VERDICT
+    r9 #6): scorecard gate → corpus_mixture_plan → sample_weighted-
+    style realization → doc_packing_plan. pipeline_corpus_e2e
+    certified the gate/dedup/split chain; THIS row certifies the
+    weights actually applied match the plan: every output row carries
+    the PLANNED alpha-share next to the REALIZED token share of the
+    deterministic sample (share_gap is their 6dp difference), and the
+    hash check forces both engines to draw the identical sample.
+
+    Stages, each the same expression its standalone §2 operator uses:
+    1. Gopher gate (the scorecard's doc-grain predicate) admits docs.
+    2. Mixture plan: temperature-smoothed (α=0.5) per-source rates
+       over the GATED corpus (corpus_mixture_plan's algebra). The
+       20-row source-grain frame is COLLECTED (bounded-collect
+       discipline) and the per-source acceptance probabilities
+       re-enter as a literal map, so the main pass is ONE scan — no
+       totals-join re-scans of the corpus subtree.
+    3. Realization: Bernoulli thinning — keep a doc iff its md5-
+       uniform (the sample_weighted u) < round(rate/max_rate, 6).
+       A pure row predicate: no sort, no top-k heap, no shuffle;
+       expected kept-token mass per source ∝ toks·rate ∝ alpha-share,
+       which is exactly what share_gap certifies. The 6dp round on
+       the threshold absorbs cross-engine ulp noise in the 20-term
+       normalizer folds so the sample membership is bit-identical.
+    4. Packing: the sampled stream packs per source into 256-token
+       blocks (doc_packing_plan's integer arithmetic) — n_blocks and
+       boundary-straddling docs_split land on the same output row.
+
+    Scale shape: one gated scan for the plan collect + one for the
+    sample/pack pass; the realization predicate is map-side; packing
+    windows on (source — the shard key) like doc_packing_plan; final
+    assembly is a 20-row frame with a global window for the sampled
+    total. Empty-source edges (a source sampled to zero) keep their
+    plan row with zeroed realization columns (LEFT JOIN semantics,
+    matching the oracle).
+    """
+    import math
+
+    from sparkify_datalake_spark.operators.text import _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    total_len = F.expr(
+        "aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)"
+    )
+    base = docs.select("doc_id", "source", toks.alias("toks"))
+    mean_len = total_len.cast("double") / F.size("toks")
+    alpha_frac = (
+        F.size(F.filter("toks", lambda t: t.rlike("^[a-z]+$"))).cast(
+            "double"
+        )
+        / F.size("toks")
+    )
+    gated = base.filter(
+        F.size("toks").between(5, 1000)
+        & mean_len.between(2, 10)
+        & (alpha_frac >= 0.8)
+    ).select("doc_id", "source", F.size("toks").alias("tok"))
+
+    # stage 2: the 20-row plan, collected (group-key cardinality)
+    g_rows = sorted(
+        gated.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("toks"))
+        .collect(),
+        key=lambda r: r["source"],
+    )
+    if not g_rows:  # nothing survives the gate: empty plan, no sample
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs_gated long, n_tokens_gated long, "
+            "alpha_share double, sampling_rate double, "
+            "sample_prob double, n_docs_sampled long, "
+            "sampled_tokens long, realized_share double, "
+            "share_gap double, n_blocks long, docs_split long",
+        )
+    total = sum(r["toks"] for r in g_rows)
+    wsum = sum(math.sqrt(r["toks"]) for r in g_rows)
+    plan = []
+    for r in g_rows:
+        alpha = math.sqrt(r["toks"]) / wsum
+        rate = alpha / (r["toks"] / float(total))
+        plan.append((r["source"], r["n_docs"], r["toks"], alpha, rate))
+    maxr = max(p[4] for p in plan)
+    prob = {src: round(rate / maxr, 6) for src, _, _, _, rate in plan}
+    prob_map = F.create_map(
+        *[x for s, pr in prob.items() for x in (F.lit(s), F.lit(pr))]
+    )
+
+    # stages 3+4: ONE pass — thin, pack, roll up per source
+    u = F.expr(_md5_u01("cast(doc_id AS string)"))
+    s = gated.filter(u < prob_map[F.col("source")])
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    B = float(_PACK_BUDGET)
+    c = s.select("source", "tok", F.sum("tok").over(w).alias("cum"))
+    sg = (
+        c.select(
+            "source",
+            "tok",
+            "cum",
+            F.floor((F.col("cum") - F.col("tok")) / B).alias("sb"),
+            F.floor((F.col("cum") - 1) / B).alias("eb"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_s"),
+            F.sum("tok").alias("tok_s"),
+            F.max("cum").alias("max_cum"),
+            F.sum(
+                F.when(F.col("eb") > F.col("sb"), 1).otherwise(0)
+            ).alias("docs_split"),
+        )
+    )
+    plan_df = spark.createDataFrame(
+        [
+            (src, int(n), int(tk), float(alpha), float(rate), prob[src])
+            for src, n, tk, alpha, rate in plan
+        ],
+        "source string, n_docs long, toks long, alpha double, "
+        "rate double, prob double",
+    )
+    total_s = F.sum("tok_s").over(Window.partitionBy())
+    joined = (
+        plan_df.join(sg, "source", "left")
+        .withColumn("total_s", total_s)
+    )
+    tok_s0 = F.coalesce(F.col("tok_s"), F.lit(0))
+    realized = tok_s0 / F.col("total_s").cast("double")
+    return joined.select(
+        "source",
+        F.col("n_docs").alias("n_docs_gated"),
+        F.col("toks").alias("n_tokens_gated"),
+        F.round("alpha", 6).alias("alpha_share"),
+        F.round("rate", 6).alias("sampling_rate"),
+        F.col("prob").alias("sample_prob"),
+        F.coalesce(F.col("n_s"), F.lit(0)).cast("long").alias(
+            "n_docs_sampled"
+        ),
+        tok_s0.cast("long").alias("sampled_tokens"),
+        F.round(realized, 6).alias("realized_share"),
+        F.round(realized - F.col("alpha"), 6).alias("share_gap"),
+        F.coalesce(
+            F.floor((F.col("max_cum") - 1) / B) + 1, F.lit(0)
+        ).cast("long").alias("n_blocks"),
+        F.coalesce(F.col("docs_split"), F.lit(0)).cast("long").alias(
+            "docs_split"
+        ),
+    ).orderBy("source")
+
+
 _DRIFT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -2105,6 +2338,161 @@ ORDER BY p.source
 """
 
 
+# --- scorecard grain builders, shared with sources/scorecard_ivm.py ---
+# The incremental scorecard (VERDICT r9 #4) maintains exactly these
+# three grains as partitioned stores; sharing the builders makes
+# incremental == recompute a property of ONE set of expressions, not a
+# convention between two copies.
+
+
+def _sc_tok_frame(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.lower(F.col("text")), " ")
+    return docs.select("doc_id", "source", toks.alias("toks"))
+
+
+def _sc_doc_grain(t: DataFrame) -> DataFrame:
+    """Doc grain → per-source distributive sums (gopher gate +
+    stopword mass): n_docs, total_toks, total_stop, n_pass."""
+    from sparkify_datalake_spark.operators.text import _STOPWORDS
+
+    n = F.size("toks")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(
+        F.filter("toks", lambda x: F.array_contains(stop_arr, x))
+    )
+    total_len = F.expr(
+        "aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x)"
+    )
+    mean_len = total_len.cast("double") / n
+    alpha_frac = (
+        F.size(F.filter("toks", lambda x: x.rlike("^[a-z]+$"))).cast(
+            "double"
+        )
+        / n
+    )
+    keep = (
+        n.between(5, 1000) & mean_len.between(2, 10) & (alpha_frac >= 0.8)
+    )
+    return (
+        t.select(
+            "source",
+            n.alias("n_toks"),
+            n_stop.alias("n_stop"),
+            keep.cast("int").alias("pass"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_toks"),
+            F.sum("n_stop").alias("total_stop"),
+            F.sum("pass").alias("n_pass"),
+        )
+    )
+
+
+def _sc_token_grain(t: DataFrame) -> DataFrame:
+    """Token grain → (source, token, n) counts."""
+    return (
+        t.select("source", F.explode("toks").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sc_gram_pairs(t: DataFrame) -> DataFrame:
+    """Gram grain → one row per (doc, source, 5-gram), doc-distinct."""
+    concat_expr = "concat(" + ", ' ', ".join(
+        f"toks[i+{j}]" for j in range(5)
+    ) + ")"
+    return t.filter(F.size("toks") >= 5).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - 5), "
+                    f"i -> {concat_expr})"
+                )
+            )
+        ).alias("g"),
+    )
+
+
+def _sc_js(counts: DataFrame) -> DataFrame:
+    """Per-source TTR components + JS divergence vs the whole corpus,
+    from any (source, token, n) frame (live token grain or the
+    maintained store).
+
+    The 20-row per-source totals are COLLECTED — that one action
+    materializes a lazy checkpoint when the caller attached one, and
+    the JS fold is then the only remaining plan consumer (bounded-
+    collect discipline: |sources| is group-key cardinality, driver-
+    held). This also retires the former Window.partitionBy("source")
+    over the data-sized counts frame — a 20-key window is the
+    documented low-cardinality single-task-sort killer at 100 TB; the
+    totals re-enter as a literal map lookup instead.
+
+    JS without the vocab × sources grid: a token ABSENT from a source
+    contributes exactly 0.5·q — log2(q/(q/2)) is exactly 1 in IEEE
+    (q/2 is a power-of-two scaling) — so the whole missing-token mass
+    folds to the closed form 0.5·(1 − Σ_present q) and the fold only
+    ever touches the PRESENT (source, token) rows: one token-keyed
+    window for the corpus count (token is high-cardinality, so the
+    window partitioning stays wide), no grid join, no zero guards.
+    """
+    tot_rows = counts.groupBy("source").agg(
+        F.sum("n").alias("tot")
+    ).collect()
+    ct_val = sum(r["tot"] for r in tot_rows)
+    tot_map = F.create_map(
+        *[x for r in tot_rows for x in (F.lit(r["source"]), F.lit(r["tot"]))]
+    )
+    winc = counts.select(
+        "source",
+        "n",
+        F.sum("n").over(Window.partitionBy("token")).alias("cn"),
+    )
+    p = F.col("n") / tot_map[F.col("source")].cast("double")
+    q = F.col("cn") / F.lit(float(ct_val))
+    m = (p + q) / 2
+    term = 0.5 * p * F.log2(p / m) + 0.5 * q * F.log2(q / m)
+    return winc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("n").alias("tot"),
+        (F.sum(term) + 0.5 * (F.lit(1.0) - F.sum(q))).alias("js_bits"),
+    )
+
+
+def _sc_final(
+    per_doc: DataFrame, dup: DataFrame, js: DataFrame
+) -> DataFrame:
+    """Assemble the dashboard from the three ≤|sources|-row frames."""
+    return (
+        per_doc.join(dup, "source")
+        .join(js, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_toks").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("n_pass") / F.col("n_docs").cast("double"), 6
+            ).alias("gopher_pass_rate"),
+            F.round(
+                F.col("total_stop") / F.col("total_toks").cast("double"),
+                6,
+            ).alias("stopword_ratio"),
+            F.round(
+                F.col("n_distinct") / F.col("tot").cast("double"), 6
+            ).alias("ttr"),
+            F.round(
+                F.col("n_dup") / F.col("n_grams").cast("double"), 6
+            ).alias("dup5_rate"),
+            F.round("js_bits", 6).alias("js_vs_corpus_bits"),
+        )
+        .orderBy("source")
+    )
+
+
 @query("corpus_quality_scorecard", _SCORECARD_ORACLE)
 def corpus_quality_scorecard(
     spark: SparkSession, sf_dir: str
@@ -2143,121 +2531,24 @@ def corpus_quality_scorecard(
     At 100 TB: hash grams/tokens to 16 bytes first; every shuffle key
     is already the aggregation key.
     """
-    from sparkify_datalake_spark.operators.text import _STOPWORDS
-
-    docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    t = docs.select("doc_id", "source", toks.alias("toks"))
+    t = _sc_tok_frame(load(spark, sf_dir, "documents"))
 
     # --- doc grain: gopher gate + stopword mass ---
-    n = F.size("toks")
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(
-        F.filter("toks", lambda x: F.array_contains(stop_arr, x))
-    )
-    total_len = F.expr(
-        "aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x)"
-    )
-    mean_len = total_len.cast("double") / n
-    alpha_frac = (
-        F.size(F.filter("toks", lambda x: x.rlike("^[a-z]+$"))).cast(
-            "double"
-        )
-        / n
-    )
-    keep = (
-        n.between(5, 1000) & mean_len.between(2, 10) & (alpha_frac >= 0.8)
-    )
-    per_doc = (
-        t.select(
-            "source",
-            n.alias("n_toks"),
-            n_stop.alias("n_stop"),
-            keep.cast("int").alias("pass"),
-        )
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").alias("total_toks"),
-            F.sum("n_stop").alias("total_stop"),
-            F.sum("pass").alias("n_pass"),
-        )
-    )
+    per_doc = _sc_doc_grain(t)
 
-    # --- token grain: (source, token) counts feed TTR and the JS grid ---
-    counts = (
-        t.select("source", F.explode("toks").alias("token"))
-        .groupBy("source", "token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
-    )  # LAZY (r10): the 20-row per-source totals below are COLLECTED —
-    # that one action materializes the checkpoint, and the JS fold is
-    # then the only remaining plan consumer, so there is no concurrent-
-    # branch race left to guard with an eager job (bounded-collect
-    # discipline: |sources| is group-key cardinality, driver-held).
-    # This also retires the former Window.partitionBy("source") over
-    # the data-sized counts frame — a 20-key window is the documented
-    # low-cardinality single-task-sort killer at 100 TB; the totals
-    # re-enter as a literal map lookup instead.
-    tot_rows = counts.groupBy("source").agg(
-        F.sum("n").alias("tot")
-    ).collect()
-    ct_val = sum(r["tot"] for r in tot_rows)
-    tot_map = F.create_map(
-        *[x for r in tot_rows for x in (F.lit(r["source"]), F.lit(r["tot"]))]
-    )
-    # JS without the vocab × sources grid: a token ABSENT from a source
-    # contributes exactly 0.5·q — log2(q/(q/2)) is exactly 1 in IEEE
-    # (q/2 is a power-of-two scaling) — so the whole missing-token mass
-    # folds to the closed form 0.5·(1 − Σ_present q) and the fold only
-    # ever touches the PRESENT (source, token) rows: one token-keyed
-    # window for the corpus count (token is high-cardinality, so the
-    # window partitioning stays wide), no grid join, no zero guards.
-    winc = counts.select(
-        "source",
-        "n",
-        F.sum("n").over(Window.partitionBy("token")).alias("cn"),
-    )
-    p = F.col("n") / tot_map[F.col("source")].cast("double")
-    q = F.col("cn") / F.lit(float(ct_val))
-    m = (p + q) / 2
-    term = 0.5 * p * F.log2(p / m) + 0.5 * q * F.log2(q / m)
-    js = (
-        winc
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.sum("n").alias("tot"),
-            (
-                F.sum(term) + 0.5 * (F.lit(1.0) - F.sum(q))
-            ).alias("js_bits"),
-        )
-    )
+    # --- token grain: TTR + JS, LAZY checkpoint materialized by the
+    # bounded collect inside _sc_js (r10 shape: no eager job, no
+    # source-keyed window — see _sc_js) ---
+    counts = _sc_token_grain(t).localCheckpoint(eager=False)
+    js = _sc_js(counts)
 
-    # --- doc-distinct 5-gram grain: cross-doc redundancy per source ---
-    concat_expr = "concat(" + ", ' ', ".join(
-        f"toks[i+{j}]" for j in range(5)
-    ) + ")"
-    sh = (
-        t.filter(F.size("toks") >= 5)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(0, size(toks) - 5), "
-                        f"i -> {concat_expr})"
-                    )
-                )
-            ).alias("g"),
-        )
-    )
-    # r10: document frequency as ONE gram-keyed window instead of the
+    # --- doc-distinct 5-gram grain: cross-doc redundancy per source.
+    # Document frequency as ONE gram-keyed window instead of the
     # former groupBy(g) + join-back (which needed an eager checkpoint
-    # and shuffled sh by g twice). sh is doc-distinct per gram, so
-    # count(*) over partitionBy(g) IS the gram's document frequency;
-    # one shuffle, a single linear plan, no multi-consumer race.
+    # and shuffled the gram frame by g twice): rows are doc-distinct
+    # per gram, so count(*) over partitionBy(g) IS the gram's document
+    # frequency; one shuffle, a single linear plan, no race. ---
+    sh = _sc_gram_pairs(t)
     n_docs_g = F.count(F.lit(1)).over(Window.partitionBy("g"))
     dup = (
         sh.select("source", n_docs_g.alias("n_docs_g"))
@@ -2270,27 +2561,4 @@ def corpus_quality_scorecard(
         )
     )
 
-    return (
-        per_doc.join(dup, "source")
-        .join(js, "source")
-        .select(
-            "source",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.col("total_toks").cast("long").alias("n_tokens"),
-            F.round(
-                F.col("n_pass") / F.col("n_docs").cast("double"), 6
-            ).alias("gopher_pass_rate"),
-            F.round(
-                F.col("total_stop") / F.col("total_toks").cast("double"),
-                6,
-            ).alias("stopword_ratio"),
-            F.round(
-                F.col("n_distinct") / F.col("tot").cast("double"), 6
-            ).alias("ttr"),
-            F.round(
-                F.col("n_dup") / F.col("n_grams").cast("double"), 6
-            ).alias("dup5_rate"),
-            F.round("js_bits", 6).alias("js_vs_corpus_bits"),
-        )
-        .orderBy("source")
-    )
+    return _sc_final(per_doc, dup, js)

@@ -80,6 +80,8 @@ def test_survey_section2_matches_registry():
         "dedup_store_vacuum",  # round 8: store compaction lifecycle
         # round 9 (VERDICT r8 #5): stream -> ingest -> vacuum pipeline
         "stream_ingest_vacuum_lifecycle",
+        # round 10 (VERDICT r9 #4): IVM-maintained scorecard grains
+        "scorecard_incremental_maintenance",
     }, f"test-class rows drifted: {sorted(test_class)}"
 
 
