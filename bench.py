@@ -68,6 +68,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     build_jobs: dict[str, int] = {}
+    total_jobs: dict[str, int] = {}
     for name in names:
         best = float("inf")
         for _ in range(repeat):
@@ -82,6 +83,11 @@ def main() -> None:
             )
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # total jobs (build + the write's AQE chain): the
+            # structural jobs × per-job-floor cost of the query
+            total_jobs[name] = min(
+                total_jobs.get(name, 1 << 30), len(_jobs() - j0)
+            )
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
@@ -100,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "build_jobs": build_jobs,
+                "total_jobs": total_jobs,
                 "sf": sf,
             },
             fh,

@@ -1818,8 +1818,21 @@ def orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
         )
         .agg(F.sum(dec2("o_totalprice", 18)).alias("rev"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # LAZY checkpoint + ONE bounded collect (r10): the year bounds are
+    # a 1-row scalar — collecting them materializes the checkpoint and
+    # replaces the former eager job + TWO broadcast-build jobs (mx, mn
+    # were separate aggregates) with literals in the censor filter.
+    b_row = yr.agg(
+        F.max("y").alias("max_y"), F.min("y").alias("min_y")
+    ).collect()[0]
+    if b_row["max_y"] is None:  # no orders: empty matrix
+        return spark.createDataFrame(
+            [],
+            "y int, from_state string, to_state string, n_customers long",
+        )
+    max_y, min_y = int(b_row["max_y"]), int(b_row["min_y"])
     terc = yr.select(
         "y",
         "o_custkey",
@@ -1827,8 +1840,6 @@ def orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("y").orderBy("rev", "o_custkey"))
         .alias("t"),
     )
-    mx = yr.agg(F.max("y").alias("max_y"))
-    mn = yr.agg(F.min("y").alias("min_y"))
     a = terc.alias("a")
     b = terc.alias("b")
     trans = (
@@ -1838,11 +1849,9 @@ def orders_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b.y") == F.col("a.y") + 1),
             "full",
         )
-        .crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(mn))
         .filter(
-            (F.col("a.y").isNull() | (F.col("a.y") + 1 <= F.col("max_y")))
-            & (F.col("a.y").isNotNull() | (F.col("b.y") > F.col("min_y")))
+            (F.col("a.y").isNull() | (F.col("a.y") + 1 <= F.lit(max_y)))
+            & (F.col("a.y").isNotNull() | (F.col("b.y") > F.lit(min_y)))
         )
         .select(
             F.coalesce(F.col("b.y"), F.col("a.y") + 1).alias("y"),

@@ -795,11 +795,23 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
-    wedges = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2)
-        .cast("long")
-        .alias("n_wedges")
+    # LAZY degree checkpoint + bounded collect of the 1-row wedge
+    # total (r10): the collect materializes BOTH the edge and degree
+    # checkpoints (deg's plan reads e), so the closure pass below is
+    # the only remaining consumer chain — retires the former eager
+    # degree job AND the wedge broadcast-build job.
+    deg = (
+        adj.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    n_wedges = (
+        deg.agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .cast("long")
+            .alias("n_wedges")
+        ).collect()[0]["n_wedges"]
+        or 0
     )
     # Degree-descending orientation off the SAME degree frame the
     # denominator uses (see _orient_by_degree for the O(√m) bound).
@@ -826,11 +838,11 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return tri.crossJoin(F.broadcast(wedges)).select(
+    return tri.select(
         F.col("n_triangles").cast("long").alias("n_triangles"),
-        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.lit(int(n_wedges)).cast("long").alias("n_wedges"),
         F.round(
-            3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            3.0 * F.col("n_triangles") / F.lit(int(n_wedges)), 6
         ).alias("global_cc"),
     )
 

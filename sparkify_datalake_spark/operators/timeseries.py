@@ -832,12 +832,21 @@ def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.to_date(F.date_trunc("month", F.max("l_shipdate"))), 1
             ).alias("m_after_close")
         )
-        # eager: span (the orders⋈lineitem rollup — the expensive
-        # subtree) feeds the delta explode AND the grid bounds as
-        # concurrent branches; unchecked, the join+groupBy re-derives
-        # per consumer (6 parquet scans measured, 2 after)
-        .localCheckpoint()
+        # LAZY checkpoint (r10): span (the orders⋈lineitem rollup — the
+        # expensive subtree) feeds the delta explode AND the grid
+        # bounds; the bounds are a 1-row scalar, so COLLECTING them
+        # materializes the checkpoint (bounded-collect discipline) and
+        # the delta pass is then the only plan consumer — no eager job,
+        # no concurrent-branch race, still 2 parquet scans total
+        .localCheckpoint(eager=False)
     )
+    b = span.agg(
+        F.min("m_open").alias("lo"), F.max("m_after_close").alias("hi")
+    ).collect()[0]
+    if b["lo"] is None:  # no orders: empty grid, empty result
+        return spark.createDataFrame(
+            [], "month date, n_open long, n_opened long, n_closed long"
+        )
     # both ±1 deltas ride ONE explode per order (the union form
     # re-derived span once per arm)
     deltas = span.select(
@@ -858,26 +867,29 @@ def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("__d")
     ).select("__d.*")
-    bounds = span.agg(
-        F.min("m_open").alias("lo"), F.max("m_after_close").alias("hi")
+    # aggregate to month grain BEFORE touching the grid: the former
+    # grid-LEFT-JOIN-deltas shape shuffled every ±1 row onto ~30 month
+    # keys (the low-cardinality skew trap) and could never broadcast
+    # its data-sized right side; the partial-aggregated month frame is
+    # ~dozens of rows and broadcasts
+    md = deltas.groupBy(F.col("m").alias("month")).agg(
+        F.sum("delta").alias("delta"),
+        F.sum("opened").cast("long").alias("opened"),
+        F.sum("closed").cast("long").alias("closed"),
     )
-    grid = bounds.select(
+    grid = spark.range(1).select(
         F.explode(
-            F.expr("sequence(lo, hi, interval 1 month)")
+            F.expr(
+                f"sequence(to_date('{b['lo']}'), to_date('{b['hi']}'),"
+                " interval 1 month)"
+            )
         ).alias("month")
     )
-    monthly = (
-        grid.join(deltas, grid.month == deltas.m, "left")
-        .groupBy("month")
-        .agg(
-            F.coalesce(F.sum("delta"), F.lit(0)).alias("delta"),
-            F.coalesce(F.sum("opened"), F.lit(0)).cast("long").alias(
-                "n_opened"
-            ),
-            F.coalesce(F.sum("closed"), F.lit(0)).cast("long").alias(
-                "n_closed"
-            ),
-        )
+    monthly = grid.join(F.broadcast(md), "month", "left").select(
+        "month",
+        F.coalesce(F.col("delta"), F.lit(0)).alias("delta"),
+        F.coalesce(F.col("opened"), F.lit(0)).alias("n_opened"),
+        F.coalesce(F.col("closed"), F.lit(0)).alias("n_closed"),
     )
     w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
     return monthly.select(

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Three-point scaling exponents for the sealed tail ops (VERDICT r9
+#5): 8× → 64× → 256× over the deterministic probe fixtures.
+
+The 8×→64× two-point fit under-resolves ops whose small-point time sits
+near the scheduler job floor (fixed overhead deflates the measured
+exponent); the 256× tier separates a real super-linear term from floor
+noise. Fits both segment exponents and the overall 8×→256× slope.
+
+Writes SCALE_256.json at the repo root and prints one row per op.
+Usage:
+    SPARK_GRAFT_DRIVER_MEM=48g python tools/scale_probe_256.py \
+        [--ops a,b,c] [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+_TIERS = {
+    8.0: "/tmp/sparkify_probe_x8_v2",
+    64.0: "/tmp/sparkify_probe_x64_v2",
+    256.0: "/tmp/sparkify_probe_x256_v2",
+}
+
+# The r9-sealed top-10 tail + the wedge-join family + the exact-kNN
+# anchor the verdict called out (sim_knn_graph is O(n^2/blocks) BY
+# DESIGN — its exponent is reported, not bounded).
+_DEFAULT_OPS = [
+    "dedup_near_verified",
+    "graph_user_pagerank",
+    "pipeline_star_etl",
+    "graph_link_prediction",
+    "mine_basket_pairs",
+    "dedup_incremental",
+    "graph_label_propagation",
+    "mine_basket_triples",
+    "dedup_near",
+    "join_scd2_pit",
+    "graph_clustering_coefficient",
+    "graph_triangle_count",
+    "sim_knn_graph",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ops", default=",".join(_DEFAULT_OPS))
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "SCALE_256.json")
+    )
+    args = ap.parse_args()
+
+    from gen_probe_fixture import generate
+
+    from sparkify_datalake_spark.registry import queries
+    from sparkify_datalake_spark.session import get_spark
+
+    spark = get_spark("scale-256")
+    for scale, d in _TIERS.items():
+        generate(spark, d, scale)
+    qs = queries()
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    out: dict[str, dict] = {}
+    for name in args.ops.split(","):
+        times: dict[str, float] = {}
+        for scale, d in sorted(_TIERS.items()):
+            best = float("inf")
+            for _ in range(args.repeats):
+                t0 = time.monotonic()
+                qs[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.monotonic() - t0)
+            times[f"x{int(scale)}"] = round(best, 2)
+        e_8_64 = math.log(times["x64"] / times["x8"]) / math.log(8)
+        e_64_256 = math.log(times["x256"] / times["x64"]) / math.log(4)
+        e_all = math.log(times["x256"] / times["x8"]) / math.log(32)
+        out[name] = {
+            **times,
+            "exp_8_64": round(e_8_64, 2),
+            "exp_64_256": round(e_64_256, 2),
+            "exp_8_256": round(e_all, 2),
+        }
+        print(
+            f"{name}: {times['x8']}s / {times['x64']}s / {times['x256']}s"
+            f" => exponents {out[name]['exp_8_64']} /"
+            f" {out[name]['exp_64_256']} / {out[name]['exp_8_256']}",
+            flush=True,
+        )
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
