@@ -600,18 +600,25 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast: adjacency of a big graph doesn't fit) is exactly the
     # plan you want.
     n_part = spark.sparkContext.defaultParallelism
-    j1 = adj.select(F.col("u").alias("b_"), F.col("v").alias("a")).repartition(
-        n_part, "b_"
-    )
-    j2 = adj.select(F.col("u").alias("b2_"), F.col("v").alias("c")).repartition(
-        n_part, "b2_"
-    )
+    # Hub cap applied BEFORE the wedge fan-out (r10): the former shape
+    # enumerated wedges through EVERY center and only then inner-joined
+    # the capped-centers frame — correct (hub wedges were discarded)
+    # but the d² fan-out of the hubs still materialized into the
+    # shuffle: at the 256× probe the uncapped wedge spill exceeded the
+    # box's free disk (~69 GB) before the filter ever ran. Spark does
+    # not reorder inner joins without CBO stats, so the cap must be
+    # written upstream: filter the adjacency to capped centers first —
+    # identical output, and the shuffle now carries Σ_{d≤cap} d², which
+    # the cap bounds at any scale.
+    adjc = adj.join(F.broadcast(centers), "u")
+    j1 = adjc.select(
+        F.col("u").alias("b_"), F.col("v").alias("a"), "d"
+    ).repartition(n_part, "b_")
+    j2 = adjc.select(
+        F.col("u").alias("b2_"), F.col("v").alias("c")
+    ).repartition(n_part, "b2_")
     cand = (
         j1.join(j2, (F.col("b_") == F.col("b2_")) & (F.col("a") < F.col("c")))
-        .join(
-            F.broadcast(centers.select(F.col("u").alias("b_"), "d")),
-            "b_",
-        )
         .groupBy("a", "c")
         .agg(
             F.count(F.lit(1)).alias("cn"),

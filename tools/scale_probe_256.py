@@ -77,15 +77,25 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name in args.ops.split(","):
         times: dict[str, float] = {}
+        failed = None
         for scale, d in sorted(_TIERS.items()):
             best = float("inf")
-            for _ in range(args.repeats):
-                t0 = time.monotonic()
-                qs[name](spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.monotonic() - t0)
+            try:
+                for _ in range(args.repeats):
+                    t0 = time.monotonic()
+                    qs[name](spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.monotonic() - t0)
+            except Exception as exc:  # disk-full/OOM: isolate the op
+                failed = f"x{int(scale)}: {type(exc).__name__}"
+                break
             times[f"x{int(scale)}"] = round(best, 2)
+        if failed is not None:
+            out[name] = {**times, "failed": failed}
+            print(f"{name}: FAILED at {failed} (times so far {times})",
+                  flush=True)
+            continue
         e_8_64 = math.log(times["x64"] / times["x8"]) / math.log(8)
         e_64_256 = math.log(times["x256"] / times["x64"]) / math.log(4)
         e_all = math.log(times["x256"] / times["x8"]) / math.log(32)
