@@ -59,7 +59,42 @@ def main() -> None:
     ap.add_argument(
         "--out", default=os.path.join(REPO, "SCALE_256.json")
     )
+    ap.add_argument(
+        "--isolate",
+        action="store_true",
+        help="run each op in its own subprocess/JVM: a heap death on "
+        "one 256x op otherwise kills the session and cascades "
+        "instant failures onto every later op (hit round 10 with "
+        "mine_basket_pairs)",
+    )
     args = ap.parse_args()
+
+    if args.isolate:
+        import subprocess
+        import tempfile
+
+        merged: dict[str, dict] = {}
+        if os.path.exists(args.out):
+            with open(args.out) as fh:
+                merged = json.load(fh)
+        for name in args.ops.split(","):
+            with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--ops", name, "--repeats", str(args.repeats),
+                     "--out", tf.name],
+                    env=dict(os.environ),
+                )
+                try:
+                    with open(tf.name) as fh:
+                        merged.update(json.load(fh))
+                except (json.JSONDecodeError, OSError):
+                    merged[name] = {"failed": f"subprocess rc={r.returncode}"}
+                    print(f"{name}: subprocess died rc={r.returncode}",
+                          flush=True)
+        with open(args.out, "w") as fh:
+            json.dump(merged, fh, indent=1, sort_keys=True)
+        return
 
     from gen_probe_fixture import generate
 
