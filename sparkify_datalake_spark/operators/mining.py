@@ -13,6 +13,53 @@ from sparkify_datalake_spark.functions.determinism import cents_long
 from sparkify_datalake_spark.registry import query
 from sparkify_datalake_spark.sources.load import load
 
+
+def _baskets(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    """Distinct-item baskets as sorted arrays, capped at `cap` items,
+    spread to full machine width for the downstream combination
+    fan-out.
+
+    One order-grain aggregate: collect_set dedupes (order, item) inside
+    the partial buffers (no separate DISTINCT shuffle; buffer size is
+    bounded by the true per-order distinct-item count — ~4 in the
+    fixture family — and ObjectHashAggregate falls back to sort-based
+    merge under pressure). The trailing repartition is the wedge-join
+    AQE lesson (§7.3): the aggregate's output is byte-tiny so AQE
+    coalesces it to a handful of partitions, and the C(d,2)/C(d,3)
+    explode that follows would run nearly serial — the basket-grain
+    exchange is tiny (one array row per order) and buys a full-width
+    fan-out stage at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= cap)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def _pair_counts(baskets: DataFrame) -> DataFrame:
+    """(a, b, n) co-occurrence counts, a < b, from sorted basket
+    arrays — generator-only fan-out (posexplode + slice + explode, all
+    whole-stage-codegen; the transform-lambda formulation measured
+    2.5× slower at sf0.1 because Catalyst interprets HOF lambdas per
+    element). Emits ≤ C(cap, 2) rows per basket, then one pair-grain
+    shuffle.
+    """
+    ps = F.col("parts")
+    return (
+        baskets.select(F.posexplode(ps).alias("i", "a"), ps)
+        .select(
+            "a",
+            F.explode(
+                F.slice(ps, F.col("i") + F.lit(2), F.size(ps))
+            ).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
 _MAX_BASKET = 50
 _TOP_PAIRS = 20
 
@@ -59,55 +106,66 @@ def mine_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket analysis, a-priori first pass: the top-20
     co-purchased part pairs with support, confidence(a→b) and lift.
 
-    The scale-shaped formulation: baskets dedupe to DISTINCT (order,
-    item) first, oversized baskets are capped ( > 50 items — a
-    warehouse order that co-occurs with everything carries no signal
-    and makes the pair fan-out quadratic; the mega-bucket guard of
-    LSH dedup under another name), pairs generate through ONE
-    self-equi-join on the order key with part_a < part_b so each pair
-    counts once, and the metrics join the pair counts against the
-    (tiny, broadcastable) per-item counts. Ratios divide identical
-    integers in both engines → 6dp-exact; ORDER BY (count, pair) is
-    total, so the top-20 is a bounded heap (TakeOrderedAndProject),
-    never a global sort.
+    The scale-shaped formulation (r10 rewrite): baskets collapse to
+    sorted distinct-item arrays in ONE order-grain aggregate
+    (collect_set dedupes inside the partial buffers — no separate
+    DISTINCT shuffle), oversized baskets are capped ( > 50 items — a
+    warehouse order that co-occurs with everything carries no signal),
+    and pairs generate from the sorted array through codegen
+    generators: ≤ C(50,2) = 1225 rows per basket, so the fan-out is a
+    bounded map-side explode, never a data-sized self-join. The r9
+    shape (eager localCheckpoint of the kept items frame feeding a
+    self-equi-join) heap-died at the 256× probe materializing ~0.6 G
+    rows in row format; this shape carries nothing bigger than the
+    pair-grain counts. Pass 1 bounded-collects the top-20 pairs
+    (TakeOrderedAndProject over a total order). Pass 2 explodes
+    singles with a per-basket -1 sentinel prepended, filtered to the
+    ≤ 40 surviving keys — item counts AND n_orders (the sentinel's
+    count) in one ≤ 41-row collect. The 20-row assembly re-enters as
+    literals with the SAME round/division expressions as before — the
+    6dp ratios stay bit-identical to the oracle.
     """
-    li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("basket"))
-        .filter(F.col("basket") <= _MAX_BASKET)
-        .select("l_orderkey")
+    baskets = _baskets(spark, sf_dir, _MAX_BASKET)
+    head = (
+        _pair_counts(baskets)
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(_TOP_PAIRS)
+        .collect()
     )
-    # lazy checkpoint: the pair join consumes kept twice (both sides) —
-    # materialized by the final action, not a separate eager job; the
-    # corpus-size scalar rides a broadcast 1-row aggregate instead of a
-    # driver-side count() so the whole query is one job
-    kept = items.join(sized, "l_orderkey").localCheckpoint()
-    stats = sized.agg(F.count(F.lit(1)).alias("n_orders"))
-    item_n = kept.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    a = kept.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    top = [(int(r["a"]), int(r["b"]), int(r["n"])) for r in head]
+    item_n: dict[int, int] = {}
+    n_orders = 0
+    keys = sorted({a for a, _, _ in top} | {b for _, b, _ in top})
+    if keys:
+        singles = (
+            baskets.select(
+                F.explode(
+                    F.concat(
+                        F.array(F.lit(-1).cast("long")), F.col("parts")
+                    )
+                ).alias("p")
+            )
+            .filter(
+                (F.col("p") == -1)
+                | F.col("p").isin([int(k) for k in keys])
+            )
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        counts = {int(r["p"]): int(r["n"]) for r in singles}
+        n_orders = counts.pop(-1, 0)
+        item_n = counts
+    schema = (
+        "part_a long, part_b long, pair_n long, "
+        "n_a long, n_b long, n_orders long"
     )
-    b = kept.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = (
-        a.join(b, (a.k == b.k) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("pair_n"))
-    )
-    ia = item_n.select(
-        F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")
-    )
-    ib = item_n.select(
-        F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")
+    out = spark.createDataFrame(
+        [(a, b, n, item_n[a], item_n[b], n_orders) for a, b, n in top],
+        schema,
     )
     return (
-        pairs.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
-        .crossJoin(F.broadcast(stats))
-        .select(
+        out.select(
             "part_a",
             "part_b",
             "pair_n",
@@ -746,50 +804,76 @@ def mine_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     support — the 3-itemset extension of mine_basket_pairs (pair lift
     finds affinities; triples find bundles).
 
-    Scale shape is the a-priori pruning ladder: baskets dedupe and cap
-    at {_TRIPLE_MAX_BASKET} items (fan-out for triples is basket³ — the
-    cap bounds the worst task), candidate (a,b) prefixes must first be
-    frequent pairs (support ≥ {_TRIPLE_MIN_PAIR_N} — every sub-pair of
-    a frequent triple is frequent, so the filter is lossless), and only
-    THEN does the third self-join extend them. The frequent-pair frame
-    is vocabulary-sized and arrives broadcast onto the pair stream; all
-    joins are equi-joins on the order key. Ratios divide identical
-    integers (6dp-exact); the total ORDER BY makes the top-15 a bounded
-    heap.
+    Scale shape is the a-priori pruning ladder (r10 rewrite): baskets
+    collapse to sorted distinct-item arrays in one order-grain
+    collect_set aggregate and cap at {_TRIPLE_MAX_BASKET} items, then
+    BOTH candidate grains generate from the sorted array through
+    codegen generators — pairs (≤ C(25,2) = 300 rows/basket) and
+    triples (≤ C(25,3) = 2300) — so nothing bigger than the count
+    grains ever shuffles (the r9 shape checkpointed the kept-items
+    frame for a 3-way self-join; that materialization heap-died at the
+    256× probe in the pairs sibling). The a-priori prune is a
+    key-grain LEFT SEMI of the triple counts against frequent (a,b)
+    prefixes (pair support ≥ {_TRIPLE_MIN_PAIR_N} — every sub-pair of
+    a frequent triple is frequent, so pruning candidates pre- or
+    post-count is lossless and the counts are identical). Pass 1
+    bounded-collects the top-15 (total order); pass 2 is the 1-row
+    basket count. Ratios divide identical integers (6dp-exact) in the
+    literal re-entry frame.
     """
-    li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("basket"))
-        .filter(F.col("basket") <= _TRIPLE_MAX_BASKET)
-        .select("l_orderkey")
-    )
-    kept = items.join(sized, "l_orderkey").localCheckpoint()
-    a = kept.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = kept.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    c = kept.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pc"))
-    ab = a.join(b, "k").filter(F.col("pa") < F.col("pb"))
-    pairs = (
-        ab.groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
+    baskets = _baskets(spark, sf_dir, _TRIPLE_MAX_BASKET)
+    freq_pairs = (
+        _pair_counts(baskets)
         .filter(F.col("n") >= _TRIPLE_MIN_PAIR_N)
-        .select("pa", "pb")
+        .select("a", "b")
     )
+    ps = F.col("parts")
     tri = (
-        ab.join(F.broadcast(pairs), ["pa", "pb"])
-        .join(c, "k")
-        .filter(F.col("pb") < F.col("pc"))
-        .groupBy("pa", "pb", "pc")
-        .agg(F.count(F.lit(1)).alias("triple_n"))
-    )
-    stats = sized.agg(F.count(F.lit(1)).alias("n_orders"))
-    return (
-        tri.crossJoin(F.broadcast(stats))
+        baskets.select(F.posexplode(ps).alias("i", "a"), ps)
         .select(
-            F.col("pa").alias("part_a"),
-            F.col("pb").alias("part_b"),
-            F.col("pc").alias("part_c"),
+            "a",
+            F.posexplode(
+                F.slice(ps, F.col("i") + F.lit(2), F.size(ps))
+            ).alias("j", "b"),
+            ps,
+            "i",
+        )
+        .select(
+            "a",
+            "b",
+            F.explode(
+                F.slice(
+                    ps, F.col("i") + F.col("j") + F.lit(3), F.size(ps)
+                )
+            ).alias("c"),
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(freq_pairs, ["a", "b"], "semi")
+    )
+    head = (
+        tri.orderBy(F.col("n").desc(), "a", "b", "c")
+        .limit(_TOP_TRIPLES)
+        .collect()
+    )
+    top = [
+        (int(r["a"]), int(r["b"]), int(r["c"]), int(r["n"])) for r in head
+    ]
+    n_orders = 0
+    if top:
+        n_orders = int(
+            baskets.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        )
+    out = spark.createDataFrame(
+        [(a, b, c, n, n_orders) for a, b, c, n in top],
+        "part_a long, part_b long, part_c long, "
+        "triple_n long, n_orders long",
+    )
+    return (
+        out.select(
+            "part_a",
+            "part_b",
+            "part_c",
             F.col("triple_n").cast("long").alias("triple_n"),
             F.round(
                 F.col("triple_n") / F.col("n_orders").cast("double"), 6
