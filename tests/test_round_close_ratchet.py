@@ -44,3 +44,17 @@ def test_clean_round_seals():
     prev = {"a": 1.0, "b": 2.0}
     cur = {"a": 1.2, "b": 1.4}
     assert check_bench_ratchet(prev, cur, allowlist={}) == []
+
+
+def test_shifted_job_floor_does_not_trip():
+    # r10 failure mode: a post-reboot host added ~0.2s of fixed per-job
+    # floor to every query; sub-second untouched queries then sat over
+    # 1.5x across four windows AND a min-of-4 re-measure. The additive
+    # jitter allowance absorbs the floor shift...
+    prev = {"sim_pq_topk": 0.438, "graph_degree": 0.488, "dq_drift": 0.804}
+    cur = {"sim_pq_topk": 0.673, "graph_degree": 0.760, "dq_drift": 1.218}
+    assert check_bench_ratchet(prev, cur, allowlist={}) == []
+    # ...while a real regression on the same magnitude still trips.
+    assert check_bench_ratchet(
+        {"sim_pq_topk": 0.438}, {"sim_pq_topk": 1.2}, allowlist={}
+    ) == ["sim_pq_topk: 0.44s -> 1.20s"]
