@@ -50,6 +50,19 @@ def test_join_3way_broadcasts_all_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dedup_exact_shuffles_on_digest_not_text(spark):
+    # VERDICT r10 #2: the dedup shuffle key must be the md5 digest so
+    # the exchange carries ~32-byte keys, never whole documents.
+    plan = _plan(spark, "dedup_exact")
+    # the digest is computed map-side in the pre-shuffle Project...
+    assert "md5(cast(text" in plan, plan[:2000]
+    # ...and the one exchange partitions on it (Catalyst rewrites the
+    # groupBy alias to _groupingexpression), never on the raw text
+    assert re.search(r"hashpartitioning\((_k|_groupingexpression)#", plan), \
+        plan[:2000]
+    assert "hashpartitioning(text#" not in plan, plan[:2000]
+
+
 def test_agg_groupby_has_partial_and_final_agg(spark):
     plan = _plan(spark, "agg_groupby")
     assert "partial_" in plan, "map-side partial aggregation missing"

@@ -57,6 +57,20 @@ def main() -> None:
     ap.add_argument("--ops", default=",".join(_DEFAULT_OPS))
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument(
+        "--tiers",
+        default="8,64,256",
+        help="comma list of tiers to run (subset of 8,64,256) — for "
+        "by-design-quadratic anchors (sim_knn_graph) whose 256x point "
+        "would be a multi-hour O(n^2) burn; pair with --cap to record "
+        "WHY the top tier is skipped in the artifact",
+    )
+    ap.add_argument(
+        "--cap",
+        default=None,
+        help="documented-cap note stored as {'capped': ...} on every "
+        "op in this invocation (only meaningful with a reduced --tiers)",
+    )
+    ap.add_argument(
         "--out", default=os.path.join(REPO, "SCALE_256.json")
     )
     ap.add_argument(
@@ -79,12 +93,12 @@ def main() -> None:
                 merged = json.load(fh)
         for name in args.ops.split(","):
             with tempfile.NamedTemporaryFile(suffix=".json") as tf:
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--ops", name, "--repeats", str(args.repeats),
-                     "--out", tf.name],
-                    env=dict(os.environ),
-                )
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--ops", name, "--repeats", str(args.repeats),
+                       "--tiers", args.tiers, "--out", tf.name]
+                if args.cap:
+                    cmd += ["--cap", args.cap]
+                r = subprocess.run(cmd, env=dict(os.environ))
                 try:
                     with open(tf.name) as fh:
                         merged.update(json.load(fh))
@@ -92,8 +106,10 @@ def main() -> None:
                     merged[name] = {"failed": f"subprocess rc={r.returncode}"}
                     print(f"{name}: subprocess died rc={r.returncode}",
                           flush=True)
-        with open(args.out, "w") as fh:
-            json.dump(merged, fh, indent=1, sort_keys=True)
+            # Flush after EVERY op: a kill mid-run (or a later heap
+            # death taking the parent with it) keeps completed points.
+            with open(args.out, "w") as fh:
+                json.dump(merged, fh, indent=1, sort_keys=True)
         return
 
     from gen_probe_fixture import generate
@@ -101,8 +117,10 @@ def main() -> None:
     from sparkify_datalake_spark.registry import queries
     from sparkify_datalake_spark.session import get_spark
 
+    wanted = {float(t) for t in args.tiers.split(",")}
+    tiers = {s: d for s, d in _TIERS.items() if s in wanted}
     spark = get_spark("scale-256")
-    for scale, d in _TIERS.items():
+    for scale, d in tiers.items():
         generate(spark, d, scale)
     qs = queries()
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
@@ -113,7 +131,7 @@ def main() -> None:
     for name in args.ops.split(","):
         times: dict[str, float] = {}
         failed = None
-        for scale, d in sorted(_TIERS.items()):
+        for scale, d in sorted(tiers.items()):
             best = float("inf")
             try:
                 for _ in range(args.repeats):
@@ -131,21 +149,23 @@ def main() -> None:
             print(f"{name}: FAILED at {failed} (times so far {times})",
                   flush=True)
             continue
-        e_8_64 = math.log(times["x64"] / times["x8"]) / math.log(8)
-        e_64_256 = math.log(times["x256"] / times["x64"]) / math.log(4)
-        e_all = math.log(times["x256"] / times["x8"]) / math.log(32)
-        out[name] = {
-            **times,
-            "exp_8_64": round(e_8_64, 2),
-            "exp_64_256": round(e_64_256, 2),
-            "exp_8_256": round(e_all, 2),
-        }
-        print(
-            f"{name}: {times['x8']}s / {times['x64']}s / {times['x256']}s"
-            f" => exponents {out[name]['exp_8_64']} /"
-            f" {out[name]['exp_64_256']} / {out[name]['exp_8_256']}",
-            flush=True,
-        )
+        exps = {}
+        if "x8" in times and "x64" in times:
+            exps["exp_8_64"] = round(
+                math.log(times["x64"] / times["x8"]) / math.log(8), 2
+            )
+        if "x64" in times and "x256" in times:
+            exps["exp_64_256"] = round(
+                math.log(times["x256"] / times["x64"]) / math.log(4), 2
+            )
+        if "x8" in times and "x256" in times:
+            exps["exp_8_256"] = round(
+                math.log(times["x256"] / times["x8"]) / math.log(32), 2
+            )
+        out[name] = {**times, **exps}
+        if args.cap:
+            out[name]["capped"] = args.cap
+        print(f"{name}: {times} => {exps}", flush=True)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     spark.stop()
