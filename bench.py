@@ -32,6 +32,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def engine_tree_digest() -> str:
+    """Content hash of the engine source this bench run measures.
+
+    Stamped into BENCH_FULL_local.json so round_close._fold_windows can
+    REFUSE to fold a window recorded on a different tree (ADVICE r10:
+    a stale fast window would silently lower sealed minima and mask a
+    real regression). Hashes tracked .py content, not git HEAD, so
+    uncommitted engine edits change the digest too.
+    """
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    files = [os.path.join(root, "bench.py"),
+             os.path.join(root, "__spark_entry__.py")]
+    for dirpath, dirnames, filenames in os.walk(
+        os.path.join(root, "sparkify_datalake_spark")
+    ):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        files += [os.path.join(dirpath, f) for f in filenames
+                  if f.endswith(".py")]
+    for p in sorted(files):
+        h.update(os.path.relpath(p, root).encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # min-of-2 by default: this VM shows heavy CPU-steal noise (same query
@@ -99,6 +127,9 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_local.json"
     )
     with open(full_path, "w") as fh:
+        # Compact sort_keys formatting — identical to round_close's
+        # _remeasure/_fold_windows writes so sealed-artifact bytes don't
+        # depend on which code path last touched the file (ADVICE r10).
         json.dump(
             {
                 "metric": "total_query_wall_seconds",
@@ -108,9 +139,9 @@ def main() -> None:
                 "build_jobs": build_jobs,
                 "total_jobs": total_jobs,
                 "sf": sf,
+                "engine_tree": engine_tree_digest(),
             },
             fh,
-            indent=1,
             sort_keys=True,
         )
 

@@ -293,6 +293,17 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = ev.select(
         F.date_trunc("day", "ts").alias("d"), "user_id"
     ).distinct()
+    return _dau_wau_fold(du)
+
+
+def _dau_wau_fold(du: DataFrame) -> DataFrame:
+    """DAU/WAU cover fold over a DISTINCT (d, user_id) frame.
+
+    Shared between the live events_dau_wau query and the incrementally
+    maintained store (sources/matview_events.py), so incremental ==
+    recompute is a property of one set of expressions — the
+    scorecard_ivm discipline.
+    """
     bounds = du.agg(
         F.max("d").alias("maxd"),
         (F.min("d") + F.expr("INTERVAL 6 DAYS")).alias("mind6"),

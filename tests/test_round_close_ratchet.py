@@ -58,3 +58,58 @@ def test_shifted_job_floor_does_not_trip():
     assert check_bench_ratchet(
         {"sim_pq_topk": 0.438}, {"sim_pq_topk": 1.2}, allowlist={}
     ) == ["sim_pq_topk: 0.44s -> 1.20s"]
+
+
+def test_fold_refuses_mismatched_engine_tree(tmp_path, monkeypatch):
+    # ADVICE r10 (medium): a window recorded on a different engine tree
+    # must be refused, not silently folded into the sealed minima.
+    import json
+
+    import round_close
+
+    monkeypatch.setattr(round_close, "REPO", str(tmp_path))
+    (tmp_path / "BENCH_FULL_local.json").write_text(json.dumps(
+        {"queries": {"q": 2.0}, "value": 2.0, "engine_tree": "aaaa"}
+    ))
+    stale = tmp_path / "w_stale.json"
+    stale.write_text(json.dumps(
+        {"queries": {"q": 0.5}, "engine_tree": "bbbb"}
+    ))
+    try:
+        round_close._fold_windows([str(stale)])
+        raise AssertionError("stale-tree window folded")
+    except SystemExit as e:
+        assert e.code == 5
+    # digest-less windows (pre-stamp format) are refused too
+    nodigest = tmp_path / "w_nodigest.json"
+    nodigest.write_text(json.dumps({"queries": {"q": 0.5}}))
+    try:
+        round_close._fold_windows([str(nodigest)])
+        raise AssertionError("digest-less window folded")
+    except SystemExit as e:
+        assert e.code == 5
+
+
+def test_fold_same_tree_takes_minima_and_records_provenance(
+    tmp_path, monkeypatch
+):
+    import json
+
+    import round_close
+
+    monkeypatch.setattr(round_close, "REPO", str(tmp_path))
+    (tmp_path / "BENCH_FULL_local.json").write_text(json.dumps(
+        {"queries": {"q": 2.0, "r": 1.0}, "value": 3.0,
+         "engine_tree": "aaaa"}
+    ))
+    w = tmp_path / "w.json"
+    w.write_text(json.dumps(
+        {"queries": {"q": 0.5, "gone_query": 9.0}, "engine_tree": "aaaa"}
+    ))
+    round_close._fold_windows([str(w)])
+    out = json.loads((tmp_path / "BENCH_FULL_local.json").read_text())
+    assert out["queries"] == {"q": 0.5, "r": 1.0}  # min folded, stale dropped
+    assert out["value"] == 1.5
+    assert out["windows_folded"] == 2
+    (prov,) = out["windows_folded_files"]
+    assert prov["path"] == str(w) and len(prov["sha256"]) == 64

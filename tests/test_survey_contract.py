@@ -82,6 +82,8 @@ def test_survey_section2_matches_registry():
         "stream_ingest_vacuum_lifecycle",
         # round 10 (VERDICT r9 #4): IVM-maintained scorecard grains
         "scorecard_incremental_maintenance",
+        # round 11 (VERDICT r10 #7): IVM-maintained DAU/WAU user_days
+        "dau_wau_incremental_maintenance",
     }, f"test-class rows drifted: {sorted(test_class)}"
 
 

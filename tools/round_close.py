@@ -74,11 +74,22 @@ RATCHET_FLOOR_SECONDS = 0.6
 #: floor on this VM moves round-to-round (r10: a post-reboot host ran
 #: the whole code-identical suite ~1.27× slower than the r9 seal and
 #: held three sub-second untouched queries above 1.5× across four
-#:
 #: windows and a min-of-4 re-measure). A multiplicative gate alone can
 #: never pass on a host whose fixed floor shifted; the additive term
 #: absorbs a floor shift (~2-3 jobs × ~0.15 s) while a real plan
 #: regression on any nontrivial query still trips the factor.
+#:
+#: KNOWN WEAKENING (ADVICE r10, accepted deliberately): because the
+#: jitter stacks on the factor, a query just above the 0.6 s floor
+#: needs ~(1.5 + 0.35/t_prev)× ≈ 2× to trip — the gate is softest
+#: exactly at the floor boundary. The alternative
+#: max(factor·t_prev, t_prev + jitter) gate was evaluated and
+#: REJECTED: it re-trips the r10 false positive it was meant to fix
+#: (dq_category_drift-class: t_prev 0.80 s, a 2-job × ~0.2 s post-
+#: reboot floor shift lands at 1.22 s > max(1.21, 1.15)). Near-floor
+#: queries are jitter-dominated on this host; real regressions there
+#: are caught by the job-count census (test_job_budget) rather than
+#: wall time.
 RATCHET_JITTER_SECONDS = 0.35
 
 
@@ -195,28 +206,50 @@ def _fold_windows(paths: list[str]) -> None:
     This VM's ambient contention oscillates on ~10-20 min periods, so
     any single 20-minute sweep straddles loud bursts; r10 measured the
     code-identical suite 238-275 s across four windows against r9's
-    189.9 s seal, with DISJOINT inflated names each time. Callers pass
-    window files ({"queries": {name: sec}}) recorded on the SAME engine
-    tree (verify with `git log -- sparkify_datalake_spark/` before
-    folding — folding across code changes would hide a regression
-    behind a stale fast window). Only timings fold; the fresh sweep's
-    job counts stand. The folded window count is recorded for
-    provenance.
+    189.9 s seal, with DISJOINT inflated names each time.
+
+    The same-tree precondition is ENFORCED, not documented (ADVICE r10
+    medium): bench.py stamps an `engine_tree` content digest into every
+    window it writes, and a window whose digest is absent or differs
+    from the fresh sweep's is refused — a stale fast window from an
+    older tree would silently lower sealed minima and mask a real
+    regression. Only timings fold; the fresh sweep's job counts stand.
+    Provenance records each folded file's path, sha256, and digest.
     """
+    import hashlib
+
     full_path = os.path.join(REPO, "BENCH_FULL_local.json")
     with open(full_path) as f:
         full = json.load(f)
+    tree = full.get("engine_tree")
     declared = set(full["queries"])
+    prov = []
     for p in paths:
-        with open(p) as f:
-            w = json.load(f)["queries"]
-        for n, t in w.items():
+        with open(p, "rb") as f:
+            raw = f.read()
+        w = json.loads(raw)
+        w_tree = w.get("engine_tree")
+        if tree is None or w_tree != tree:
+            print(
+                f"FOLD REFUSED: {p} engine_tree={w_tree!r} does not "
+                f"match the fresh sweep's {tree!r} — window was "
+                "recorded on a different (or pre-digest) engine tree; "
+                "re-measure instead of folding", file=sys.stderr,
+            )
+            sys.exit(5)
+        for n, t in w["queries"].items():
             if n in declared:  # stale rows for deleted queries don't fold
                 full["queries"][n] = min(full["queries"][n], t)
+        prov.append({
+            "path": os.path.abspath(p),
+            "sha256": hashlib.sha256(raw).hexdigest(),
+            "engine_tree": w_tree,
+        })
     full["value"] = round(sum(full["queries"].values()), 3)
     full["windows_folded"] = len(paths) + 1
+    full["windows_folded_files"] = prov
     with open(full_path, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
+        json.dump(full, f, sort_keys=True)
     print(f"folded per-query minima from {len(paths)} earlier same-code "
           f"window(s); total {full['value']}s", file=sys.stderr)
 
@@ -226,6 +259,13 @@ def main() -> None:
     fold_paths = []
     while "--fold" in args:
         i = args.index("--fold")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            print("usage: round_close.py <round> [--fold window.json]... "
+                  "— each --fold needs a window-file path", file=sys.stderr)
+            sys.exit(2)
+        if not os.path.exists(args[i + 1]):
+            print(f"--fold {args[i + 1]}: no such file", file=sys.stderr)
+            sys.exit(2)
         fold_paths.append(args[i + 1])
         del args[i:i + 2]
     rnd = args[0] if args else "X"
