@@ -4287,3 +4287,97 @@ def stat_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.alias("ci_hi"),
         ((lo > 1.0) | (hi < 1.0)).alias("significant_5pct"),
     )
+
+
+@query(
+    "stat_cohens_kappa",
+    """
+WITH c AS (
+  SELECT
+    count(*) AS n,
+    count(CASE WHEN event_type IN ('purchase', 'signup')
+               AND value > 50 THEN 1 END) AS n11,
+    count(CASE WHEN event_type IN ('purchase', 'signup')
+               AND NOT value > 50 THEN 1 END) AS n10,
+    count(CASE WHEN event_type NOT IN ('purchase', 'signup')
+               AND value > 50 THEN 1 END) AS n01,
+    count(CASE WHEN event_type NOT IN ('purchase', 'signup')
+               AND NOT value > 50 THEN 1 END) AS n00
+  FROM events
+),
+k AS (
+  SELECT n, n11, n10, n01, n00,
+    (n11 + n00) / CAST(n AS DOUBLE) AS po,
+    ((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+      + ((n01 + n00) / CAST(n AS DOUBLE)) * ((n10 + n00) / CAST(n AS DOUBLE))
+      AS pe
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+  CAST(n00 AS BIGINT) AS n00,
+  round(po, 6) AS po, round(pe, 6) AS pe,
+  round((po - pe) / (1 - pe), 6) AS kappa,
+  CASE WHEN round((po - pe) / (1 - pe), 6) < 0 THEN 'poor'
+       WHEN round((po - pe) / (1 - pe), 6) < 0.2 THEN 'slight'
+       WHEN round((po - pe) / (1 - pe), 6) < 0.4 THEN 'fair'
+       WHEN round((po - pe) / (1 - pe), 6) < 0.6 THEN 'moderate'
+       WHEN round((po - pe) / (1 - pe), 6) < 0.8 THEN 'substantial'
+       ELSE 'almost_perfect' END AS strength
+FROM k
+""",
+)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between two binary
+    "raters" over events — rater A flags conversion-intent types
+    (purchase/signup), rater B flags high-value interactions
+    (value > 50). Raw accuracy (po) is inflated whenever the margins
+    are skewed; kappa subtracts the agreement two INDEPENDENT raters
+    with these margins would reach by luck (pe) — the standard
+    agreement readout for label-quality audits (annotator vs
+    heuristic, model vs model) over training corpora.
+
+    Scale shape: ONE conditional-count pass over the fact table (four
+    partial-aggregatable CASE counters — far under the 16-buffer A/B
+    bar), then closed-form arithmetic on the 1-row frame. pe is
+    composed from per-margin DOUBLE divisions (never n_a*n_b integer
+    products, which overflow BIGINT past ~10^9 rows each); the
+    division order matches the oracle expression exactly and the
+    Landis-Koch strength bucket derives from the ROUNDED kappa (the
+    stat_jarque_bera discipline), so the label can't flip on an ulp.
+    """
+    ev = load(spark, sf_dir, "events")
+    a = F.col("event_type").isin("purchase", "signup")
+    b = F.col("value") > 50
+    c = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(a & b, 1)).alias("n11"),
+        F.count(F.when(a & ~b, 1)).alias("n10"),
+        F.count(F.when(~a & b, 1)).alias("n01"),
+        F.count(F.when(~a & ~b, 1)).alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / nd
+    pe = ((F.col("n11") + F.col("n10")) / nd) * (
+        (F.col("n11") + F.col("n01")) / nd
+    ) + ((F.col("n01") + F.col("n00")) / nd) * (
+        (F.col("n10") + F.col("n00")) / nd
+    )
+    kappa = F.round((po - pe) / (1 - pe), 6)
+    return c.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        kappa.alias("kappa"),
+        F.when(kappa < 0, "poor")
+        .when(kappa < 0.2, "slight")
+        .when(kappa < 0.4, "fair")
+        .when(kappa < 0.6, "moderate")
+        .when(kappa < 0.8, "substantial")
+        .otherwise("almost_perfect")
+        .alias("strength"),
+    )

@@ -983,3 +983,95 @@ def mine_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_xy").desc(), "px", "py")
         .limit(20)
     )
+
+
+@query(
+    "events_audience_overlap",
+    """
+WITH tu AS (
+  SELECT DISTINCT event_type AS t, user_id AS u FROM events
+),
+sizes AS (
+  SELECT t, count(*) AS n FROM tu GROUP BY 1
+),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+  CAST(n_both AS BIGINT) AS n_both,
+  round(n_both / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard,
+  round(n_both / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+FROM pairs
+JOIN sizes sa ON sa.t = type_a
+JOIN sizes sb ON sb.t = type_b
+""",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: for every type
+    pair, the distinct-user intersection with Jaccard and
+    smaller-side containment — the segment-overlap matrix behind
+    "do purchasers also file errors?" audience questions, and the
+    cross-source sibling of dedup_cross_source_overlap on the events
+    side.
+
+    Scale shape (the mine_basket_pairs generator discipline, not a
+    data-sized self-join): one distinct shuffle collapses events to
+    per-user sorted type-set arrays (collect_set dedupes inside the
+    partial buffers), then singles [t, NULL] and ordered pairs [a, b]
+    generate map-side from each ≤|types|-long array — fan-out is
+    C(|types|, 2) per user, bounded by the type vocabulary, never by
+    events. One tiny (a, b)-keyed count shuffle (≤ |types|² rows)
+    follows; the per-type audience sizes are the NULL-b rows of the
+    SAME aggregate (lazily checkpointed — both consumers read the
+    15-row result, not the events scan), bounded-collected as a
+    literal map for the ratio assembly. Ratios use the oracle's exact
+    division expressions on integer counts.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+    )
+    combined = F.expr(
+        """
+        concat(
+          transform(ts, x -> struct(x AS a, CAST(NULL AS STRING) AS b)),
+          flatten(transform(ts, (x, i) ->
+            transform(slice(ts, i + 2, size(ts)),
+                      y -> struct(x AS a, y AS b))))
+        )
+        """
+    )
+    counts = (
+        per_user.select(F.explode(combined).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # ≤ |types|² rows, two consumers
+    )
+    sizes = {
+        r["a"]: int(r["n"]) for r in counts.filter(F.col("b").isNull()).collect()
+    }
+    size_map = F.create_map(
+        *[F.lit(x) for kv in sizes.items() for x in kv]
+    )
+    n_a = size_map[F.col("a")]
+    n_b = size_map[F.col("b")]
+    n_both = F.col("n")
+    return counts.filter(F.col("b").isNotNull()).select(
+        F.col("a").alias("type_a"),
+        F.col("b").alias("type_b"),
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        n_both.cast("long").alias("n_both"),
+        F.round(
+            n_both / (n_a + n_b - n_both).cast("double"), 6
+        ).alias("jaccard"),
+        F.round(
+            n_both / F.least(n_a, n_b).cast("double"), 6
+        ).alias("containment"),
+    )

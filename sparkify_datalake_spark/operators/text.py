@@ -2499,3 +2499,58 @@ def text_js_drift_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("test").alias("split"), "js_vs_train_bits"
     )
     return valid.unionByName(test).orderBy("split")
+
+
+@query(
+    "dedup_cluster_sizes",
+    """
+WITH g AS (
+  SELECT count(*) AS sz FROM documents GROUP BY text
+),
+tot AS (
+  SELECT CAST(sum(sz) AS BIGINT) AS n_docs_total FROM g
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+  CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(sz * count(*) AS BIGINT) AS n_docs,
+  round((sz * count(*)) / CAST(t.n_docs_total AS DOUBLE), 6) AS doc_share
+FROM g CROSS JOIN tot t
+GROUP BY sz, t.n_docs_total
+""",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size spectrum: how many dup clusters
+    exist at each size and what share of the corpus sits in them — the
+    count-of-counts histogram that tells a curation run whether its
+    duplication is a few mega-clusters (boilerplate/templates: cap or
+    drop) or a long tail of doubletons (crawl overlap: plain dedup
+    suffices). Complements dedup_exact (the survivor map) and
+    dedup_yield_report (pipeline yield) with the distribution view —
+    the same spectrum text_freq_spectrum computes for tokens, lifted
+    to duplicate groups.
+
+    Scale shape: groupBy md5(text) — the dedup_exact 16-byte-key
+    shuffle discipline — then a count-of-counts re-aggregate whose key
+    space is tiny (distinct cluster sizes). The corpus total enters as
+    one bounded scalar collect (metadata-cheap count), applied as a
+    literal with the oracle's exact division, so no second scan joins
+    back.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_total = docs.count()
+    return (
+        docs.groupBy(F.md5("text").alias("_k"))
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            F.round(
+                (F.col("sz") * F.col("n_clusters"))
+                / F.lit(float(n_total)),
+                6,
+            ).alias("doc_share"),
+        )
+    )
