@@ -786,3 +786,78 @@ def fn_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fiscal_year", "fiscal_quarter", "fiscal_period")
     )
+
+
+@query(
+    "fn_geo_haversine",
+    """
+WITH pts AS (
+  SELECT c_nationkey,
+    (c_custkey * 7919 % 17000) / 100.0 - 85.0 AS lat,
+    (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+),
+d AS (
+  SELECT c_nationkey,
+    CAST(round(
+      2.0 * 6371.0088 * asin(sqrt(
+        sin(radians(lat) / 2) * sin(radians(lat) / 2)
+        + cos(radians(lat)) * cos(radians(48.8566))
+          * sin(radians(lon - 2.3522) / 2)
+          * sin(radians(lon - 2.3522) / 2)
+      )), 4) AS DECIMAL(18, 4)) AS km
+  FROM pts
+)
+SELECT c_nationkey,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  round(CAST(sum(km) AS DOUBLE) / count(*), 4) AS avg_km,
+  CAST(min(km) AS DOUBLE) AS min_km,
+  CAST(max(km) AS DOUBLE) AS max_km
+FROM d GROUP BY c_nationkey
+""",
+)
+def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance as a pure column expression:
+    each customer gets a deterministic pseudo-coordinate derived from
+    its key by integer-mod arithmetic (an exact 0.01-degree grid — no
+    engine-hash dependence), and the distance to a fixed reference
+    point (48.8566 N, 2.3522 E) rolls up per nation. Exercises the
+    full trig inventory (radians/sin/cos/asin/sqrt) through whole-stage
+    codegen — the geo-join primitive a scale pipeline composes for
+    store-proximity or geo-dedup blocking before any geohash index
+    exists.
+
+    Float discipline: per-row distances are rounded to 4 dp and cast
+    to DECIMAL(18,4) BEFORE the sum, so the per-nation totals are
+    exact decimal arithmetic in both engines regardless of partition
+    summation order; the only residual FP surface is libm trig on
+    identical doubles (last-ulp risk at the 4 dp boundary, ~1e-9 per
+    row). Scale shape: one scan, map-side partial aggregation to the
+    25-key nation grain — no joins, no windows.
+    """
+    cust = load(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") * 7919 % 17000) / 100.0 - 85.0
+    lon = (F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0
+    ref_lat, ref_lon = 48.8566, 2.3522
+    hav = (
+        F.sin(F.radians(lat) / 2) * F.sin(F.radians(lat) / 2)
+        + F.cos(F.radians(lat))
+        * F.cos(F.radians(F.lit(ref_lat)))
+        * F.sin(F.radians(lon - ref_lon) / 2)
+        * F.sin(F.radians(lon - ref_lon) / 2)
+    )
+    km = F.round(
+        F.lit(2.0) * 6371.0088 * F.asin(F.sqrt(hav)), 4
+    ).cast("decimal(18,4)")
+    return (
+        cust.select("c_nationkey", km.alias("km"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum("km").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_km"),
+            F.min("km").cast("double").alias("min_km"),
+            F.max("km").cast("double").alias("max_km"),
+        )
+    )

@@ -2215,3 +2215,62 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h_bits", 6).alias("h_bits"),
         F.round(pi * F.col("h_bits"), 6).alias("rate_contrib"),
     )
+
+
+@query(
+    "orders_theil_inequality",
+    """
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS spend
+  FROM orders GROUP BY 1
+),
+seg AS (
+  SELECT c.c_mktsegment AS segment, s.spend
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+)
+SELECT segment,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  round(sum(spend) / count(*), 2) AS mean_spend,
+  round(sum(spend * ln(spend)) / sum(spend)
+        - ln(sum(spend) / count(*)), 6) AS theil_t
+FROM seg GROUP BY segment
+""",
+)
+def orders_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend per market segment —
+    the decomposable member of the inequality family (events_gini,
+    events_lorenz_curve): unlike Gini, Theil splits exactly into
+    within-group + between-group terms, so per-segment T values can be
+    recombined into a corpus-level decomposition, and it needs no
+    sorted/ranked pass at all. Algebraic form used:
+    T = (1/n)Σ(x/μ)ln(x/μ) = Σx·ln x / Σx − ln μ, which turns the
+    whole statistic into three distributive sums (n, Σx, Σx·ln x) —
+    one ordinary aggregate, where Gini's rank construction costs a
+    per-group sort window.
+
+    Scale shape: groupBy custkey (key-grain shuffle with map-side
+    partials), join the customer dim on its key (broadcast at dim
+    scale), then a 5-key segment rollup. No window, no sort, no
+    re-scan: the textbook "sufficient statistics" pattern —
+    the same shape at 100 TB, with AQE free to pick the join side.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend")
+    )
+    seg = spend.join(
+        cust.select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        "o_custkey",
+    )
+    s = F.sum("spend")
+    n = F.count(F.lit(1))
+    sxl = F.sum(F.col("spend") * F.log("spend"))
+    return seg.groupBy("segment").agg(
+        n.cast("long").alias("n_customers"),
+        F.round(s / n, 2).alias("mean_spend"),
+        F.round(sxl / s - F.log(s / n), 6).alias("theil_t"),
+    )

@@ -2554,3 +2554,126 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_share"),
         )
     )
+
+
+@query(
+    "text_hapax_stats",
+    """
+WITH tok AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2
+)
+SELECT lang,
+  CAST(sum(n) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS vocab_size,
+  CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS hapax_count,
+  CAST(count(CASE WHEN n = 2 THEN 1 END) AS BIGINT) AS dis_count,
+  round(count(CASE WHEN n = 1 THEN 1 END) / CAST(count(*) AS DOUBLE), 6)
+    AS hapax_vocab_ratio,
+  round(count(CASE WHEN n = 1 THEN 1 END) / CAST(sum(n) AS DOUBLE), 6)
+    AS hapax_token_share
+FROM counts GROUP BY lang
+""",
+)
+def text_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax/dis legomena profile per language: vocabulary size, the
+    once- and twice-occurring type counts, and their ratios — the
+    lexical-sparsity readout a corpus curator reads next to
+    text_vocab_growth (a high hapax share means the unigram LM tail is
+    unestimated and near-dup shingling will under-weight rare spans;
+    a LOW share on web text usually means boilerplate contraction).
+    Good-Turing's N1/N is exactly hapax_token_share — the missing-mass
+    estimate for unseen types.
+
+    Scale shape: explode to (lang, token) → count (map-side partial
+    combine does the heavy lift), then one tiny per-lang rollup whose
+    key space is the language vocabulary — integer counts throughout,
+    divisions only in the final projection, so the doubles are
+    engine-exact before the cosmetic round.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    one = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    two = F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+    return counts.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        one.cast("long").alias("hapax_count"),
+        two.cast("long").alias("dis_count"),
+        F.round(
+            one / F.count(F.lit(1)).cast("double"), 6
+        ).alias("hapax_vocab_ratio"),
+        F.round(one / F.sum("n").cast("double"), 6).alias(
+            "hapax_token_share"
+        ),
+    )
+
+
+@query(
+    "text_simpson_diversity",
+    """
+WITH tok AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2
+)
+SELECT lang,
+  CAST(sum(n) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS vocab_size,
+  round(sum(n * (n - 1)) / (sum(n) * CAST(sum(n) - 1 AS DOUBLE)), 6)
+    AS simpson_lambda,
+  round(1.0 - sum(n * (n - 1)) / (sum(n) * CAST(sum(n) - 1 AS DOUBLE)), 6)
+    AS simpson_diversity,
+  round(1.0 / (sum(n * (n - 1)) / (sum(n) * CAST(sum(n) - 1 AS DOUBLE))), 4)
+    AS inverse_simpson
+FROM counts GROUP BY lang
+""",
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration / diversity of the token distribution per
+    language, using the UNBIASED estimator λ = Σ n_i(n_i−1) / (N(N−1))
+    (the probability two tokens drawn WITHOUT replacement are the same
+    type). Complements the entropy-family readouts (text_zipf_fit,
+    text_freq_spectrum, agg_entropy): λ is dominated by the head of
+    the distribution where entropy is tail-sensitive, so the pair
+    (λ, H) separates "peaked but long-tailed" from "flat" corpora;
+    1/λ is the effective vocabulary ("how many equally-common types
+    would look like this").
+
+    Scale shape: same (lang, token) count grain as text_hapax_stats —
+    map-side combine on the explode, one per-lang rollup. The
+    numerator Σ n(n−1) and denominator N(N−1) are exact BIGINT sums;
+    the single division is the only double, so the statistic is
+    engine-exact to the bit before rounding.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ssq = F.sum(F.col("n") * (F.col("n") - 1))
+    n_tok = F.sum("n")
+    lam = ssq / (n_tok * (n_tok - 1).cast("double"))
+    return counts.groupBy("lang").agg(
+        n_tok.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(lam, 6).alias("simpson_lambda"),
+        F.round(F.lit(1.0) - lam, 6).alias("simpson_diversity"),
+        F.round(F.lit(1.0) / lam, 4).alias("inverse_simpson"),
+    )

@@ -2697,3 +2697,105 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "ts_mase_eval",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.event_type, a.d, a.n,
+         b.n AS n_lag7,
+         abs(a.n - b.n) AS abs_err
+  FROM daily a
+  JOIN daily b
+    ON a.event_type = b.event_type AND b.d = a.d - 7
+),
+split AS (
+  SELECT event_type,
+    count(CASE WHEN d <  DATE '2024-01-24' THEN 1 END) AS n_train,
+    count(CASE WHEN d >= DATE '2024-01-24' THEN 1 END) AS n_test,
+    sum(CASE WHEN d <  DATE '2024-01-24' THEN abs_err END) AS sae_train,
+    sum(CASE WHEN d >= DATE '2024-01-24' THEN abs_err END) AS sae_test,
+    sum(CASE WHEN d >= DATE '2024-01-24'
+        THEN 2.0 * abs_err / (n + n_lag7) END) AS ssmape_test
+  FROM paired GROUP BY event_type
+)
+SELECT event_type,
+  CAST(n_test AS BIGINT) AS n_test_days,
+  round(sae_test / CAST(n_test AS DOUBLE), 4) AS mae_test,
+  round((sae_test / CAST(n_test AS DOUBLE))
+        / (sae_train / CAST(n_train AS DOUBLE)), 6) AS mase,
+  round(ssmape_test / n_test, 6) AS smape_test
+FROM split
+""",
+)
+def ts_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation for the seasonal-naive baseline:
+    MASE and sMAPE of the lag-7 ("same weekday last week") forecast of
+    daily event counts, per event type, on a held-out final week. MASE
+    (Hyndman-Koehler) divides the test MAE by the TRAIN-period MAE of
+    the same seasonal-naive — scale-free, defined when counts hit
+    zero (unlike MAPE), and directly comparable across types; a
+    MASE < 1 means the holdout week was EASIER than the training
+    weeks for this baseline, so a model must beat it by more than the
+    printed ratio to claim skill. Completes the forecasting family —
+    ts_forecast_snaive/holt/holt_winters produce forecasts, this row
+    scores one — mirroring the eval discipline text_langid_eval
+    applies to the language classifier.
+
+    Scale shape: raw events contract to the (type, day) count grain
+    FIRST (map-side combine; key space = types × days, tiny at any SF);
+    the lag-7 pairing is an equijoin of that grain against itself on
+    (type, d−7) — engine-exact date arithmetic, no row-frame window
+    that would mis-lag across calendar gaps — and the per-type rollup
+    runs on integer |errors| so every double is born in the final
+    divisions. One key-grain shuffle + one tiny join at any scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lagged = daily.select(
+        "event_type",
+        F.date_add(F.col("d"), 7).alias("d"),
+        F.col("n").alias("n_lag7"),
+    )
+    paired = daily.join(lagged, ["event_type", "d"]).withColumn(
+        "abs_err", F.abs(F.col("n") - F.col("n_lag7"))
+    )
+    cut = F.col("d") >= F.lit("2024-01-24").cast("date")
+    split = paired.groupBy("event_type").agg(
+        F.sum(F.when(~cut, 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(cut, 1).otherwise(0)).alias("n_test"),
+        F.sum(F.when(~cut, F.col("abs_err"))).alias("sae_train"),
+        F.sum(F.when(cut, F.col("abs_err"))).alias("sae_test"),
+        F.sum(
+            F.when(
+                cut,
+                F.lit(2.0)
+                * F.col("abs_err")
+                / (F.col("n") + F.col("n_lag7")),
+            )
+        ).alias("ssmape_test"),
+    )
+    mae_test = F.col("sae_test") / F.col("n_test").cast("double")
+    mae_train = F.col("sae_train") / F.col("n_train").cast("double")
+    return split.select(
+        "event_type",
+        F.col("n_test").cast("long").alias("n_test_days"),
+        F.round(mae_test, 4).alias("mae_test"),
+        F.round(mae_test / mae_train, 6).alias("mase"),
+        F.round(F.col("ssmape_test") / F.col("n_test"), 6).alias(
+            "smape_test"
+        ),
+    )
