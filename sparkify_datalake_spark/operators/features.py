@@ -4381,3 +4381,181 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("almost_perfect")
         .alias("strength"),
     )
+
+
+@query(
+    "stat_fisher_exact",
+    """
+WITH samp AS (
+  SELECT lang, n_chars FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT 200
+),
+cells AS (
+  SELECT
+    count(CASE WHEN lang = 'en' AND n_chars > 300 THEN 1 END) AS a,
+    count(CASE WHEN lang = 'en' AND n_chars <= 300 THEN 1 END) AS b,
+    count(CASE WHEN lang <> 'en' AND n_chars > 300 THEN 1 END) AS c,
+    count(CASE WHEN lang <> 'en' AND n_chars <= 300 THEN 1 END) AS d,
+    count(*) AS n
+  FROM samp
+),
+grid AS (
+  SELECT t.a, t.b, t.c, t.d, t.n,
+         t.a + t.b AS r1, t.c + t.d AS r2, t.a + t.c AS c1,
+         gs.k
+  FROM cells t
+  CROSS JOIN (SELECT unnest(generate_series(0, 200)) AS k) gs
+  WHERE gs.k >= greatest(0, (t.a + t.b) + (t.a + t.c) - t.n)
+    AND gs.k <= least(t.a + t.b, t.a + t.c)
+),
+lnu AS (
+  SELECT a, b, c, d, n, k,
+    sum(CASE WHEN k = greatest(0, r1 + c1 - n) THEN 0.0
+        ELSE ln((r1 - k + 1.0) * (c1 - k + 1.0))
+           - ln(k * (r2 - c1 + k + 0.0)) END)
+      OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS lu
+  FROM grid
+),
+p AS (
+  SELECT a, b, c, d, n, k, exp(lu - max(lu) OVER ()) AS u FROM lnu
+),
+norm AS (
+  SELECT a, b, c, d, n, k,
+    u / sum(u) OVER () AS pk,
+    max(CASE WHEN k = a THEN u END) OVER () AS u_obs,
+    sum(u) OVER () AS u_tot
+  FROM p
+)
+SELECT
+  CAST(any_value(n) AS BIGINT) AS n_sample,
+  CAST(any_value(a) AS BIGINT) AS n_en_long,
+  CAST(any_value(b) AS BIGINT) AS n_en_short,
+  CAST(any_value(c) AS BIGINT) AS n_other_long,
+  CAST(any_value(d) AS BIGINT) AS n_other_short,
+  round(any_value(a * d) / CAST(any_value(b * c) AS DOUBLE), 4)
+    AS odds_ratio,
+  round(sum(CASE WHEN pk <= 1.0000001 * u_obs / u_tot
+            THEN pk ELSE 0 END), 6) AS p_two_sided
+FROM norm
+""",
+)
+def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test on a 2x2 contingency table — language
+    (en vs other) x document length (>300 chars) over a PINNED
+    200-document sample (top-200 by md5(doc_id): deterministic,
+    O(1) in SF — the dedup_near_exact anchor discipline). Fisher is
+    the SMALL-SAMPLE member of the independence family: where
+    stat_chi2_independence's asymptotics break down (expected cell
+    < 5), the hypergeometric enumeration is exact — so the bounded
+    sample isn't a compromise, it is the test's actual domain; at
+    data scale you use chi2/G-test (both shipped), and this row is
+    the calibration anchor for them.
+
+    Factorial-free enumeration: the hypergeometric pmf is built as a
+    RATIO RECURRENCE along the support —
+    u(k+1)/u(k) = (r1−k)(c1−k) / ((k+1)(r2−c1+k+1)) — unrolled as an
+    ordered cumulative sum of ln-ratios (one window over ≤201 rows),
+    max-subtracted for overflow safety, then normalized by Σu (the
+    pmf sums to 1), so no lgamma/factorial function is needed in
+    either engine and the cumsum order is identical. Two-sided
+    p sums all pk ≤ p_obs·(1+1e-7) — the standard "as or more
+    extreme by probability" convention with a relative tolerance
+    for the FP boundary.
+
+    Scale shape: one bounded top-k heap (16-byte sort key) + ≤201-row
+    driver-light arithmetic; nothing downstream of the sample scales
+    with the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    samp = (
+        docs.select("doc_id", "lang", "n_chars")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(200)
+    )
+    cells = samp.agg(
+        F.sum(
+            F.when((F.col("lang") == "en") & (F.col("n_chars") > 300), 1)
+            .otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("lang") == "en") & (F.col("n_chars") <= 300), 1)
+            .otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("lang") != "en") & (F.col("n_chars") > 300), 1)
+            .otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("lang") != "en") & (F.col("n_chars") <= 300), 1)
+            .otherwise(0)
+        ).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    grid = (
+        cells.select(
+            "a", "b", "c", "d", "n",
+            (F.col("a") + F.col("b")).alias("r1"),
+            (F.col("c") + F.col("d")).alias("r2"),
+            (F.col("a") + F.col("c")).alias("c1"),
+            F.explode(F.sequence(F.lit(0), F.lit(200))).alias("k"),
+        )
+        .filter(
+            (F.col("k") >= F.greatest(
+                F.lit(0), F.col("r1") + F.col("c1") - F.col("n")
+            ))
+            & (F.col("k") <= F.least(F.col("r1"), F.col("c1")))
+        )
+    )
+    kmin = F.greatest(F.lit(0), F.col("r1") + F.col("c1") - F.col("n"))
+    delta = F.when(F.col("k") == kmin, F.lit(0.0)).otherwise(
+        F.log(
+            (F.col("r1") - F.col("k") + 1.0)
+            * (F.col("c1") - F.col("k") + 1.0)
+        )
+        - F.log(
+            F.col("k")
+            * (F.col("r2") - F.col("c1") + F.col("k") + 0.0)
+        )
+    )
+    w_cum = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    lnu = grid.select(
+        "a", "b", "c", "d", "n", "k", F.sum(delta).over(w_cum).alias("lu")
+    )
+    p = lnu.select(
+        "a", "b", "c", "d", "n", "k",
+        F.exp(F.col("lu") - F.max("lu").over(w_all)).alias("u"),
+    )
+    norm = p.select(
+        "a", "b", "c", "d", "n", "k",
+        (F.col("u") / F.sum("u").over(w_all)).alias("pk"),
+        F.max(F.when(F.col("k") == F.col("a"), F.col("u"))).over(w_all)
+        .alias("u_obs"),
+        F.sum("u").over(w_all).alias("u_tot"),
+    )
+    return norm.agg(
+        F.any_value("n").cast("long").alias("n_sample"),
+        F.any_value("a").cast("long").alias("n_en_long"),
+        F.any_value("b").cast("long").alias("n_en_short"),
+        F.any_value("c").cast("long").alias("n_other_long"),
+        F.any_value("d").cast("long").alias("n_other_short"),
+        F.round(
+            F.any_value(F.col("a") * F.col("d"))
+            / F.any_value(F.col("b") * F.col("c")).cast("double"),
+            4,
+        ).alias("odds_ratio"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("pk")
+                    <= 1.0000001 * F.col("u_obs") / F.col("u_tot"),
+                    F.col("pk"),
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("p_two_sided"),
+    )

@@ -2677,3 +2677,125 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) - lam, 6).alias("simpson_diversity"),
         F.round(F.lit(1.0) / lam, 4).alias("inverse_simpson"),
     )
+
+
+@query(
+    "text_js_attribution",
+    """
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+counts AS (
+  SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, sum(n) AS tot FROM counts GROUP BY 1
+),
+p AS (
+  SELECT token,
+    coalesce(max(CASE WHEN c.source = 'src0'
+      THEN n / CAST(t.tot AS DOUBLE) END), 0.0) AS p0,
+    coalesce(max(CASE WHEN c.source = 'src1'
+      THEN n / CAST(t.tot AS DOUBLE) END), 0.0) AS p1
+  FROM counts c JOIN totals t ON c.source = t.source
+  GROUP BY token
+),
+contrib AS (
+  SELECT token, p0, p1,
+    round(
+      CASE WHEN p0 > 0
+        THEN 0.5 * p0 * log2(p0 / ((p0 + p1) / 2)) ELSE 0 END
+      + CASE WHEN p1 > 0
+        THEN 0.5 * p1 * log2(p1 / ((p0 + p1) / 2)) ELSE 0 END,
+      9) AS js_bits
+  FROM p
+),
+ranked AS (
+  SELECT token, p0, p1, js_bits,
+    row_number() OVER (ORDER BY js_bits DESC, token) AS rk
+  FROM contrib
+)
+SELECT CAST(rk AS BIGINT) AS rk, token,
+  round(p0, 6) AS p0, round(p1, 6) AS p1,
+  round(js_bits, 6) AS js_contrib_bits,
+  CASE WHEN p0 > p1 THEN 'src0' ELSE 'src1' END AS leans_to
+FROM ranked WHERE rk <= 15
+""",
+)
+def text_js_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level ATTRIBUTION of the src0-vs-src1 Jensen-Shannon
+    divergence: JS decomposes exactly into a per-token sum, so the
+    top contributors ARE the answer to "which tokens make these two
+    sources differ" — the drill-down text_js_divergence (the scalar)
+    and text_js_drift_by_split (the split monitor) both need the
+    moment their number trips an alert. leans_to marks the direction
+    (which source over-represents the token).
+
+    Determinism: contributions are computed from exact count/total
+    divisions (identical doubles in both engines), ROUNDED to 9 dp
+    BEFORE ranking so a last-ulp libm log2 difference cannot flip an
+    order, with the token string as the total tie-break.
+
+    Scale shape: same (source, token) count grain as
+    text_js_divergence — map-side combine, token-keyed shuffle — then
+    a rank over the vocabulary-sized contribution frame and a top-15
+    cut. No new scan, no data-sized sort: the vocabulary is the
+    frame.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    counts = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("source")
+    probs = counts.select(
+        "source",
+        "token",
+        (F.col("n") / F.sum("n").over(w_tot).cast("double")).alias("pr"),
+    )
+    p = probs.groupBy("token").agg(
+        F.coalesce(
+            F.max(F.when(F.col("source") == "src0", F.col("pr"))),
+            F.lit(0.0),
+        ).alias("p0"),
+        F.coalesce(
+            F.max(F.when(F.col("source") == "src1", F.col("pr"))),
+            F.lit(0.0),
+        ).alias("p1"),
+    )
+    m = (F.col("p0") + F.col("p1")) / 2
+    term = (
+        F.when(
+            F.col("p0") > 0,
+            0.5 * F.col("p0") * F.log2(F.col("p0") / m),
+        ).otherwise(0.0)
+        + F.when(
+            F.col("p1") > 0,
+            0.5 * F.col("p1") * F.log2(F.col("p1") / m),
+        ).otherwise(0.0)
+    )
+    contrib = p.select(
+        "token", "p0", "p1", F.round(term, 9).alias("js_bits")
+    )
+    w_rk = Window.orderBy(F.desc("js_bits"), F.asc("token"))
+    return (
+        contrib.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 15)
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            "token",
+            F.round("p0", 6).alias("p0"),
+            F.round("p1", 6).alias("p1"),
+            F.round("js_bits", 6).alias("js_contrib_bits"),
+            F.when(F.col("p0") > F.col("p1"), "src0")
+            .otherwise("src1")
+            .alias("leans_to"),
+        )
+    )
