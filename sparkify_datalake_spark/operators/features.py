@@ -4559,3 +4559,66 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_two_sided"),
     )
+
+
+@query(
+    "stat_capability_cpk",
+    """
+WITH s AS (
+  SELECT event_type,
+    count(*) AS n,
+    avg(value) AS mu,
+    stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n,
+  round(mu, 4) AS mean_value,
+  round(sigma, 4) AS sd_value,
+  round((300.0 - 10.0) / (6 * sigma), 4) AS cp,
+  round(least(300.0 - mu, mu - 10.0) / (3 * sigma), 4) AS cpk,
+  round(
+    (least(300.0 - mu, mu - 10.0) / (3 * sigma)) /
+    ((300.0 - 10.0) / (6 * sigma)), 4) AS centering_k
+FROM s
+""",
+)
+def stat_capability_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-capability indices Cp / Cpk per event type against a
+    fixed spec band [10, 300] on `value` — the summary the SPC family
+    (events_imr_chart, events_cusum_chart, events_ewma_chart,
+    events_error_pchart) feeds into: control charts say whether the
+    process is STABLE, capability indices say whether a stable process
+    actually FITS the spec. Cp is potential capability (spec width /
+    6σ), Cpk penalizes off-center means (nearest spec edge / 3σ), and
+    their ratio is the centering coefficient k — Cpk < 1 with Cp > 1
+    reads "capable but mis-centered: shift the mean, don't fight the
+    variance".
+
+    Scale shape: one conditional-moment pass — count/avg/stddev are
+    distributive/algebraic aggregates with map-side partials to the
+    |event_type|-key grain; the index arithmetic is scalar per group.
+    Same-expression moments in both engines (Welford-free textbook
+    combination is what both implement for stddev_samp over doubles);
+    4 dp rounding absorbs partition-order last-bits.
+    """
+    ev = load(spark, sf_dir, "events")
+    usl, lsl = F.lit(300.0), F.lit(10.0)
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    cp = (usl - lsl) / (6 * F.col("sigma"))
+    cpk = F.least(usl - F.col("mu"), F.col("mu") - lsl) / (
+        3 * F.col("sigma")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("mu", 4).alias("mean_value"),
+        F.round("sigma", 4).alias("sd_value"),
+        F.round(cp, 4).alias("cp"),
+        F.round(cpk, 4).alias("cpk"),
+        F.round(cpk / cp, 4).alias("centering_k"),
+    )
