@@ -2274,3 +2274,83 @@ def orders_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s / n, 2).alias("mean_spend"),
         F.round(sxl / s - F.log(s / n), 6).alias("theil_t"),
     )
+
+
+@query(
+    "events_peak_detection",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ctx AS (
+  SELECT event_type, d, n,
+    lag(n) OVER w AS n_prev,
+    lead(n) OVER w AS n_next,
+    avg(n) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_mean,
+    count(n) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+)
+SELECT event_type, d, CAST(n AS BIGINT) AS n_events,
+  round(trail_mean, 2) AS trail_mean,
+  round(n / trail_mean, 4) AS prominence
+FROM ctx
+WHERE n_prev IS NOT NULL AND n_next IS NOT NULL
+  AND n > n_prev AND n > n_next
+  AND trail_n >= 7 AND n > 1.05 * trail_mean
+""",
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak (local-maximum) detection on daily event counts per type:
+    a day is a peak when it exceeds BOTH neighbors (strict local max)
+    AND runs ≥5% above its own trailing-7-day mean (prominence
+    gate with a full trailing week required, so early boundary days
+    can't fire on a partial baseline). Complements the family that
+    looks for different shapes: events_anomaly (global z — misses
+    peaks in a noisy band), ts_changepoint (level SHIFTS, not spikes),
+    events_cusum_chart (small persistent drift). Peak days are what
+    capacity reviews and campaign post-mortems enumerate.
+
+    Determinism: daily counts are integers; lag/lead and the trailing
+    mean run over the (type, day) grain (map-side combined, tiny at
+    any SF); the prominence comparison uses the UNROUNDED mean in
+    both engines so the 2 dp display round can't flip a borderline
+    peak. Scale shape: one key-grain shuffle, windows on the bounded
+    calendar frame.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    w_trail = w.rowsBetween(-7, -1)
+    ctx = daily.select(
+        "event_type", "d", "n",
+        F.lag("n").over(w).alias("n_prev"),
+        F.lead("n").over(w).alias("n_next"),
+        F.avg("n").over(w_trail).alias("trail_mean"),
+        F.count("n").over(w_trail).alias("trail_n"),
+    )
+    return ctx.filter(
+        F.col("n_prev").isNotNull()
+        & F.col("n_next").isNotNull()
+        & (F.col("n") > F.col("n_prev"))
+        & (F.col("n") > F.col("n_next"))
+        & (F.col("trail_n") >= 7)
+        & (F.col("n") > 1.05 * F.col("trail_mean"))
+    ).select(
+        "event_type",
+        "d",
+        F.col("n").cast("long").alias("n_events"),
+        F.round("trail_mean", 2).alias("trail_mean"),
+        F.round(F.col("n") / F.col("trail_mean"), 4).alias("prominence"),
+    )

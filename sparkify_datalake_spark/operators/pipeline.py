@@ -2562,3 +2562,75 @@ def corpus_quality_scorecard(
     )
 
     return _sc_final(per_doc, dup, js)
+
+
+@query(
+    "dq_volume_anomaly_mad",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+  FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT quantile_cont(n, 0.5) AS med FROM daily
+),
+mad AS (
+  SELECT s.med, quantile_cont(abs(daily.n - s.med), 0.5) AS mad
+  FROM daily CROSS JOIN stats s GROUP BY s.med
+)
+SELECT d, CAST(n AS BIGINT) AS n_orders,
+  round(0.6745 * (n - m.med) / nullif(m.mad, 0), 4) AS robust_z,
+  abs(0.6745 * (n - m.med) / nullif(m.mad, 0)) > 3.5 AS is_anomaly
+FROM daily CROSS JOIN mad m
+""",
+)
+def dq_volume_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order-volume anomaly via the MAD robust z-score — the
+    data-quality monitor that survives what breaks the mean/σ version
+    (events_anomaly): a few giant outlier days inflate σ and MASK
+    every other anomaly, while the median absolute deviation is
+    50%-breakdown robust, so a feed double-delivery or a dropped
+    partition still stands out the day after a Black-Friday spike.
+    0.6745·(x−med)/MAD is the standard consistency-scaled score
+    (≈ z under normality); |z| > 3.5 is the Iglewicz–Hoaglin
+    convention. The dq-family temporal member alongside
+    dq_calendar_gaps (missing days) and dq_freshness_lag (late days) —
+    this one flags WRONG-SIZED days.
+
+    Determinism: daily counts are exact integers on a bounded date
+    domain; median and MAD are quantile_cont-interpolated over that
+    tiny grain in BOTH engines (the agg_percentile contract), and the
+    flag compares the UNROUNDED score so the display round can't flip
+    it; a degenerate MAD of 0 (every day identical — possible at toy
+    SF) nulls the score in both engines via NULLIF rather than
+    dividing by zero. Scale shape: one map-side-combinable count to the day grain;
+    two scalar quantiles over ≤|days| rows re-entered via cross join —
+    raw orders are scanned once.
+    """
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.select(F.to_date("o_orderdate").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = daily.agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        daily.crossJoin(F.broadcast(med))
+        .agg(
+            F.any_value("med").alias("med"),
+            F.percentile(
+                F.abs(F.col("n") - F.col("med")), F.lit(0.5)
+            ).alias("mad"),
+        )
+    )
+    z = 0.6745 * (F.col("n") - F.col("med")) / F.nullif(
+        F.col("mad"), F.lit(0.0)
+    )
+    return daily.crossJoin(F.broadcast(mad)).select(
+        "d",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(z, 4).alias("robust_z"),
+        (F.abs(z) > 3.5).alias("is_anomaly"),
+    )

@@ -2014,3 +2014,78 @@ def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "embed_cosine_histogram",
+    f"""
+WITH samp AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+),
+pairs AS (
+  SELECT round({_sql_dot('a.embedding', 'b.embedding')} /
+         ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')}),
+         6) AS cos
+  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+),
+tot AS (SELECT count(*) AS n FROM pairs)
+SELECT
+  CAST(floor(cos * 10) AS BIGINT) AS bin_decile,
+  round(floor(cos * 10) / 10.0, 1) AS bin_lo,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  round(count(*) / CAST(t.n AS DOUBLE), 6) AS share
+FROM pairs CROSS JOIN tot t
+GROUP BY floor(cos * 10), t.n
+""",
+)
+def embed_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution over a PINNED 100-vector sample
+    (vec_id < 100 — O(1) in SF): all 4,950 exact pairs binned into
+    0.1-wide cosine deciles. This is the corpus ISOTROPY readout the
+    ANN family needs before index-parameter choices make sense: a
+    histogram bunched near +1 means anisotropic embeddings (hubness,
+    LSH hyperplanes waste bits, IVF centroids collapse), a spread
+    around 0 means healthy dispersion — the diagnostic behind
+    sim_index_stats' bucket-balance numbers, one level earlier in the
+    pipeline.
+
+    Determinism: cosines use the engine-shared double-cast dot/norm
+    folds (identical sequential summation), ROUNDED to 6 dp before the
+    decile floor so a last-ulp difference cannot flip a bin at an
+    edge. Scale shape: sample join is 100×100 broadcast, everything
+    downstream is the ≤20-row bin grain.
+    """
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    samp = emb.filter(F.col("vec_id") < 100).select(
+        "vec_id", "embedding"
+    )
+    b = samp.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("embedding_b"),
+    )
+    cos = F.round(
+        _dot("embedding", "embedding_b")
+        / (_norm("embedding") * _norm("embedding_b")),
+        6,
+    )
+    pairs = (
+        samp.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_id") < F.col("vec_id_b"))
+        .select(cos.alias("cos"))
+    )
+    w_all = Window.partitionBy()
+    binned = pairs.select(
+        F.floor(F.col("cos") * 10).alias("bin"),
+    ).withColumn("n_total", F.count(F.lit(1)).over(w_all))
+    return binned.groupBy("bin", "n_total").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).select(
+        F.col("bin").cast("long").alias("bin_decile"),
+        F.round(F.col("bin") / 10.0, 1).alias("bin_lo"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(
+            F.col("n_pairs") / F.col("n_total").cast("double"), 6
+        ).alias("share"),
+    )
