@@ -1075,3 +1075,95 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_both / F.least(n_a, n_b).cast("double"), 6
         ).alias("containment"),
     )
+
+
+@query(
+    "mine_cross_elasticity",
+    """
+WITH weekly AS (
+  SELECT p.p_type,
+    CAST(date_trunc('week', l.l_shipdate) AS DATE) AS wk,
+    sum(CAST(floor(round(l.l_extendedprice * 100)) AS BIGINT)) AS rev_c,
+    sum(CAST(floor(round(l.l_quantity)) AS BIGINT)) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+px AS (
+  SELECT p_type AS price_type, wk,
+    ln(rev_c / 100.0 / qty) AS lp
+  FROM weekly
+),
+qy AS (
+  SELECT p_type AS demand_type, wk,
+    ln(CAST(qty AS DOUBLE)) AS lq
+  FROM weekly
+)
+SELECT px.price_type, qy.demand_type,
+  CAST(count(*) AS BIGINT) AS n_weeks,
+  round(regr_slope(qy.lq, px.lp), 6) AS cross_elasticity,
+  round(regr_r2(qy.lq, px.lp), 6) AS r2
+FROM px JOIN qy ON px.wk = qy.wk
+GROUP BY px.price_type, qy.demand_type
+""",
+)
+def mine_cross_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-price elasticity matrix between part types: the
+    regression slope of ln(weekly demand of type B) on ln(weekly avg
+    price of type A) for every (A, B) pair — the substitution/
+    complement readout mine_price_elasticity (own-price, part grain)
+    cannot give: a positive off-diagonal slope says B substitutes for
+    A (A gets pricier, B sells more), negative says complement. The
+    diagonal is the own-price WEEKLY elasticity, a deliberate
+    different-grain anchor against the part-grain one.
+
+    Determinism: weekly price and quantity come from exact
+    integer-cents / integer-quantity sums (one division each before
+    ln), so the regression inputs are engine-identical doubles; the
+    regr_* co-moment sums follow the mine_price_elasticity precedent
+    (6 dp rounding). Scale shape: lineitem contracts to the
+    (type, week) grain map-side (|types|×|weeks| rows at any SF);
+    the pair matrix is a |weeks|-keyed equijoin of that tiny grain
+    with itself — |types|² fan-out per week, bounded by the type
+    vocabulary, never by data.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    weekly = (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            "p_type",
+            F.to_date(F.date_trunc("week", "l_shipdate")).alias("wk"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.round(F.col("l_extendedprice") * 100))
+                .cast("long")
+            ).alias("rev_c"),
+            F.sum(
+                F.floor(F.round("l_quantity")).cast("long")
+            ).alias("qty"),
+        )
+        .localCheckpoint(eager=False)  # px + qy consumers
+    )
+    px = weekly.select(
+        F.col("p_type").alias("price_type"),
+        "wk",
+        F.log(F.col("rev_c") / 100.0 / F.col("qty")).alias("lp"),
+    )
+    qy = weekly.select(
+        F.col("p_type").alias("demand_type"),
+        "wk",
+        F.log(F.col("qty").cast("double")).alias("lq"),
+    )
+    return (
+        px.join(qy, "wk")
+        .groupBy("price_type", "demand_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_weeks"),
+            F.round(F.regr_slope("lq", "lp"), 6).alias(
+                "cross_elasticity"
+            ),
+            F.round(F.regr_r2("lq", "lp"), 6).alias("r2"),
+        )
+    )

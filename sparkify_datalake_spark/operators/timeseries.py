@@ -2799,3 +2799,112 @@ def ts_mase_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "smape_test"
         ),
     )
+
+
+@query(
+    "ts_bollinger_bands",
+    """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS d,
+    sum(CAST(floor(round(l_extendedprice * 100)) AS BIGINT)) AS rev_c
+  FROM lineitem GROUP BY 1
+),
+roll AS (
+  SELECT d, rev_c,
+    count(*) OVER w AS n,
+    sum(CAST(rev_c AS HUGEINT)) OVER w AS s1,
+    sum(CAST(rev_c AS HUGEINT) * rev_c) OVER w AS s2
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+bands AS (
+  SELECT d, rev_c, n,
+    CAST(s1 AS DOUBLE) / n / 100.0 AS mid,
+    sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (n - 1))) / 100.0 AS sd
+  FROM roll WHERE n = 20
+)
+SELECT d,
+  round(rev_c / 100.0, 2) AS revenue,
+  round(mid, 2) AS band_mid,
+  round(mid - 2 * sd, 2) AS band_lo,
+  round(mid + 2 * sd, 2) AS band_hi,
+  CASE WHEN rev_c / 100.0 > mid + 2 * sd THEN 'above'
+       WHEN rev_c / 100.0 < mid - 2 * sd THEN 'below'
+       ELSE 'inside' END AS breach
+FROM bands
+WHERE rev_c / 100.0 > mid + 2 * sd OR rev_c / 100.0 < mid - 2 * sd
+""",
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breaches on daily shipped revenue: a 20-day
+    rolling mean ± 2 rolling-σ envelope, emitting only the days that
+    close OUTSIDE the band. The volatility-adaptive member of the
+    control-chart family: events_imr_chart's limits come from the
+    average moving range (fixed width), events_ewma_chart tracks a
+    smoothed level — Bollinger widens in volatile regimes and
+    tightens in calm ones, so a breach means "extreme FOR THE RECENT
+    REGIME", the right trigger for revenue-spike review on seasonal
+    data.
+
+    Determinism: daily revenue is an exact integer-cents sum; the
+    rolling Σx and Σx² run over those integers (decimal(38,0) on the
+    Spark side, HUGEINT in the oracle — the stat_cuped overflow
+    discipline, since cents² at 64× exceeds int64), so mean and σ are
+    born from bit-identical integer window sums; breach classification
+    compares UNROUNDED. Scale shape: lineitem contracts map-side to
+    the bounded day grain; the window runs on |days| rows. The
+    global-ordered window is a single task over ~2.4k rows — at a
+    wider grain the win_ntile_twophase binning discipline applies
+    unchanged.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.to_date(F.date_trunc("day", "l_shipdate")).alias("d"),
+            F.floor(F.round(F.col("l_extendedprice") * 100))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev_c"))
+    )
+    w = Window.orderBy("d").rowsBetween(-19, 0)
+    roll = daily.select(
+        "d",
+        "rev_c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).over(w).alias("s1"),
+        F.sum(
+            (F.col("rev_c").cast("decimal(38,0)") * F.col("rev_c"))
+        ).over(w).alias("s2"),
+    ).filter(F.col("n") == 20)
+    mid = F.col("s1").cast("double") / F.col("n") / 100.0
+    sd = (
+        F.sqrt(
+            (
+                F.col("n") * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+        / 100.0
+    )
+    rev = F.col("rev_c") / 100.0
+    return (
+        roll.select(
+            "d",
+            F.round(rev, 2).alias("revenue"),
+            F.round(mid, 2).alias("band_mid"),
+            F.round(mid - 2 * sd, 2).alias("band_lo"),
+            F.round(mid + 2 * sd, 2).alias("band_hi"),
+            F.when(rev > mid + 2 * sd, "above")
+            .when(rev < mid - 2 * sd, "below")
+            .otherwise("inside")
+            .alias("breach"),
+            (rev > mid + 2 * sd).alias("_hi"),
+            (rev < mid - 2 * sd).alias("_lo"),
+        )
+        .filter(F.col("_hi") | F.col("_lo"))
+        .drop("_hi", "_lo")
+    )
