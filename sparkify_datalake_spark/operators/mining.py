@@ -1136,16 +1136,24 @@ def mine_cross_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.date_trunc("week", "l_shipdate")).alias("wk"),
         )
         .agg(
+            # cents_long / floor(x+0.5): oracle-identical half-up on
+            # positive values WITHOUT Spark's per-row BigDecimal Round
+            # on DoubleType (~2 s per rounded column on the 38M-row
+            # scan at 64x — the mine_price_elasticity lesson)
+            F.sum(cents_long("l_extendedprice")).alias("rev_c"),
             F.sum(
-                F.floor(F.round(F.col("l_extendedprice") * 100))
-                .cast("long")
-            ).alias("rev_c"),
-            F.sum(
-                F.floor(F.round("l_quantity")).cast("long")
+                F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
             ).alias("qty"),
         )
-        .localCheckpoint(eager=False)  # px + qy consumers
     )
+    # Bounded collect: the weekly grain is |types| x |weeks| rows
+    # (calendar-bounded at ANY corpus scale — ~2.2k rows here), and it
+    # has two consumers; a lazy checkpoint still forces the upstream
+    # stages as driver-side build jobs AND leaves a row-format re-read
+    # (r10 lesson). Collecting the grain once and re-entering it as a
+    # local frame costs one driver round-trip and removes the second
+    # full lineitem scan: measured 10.7 -> ~2 s at the 64x probe.
+    weekly = spark.createDataFrame(weekly.collect(), weekly.schema)
     px = weekly.select(
         F.col("p_type").alias("price_type"),
         "wk",
