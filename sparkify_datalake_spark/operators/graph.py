@@ -32,8 +32,8 @@ def _propagate_min_labels(
     """Hash-to-min label propagation over a (doc_id, bucket) graph.
 
     Iterates bucket-min → doc-min passes until the rep map stops
-    changing (cheap isEmpty on the changed-rows join of two
-    checkpointed maps), capped at _PROP_MAX_ITERS. Reps only decrease,
+    changing (exact decimal sum of the monotone rep column compared
+    across passes — no join needed), capped at _PROP_MAX_ITERS. Reps only decrease,
     so "no row changed" is exact convergence. Each converging iteration
     also pointer-jumps (rep ← rep(rep) — reps are doc_ids, so the map
     composes with itself): min labels travel one graph hop per
@@ -50,6 +50,15 @@ def _propagate_min_labels(
         .agg(F.min("doc_id").alias("rep"))
         .localCheckpoint()
     )
+    # Convergence witness (r11): reps only DECREASE, so the exact
+    # decimal(38,0) sum of the rep column strictly decreases until the
+    # fixpoint — one aggregate over the already-checkpointed map replaces
+    # the former changed-rows join (new map ⋈ prev map + count), saving a
+    # join and its two exchanges every pass.
+    rep_sum = F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")
+    prev_sum = None if fixed_iters is not None else (
+        doc_rep.agg(rep_sum).collect()[0]["s"]
+    )
     for _ in range(fixed_iters if fixed_iters is not None else _PROP_MAX_ITERS):
         bucket_rep = (
             buckets.join(doc_rep, "doc_id")
@@ -62,33 +71,28 @@ def _propagate_min_labels(
             .agg(F.min("brep").alias("rep"))
         )
         if fixed_iters is None:
+            # Truncate BEFORE the pointer-jump self-join: the two join
+            # sides shuffle on DIFFERENT keys (rep vs doc_id), so no
+            # exchange reuse applies and an un-checkpointed `half` is
+            # re-derived — both bucket joins and both aggregates run
+            # TWICE per pass (measured r11: ~2× the iteration compute).
+            half = half.localCheckpoint(eager=False)
             lookup = half.select(
                 F.col("doc_id").alias("rep"), F.col("rep").alias("rep2")
             )
             half = half.join(lookup, "rep", "left").select(
                 "doc_id", F.coalesce("rep2", "rep").alias("rep")
             )
-        # The changed-flag rides inside the frame and the checkpoint is
-        # LAZY: the convergence count below is the action that both
-        # materializes the checkpoint and counts changed rows — ONE
-        # scheduled job per iteration instead of the former two (eager
-        # checkpoint job + isEmpty probe job). Per-iteration lineage
-        # truncation itself is non-negotiable here: the pointer-jump
-        # self-join doubles the plan each pass without it.
-        new_rep = (
-            half.join(doc_rep.withColumnRenamed("rep", "prev"), "doc_id")
-            .select(
-                "doc_id", "rep", (F.col("rep") != F.col("prev")).alias("chg")
-            )
-            .localCheckpoint(eager=False)
-        )
+        # LAZY checkpoint: the convergence aggregate below is the action
+        # that materializes it. Per-iteration lineage truncation itself
+        # is non-negotiable here: the pointer-jump self-join doubles the
+        # plan each pass without it.
+        doc_rep = half.localCheckpoint(eager=False)
         if fixed_iters is None:
-            n_changed = new_rep.where("chg").count()
-            doc_rep = new_rep.select("doc_id", "rep")
-            if n_changed == 0:
+            s = doc_rep.agg(rep_sum).collect()[0]["s"]
+            if s == prev_sum:
                 break
-        else:
-            doc_rep = new_rep.select("doc_id", "rep")
+            prev_sum = s
     return doc_rep
 
 
@@ -199,22 +203,34 @@ def pagerank(
     ).localCheckpoint()
     ranks = node_flags.select("node", F.lit(1.0).alias("rank"), "dangling")
     for _ in range(iters):
-        contribs = (
-            edges_w.join(ranks, edges_w.src == ranks.node)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
         # dangling nodes (no out-edges) spread their rank uniformly —
-        # a filtered scan of the rank frame, no join
+        # a filtered scan of the rank frame (cheap: `ranks` is a
+        # checkpoint scan), broadcast so the whole pass stays ONE action
+        # whose jobs overlap (a per-pass collect() was measured SLOWER:
+        # it serializes the dangling aggregate against the update).
         dangling = ranks.agg(
             F.coalesce(
                 F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
             ).alias("dmass")
         )
+        # Zero-contribution rows from the rank frame ride the SAME
+        # aggregate (x + 0.0 is IEEE-exact, so each sum is unchanged),
+        # replacing the former node_flags left-join of the contribution
+        # table — one join + exchange fewer per pass (r11).
+        # max(dangling) re-attaches the flag: exactly one non-null per
+        # node (its own base row).
+        contribs = edges_w.join(ranks, edges_w.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+            F.lit(None).cast("boolean").alias("dangling"),
+        )
+        base = ranks.select("node", F.lit(0.0).alias("c"), "dangling")
         ranks = (
-            node_flags.join(
-                contribs, node_flags.node == contribs.dst, "left"
+            contribs.unionByName(base)
+            .groupBy("node")
+            .agg(
+                F.sum("c").alias("contrib"),
+                F.max("dangling").alias("dangling"),
             )
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -223,7 +239,7 @@ def pagerank(
                     F.lit(1.0 - damping)
                     + F.lit(damping)
                     * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        F.col("contrib")
                         + F.col("dmass") / F.lit(float(n_nodes))
                     )
                 ).alias("rank"),
@@ -877,8 +893,6 @@ def label_propagation(edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
 
     Returns (node, community) with community = the converged label.
     """
-    from pyspark.sql import Window
-
     nbr = (
         edges.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionAll(
@@ -889,9 +903,6 @@ def label_propagation(edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
     labels = (
         nbr.select("node").distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint()
-    w = Window.partitionBy("node").orderBy(
-        F.col("n").desc(), F.col("lbl").asc()
-    )
     for _ in range(iters):
         nbr_lbl = nbr.join(
             labels.withColumnRenamed("node", "nbr"), "nbr"
@@ -901,10 +912,19 @@ def label_propagation(edges: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
             .groupBy("node", "lbl")
             .agg(F.count(F.lit(1)).alias("n"))
         )
+        # max_by over struct(n, -lbl) replaces the former
+        # row_number-window + rk=1 filter (r11): the same winner —
+        # lexicographic max = highest vote count, ties to the smallest
+        # label (labels are node ids ≥ 0, so negation is overflow-safe)
+        # — computed as a small per-node aggregate instead of a full
+        # per-partition SORT of the vote table every pass.
         labels = (
-            votes.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("node", "lbl")
+            votes.groupBy("node")
+            .agg(
+                F.max_by(
+                    "lbl", F.struct(F.col("n"), (-F.col("lbl")).alias("neg"))
+                ).alias("lbl")
+            )
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))

@@ -437,32 +437,80 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     four 16-bit bands; pairs are kept when hamming distance ≤ 8
     (bit_count(xor)). Rows-only: xxhash64 has no DuckDB twin.
 
-    Scale note: the explode-by-64-bits stage is O(docs × tokens × 64) rows
-    in the shuffle; at 100 TB replace with a pandas-UDF signature kernel
-    (one pass per doc, same output schema) — the banding/join stages are
-    unchanged.
+    Scale note (r11 rewrite, guide §4.2): signatures are computed by an
+    Arrow kernel over per-doc token-hash arrays — the token hashing stays
+    in the JVM (xxhash64 inside a transform(), so the signature contract
+    is unchanged), and the per-(doc, bit) contribution sums collapse to a
+    vectorized numpy popcount per document: bit b is set iff
+    2·|{t: bit b of xxhash64(t)}| > |tokens|, exactly the sign of the old
+    Σ(2·((h>>b)&1) − 1). The former explode-by-64 shape pushed
+    O(docs × tokens × 64) rows (~48M at sf0.1) through TWO shuffles; this
+    shape is map-side only — zero shuffles to the signature.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
-    bits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-        "h",
-    ).withColumn(
-        "contrib",
-        F.expr("shiftright(h, CAST(b AS INT))").bitwiseAND(F.lit(1)) * 2 - 1,
-    )
+
+    def _sig_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        shifts = np.arange(64, dtype=np.uint64)
+        for batch in batches:
+            doc_ids = batch.column(0)
+            hs = batch.column(1)
+            n_docs = len(doc_ids)
+            if n_docs == 0:
+                continue
+            # flatten() honors any slice offset / validity (unlike raw
+            # .values); offsets are rebuilt locally so indexing below is
+            # always zero-based regardless of how Arrow sliced the batch.
+            flat = hs.flatten().to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            lens = (
+                hs.value_lengths()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            out = np.empty(n_docs, dtype=np.uint64)
+            # row-chunked so the T×64 bit matrix stays small (uint8 bits,
+            # int32 reduceat accumulator: ~13 MB per 1024-doc chunk at
+            # ~200 tokens/doc)
+            step = 1024
+            for lo in range(0, n_docs, step):
+                hi = min(lo + step, n_docs)
+                seg = flat[offs[lo]:offs[hi]]
+                # uint64 → 8 little-endian bytes → 64 bits, bit b at col b
+                bits = np.unpackbits(
+                    seg.view(np.uint8).reshape(-1, 8),
+                    axis=1,
+                    bitorder="little",
+                )
+                cnt = np.add.reduceat(
+                    bits, offs[lo:hi] - offs[lo], axis=0, dtype=np.int64
+                )
+                n_tok = (offs[lo + 1:hi + 1] - offs[lo:hi])[:, None]
+                sig_bits = (2 * cnt > n_tok).astype(np.uint64)
+                out[lo:hi] = (sig_bits << shifts).sum(axis=1, dtype=np.uint64)
+            yield pa.RecordBatch.from_arrays(
+                [doc_ids, pa.array(out.view(np.int64))],
+                ["doc_id", "simhash"],
+            )
+
     sig = (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bit", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("bit") * F.expr("shiftleft(1L, CAST(b AS INT))"))
-            .alias("simhash")
+        # single-file parquet → one input partition; the hash+popcount
+        # kernel is compute-bound, so spread it across cores first (a
+        # no-op to remove at scale, where the scan has many partitions).
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(array_distinct(split(lower(text), ' ')),"
+                " t -> xxhash64(t))"
+            ).alias("hs"),
         )
+        .mapInArrow(_sig_kernel, "doc_id long, simhash long")
     )
     banded = sig.select(
         "doc_id",
@@ -482,8 +530,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.chunk")
     # Materialize before the self-join: both join inputs share the full
-    # signature pipeline (explode ×64 + two shuffles); without this the
-    # plan computes it twice.
+    # signature pipeline (tokenize + hash + Arrow popcount kernel);
+    # without this the plan computes it twice.
     banded = banded.localCheckpoint()
     x, y = banded.alias("x"), banded.alias("y")
     return (
