@@ -20,10 +20,113 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkify_datalake_spark.registry import query
-from sparkify_datalake_spark.sources.load import load
+from sparkify_datalake_spark.sources.load import load, table_rows
 
 
 _PROP_MAX_ITERS = 20
+
+# The "next active user" edge derivation needs lead() over the full
+# (event_type, ts, event_id) order — and event_type has FIVE values, so
+# the naive window collapses any events table to five single-task sorts
+# (the win_range_ntile pathology: 27 of 32 cores idle at the 64× probe).
+# Above this row count the sort is split by calendar day and re-linked
+# across bucket boundaries (exact same pairs — see _lead_pairs); below
+# it the two extra passes cost more than the five small sorts save.
+_EDGE_BUCKET_MIN_ROWS = 3_000_000
+
+
+def _lead_pairs(
+    spark: SparkSession, sf_dir: str, bucketed: bool | None = None
+) -> DataFrame:
+    """(user_id, next_user) consecutive-event pairs within each
+    event_type stream, next_user ≠ user_id — the shared core of every
+    user-interaction-graph query.
+
+    bucketed=None gates on the parquet footer row count (zero jobs):
+    small tables keep the single window; big ones split each stream by
+    calendar day, lead() within (event_type, day) in parallel, and
+    re-link the boundary by planting one probe row per bucket — the
+    next NON-EMPTY bucket's first user, obtained from a lead over the
+    tiny per-bucket-firsts frame — sorted after all real rows (probes
+    emit no pairs themselves). The pair SET is identical by
+    construction: a real row's successor is either inside its bucket
+    or the next bucket's first row, which is exactly the probe
+    (tests/test_graph.py pins bucketed ≡ plain equality).
+    """
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    if bucketed is None:
+        bucketed = table_rows(sf_dir, "events") >= _EDGE_BUCKET_MIN_ROWS
+    if not bucketed:
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        return ev.select(
+            "user_id", F.lead("user_id").over(w).alias("next_user")
+        ).filter(
+            F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "user_id",
+        F.date_trunc("day", "ts").alias("b"),
+    )
+    ts_type = dict(base.dtypes)["ts"]
+    firsts = base.groupBy("event_type", "b").agg(
+        F.min_by("user_id", F.struct("ts", "event_id")).alias("user_id")
+    )
+    wf = Window.partitionBy("event_type").orderBy("b")
+    probes = (
+        firsts.select(
+            "event_type",
+            "b",
+            F.lead("user_id").over(wf).alias("user_id"),
+        )
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.lit(None).cast(ts_type).alias("ts"),
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "b",
+            F.lit(1).alias("is_probe"),
+        )
+    )
+    merged = base.withColumn("is_probe", F.lit(0)).unionByName(probes)
+    w_in = Window.partitionBy("event_type", "b").orderBy(
+        "is_probe", "ts", "event_id"
+    )
+    return (
+        merged.withColumn("next_user", F.lead("user_id").over(w_in))
+        .filter(
+            (F.col("is_probe") == 0)
+            & F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+        .select("user_id", "next_user")
+    )
+
+
+def user_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    directed: bool = False,
+    bucketed: bool | None = None,
+) -> DataFrame:
+    """Distinct user-interaction edges (see _lead_pairs). Undirected
+    edges canonicalize to (a, b) with a < b; directed keep (src, dst)
+    order-of-occurrence."""
+    pairs = _lead_pairs(spark, sf_dir, bucketed)
+    if directed:
+        return pairs.select(
+            F.col("user_id").alias("src"), F.col("next_user").alias("dst")
+        ).distinct()
+    return pairs.select(
+        F.least("user_id", "next_user").alias("a"),
+        F.greatest("user_id", "next_user").alias("b"),
+    ).distinct()
 
 
 def _propagate_min_labels(
@@ -56,9 +159,11 @@ def _propagate_min_labels(
     # the former changed-rows join (new map ⋈ prev map + count), saving a
     # join and its two exchanges every pass.
     rep_sum = F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")
-    prev_sum = None if fixed_iters is not None else (
-        doc_rep.agg(rep_sum).collect()[0]["s"]
-    )
+    # No initial-sum job: None never equals a Decimal, so pass 1 always
+    # proceeds — the only cost is one redundant pass when the input had
+    # zero non-singleton components, vs one saved aggregate job on
+    # every real run.
+    prev_sum = None
     for _ in range(fixed_iters if fixed_iters is not None else _PROP_MAX_ITERS):
         bucket_rep = (
             buckets.join(doc_rep, "doc_id")
@@ -262,22 +367,7 @@ def graph_user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint); pytest cross-checks the full rank vector against NumPy
     power iteration on the same edges.
     """
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    edges = (
-        ev.select("event_type", "ts", "event_id", "user_id")
-        .withColumn("next_user", F.lead("user_id").over(w))
-        .filter(
-            F.col("next_user").isNotNull()
-            & (F.col("next_user") != F.col("user_id"))
-        )
-        .select(
-            F.col("user_id").alias("src"), F.col("next_user").alias("dst")
-        )
-        .distinct()
-    )
+    edges = user_edges(spark, sf_dir, directed=True)
     return (
         pagerank(edges)
         .select("node", F.round("rank", 6).alias("rank"))
@@ -365,23 +455,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-ordered SQL join: counts are orientation-invariant, so the
     hash check also certifies the orientation's correctness.
     """
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    e = (
-        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
-        .filter(
-            F.col("next_user").isNotNull()
-            & (F.col("next_user") != F.col("user_id"))
-        )
-        .select(
-            F.least("user_id", "next_user").alias("a"),
-            F.greatest("user_id", "next_user").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint()  # degree agg + orientation joins consume it
-    )
+    e = user_edges(spark, sf_dir).localCheckpoint()
+    # checkpoint: degree agg + orientation joins consume it
     eo = _orient_by_degree(e).localCheckpoint()  # three join consumers
     # Explicit shuffle width on the wedge join: AQE sizes this stage by
     # the ~95k-row edge input and coalesces to ~2 tasks, blind to the
@@ -422,24 +497,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (user_id, core_degree) for members of the 3-core, with
     core_degree the node's degree INSIDE the core.
     """
-    from pyspark.sql import Window
-
     k = 3
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    edges = (
-        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
-        .filter(
-            F.col("next_user").isNotNull()
-            & (F.col("next_user") != F.col("user_id"))
-        )
-        .select(
-            F.least("user_id", "next_user").alias("a"),
-            F.greatest("user_id", "next_user").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = user_edges(spark, sf_dir).localCheckpoint()
+    # One count action per iteration: this pass's pre-prune edge count
+    # IS last pass's post-prune count, so carry it forward instead of
+    # re-counting the checkpointed edge list every iteration (r11: one
+    # job + one full pass fewer per peel round).
+    n_edges = edges.count()
     for _ in range(30):
         deg = (
             edges.select(F.col("a").alias("node"))
@@ -456,11 +520,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
-        # One action per iteration: did the edge list shrink?
-        n_edges, n_pruned = edges.count(), pruned.count()
+        n_pruned = pruned.count()
         edges = pruned
         if n_pruned == n_edges:
             break
+        n_edges = n_pruned
     return (
         edges.select(F.col("a").alias("user_id"))
         .unionAll(edges.select(F.col("b").alias("user_id")))
@@ -497,20 +561,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    e = (
-        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
-        .filter(
-            F.col("next_user").isNotNull()
-            & (F.col("next_user") != F.col("user_id"))
-        )
-        .select(
-            F.least("user_id", "next_user").alias("a"),
-            F.greatest("user_id", "next_user").alias("b"),
-        )
-        .distinct()
-    )
+    e = user_edges(spark, sf_dir)
     # explode both endpoints from ONE pass over the edge frame — a
     # unionAll of two selects re-derives the whole window+distinct
     # edge pipeline per branch (measured 10.6 s → 8.7 s at the 64×
@@ -585,23 +636,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adamic-Adar's float sum only ever lands in a ROUNDED output
     column.
     """
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    e = (
-        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
-        .filter(
-            F.col("next_user").isNotNull()
-            & (F.col("next_user") != F.col("user_id"))
-        )
-        .select(
-            F.least("user_id", "next_user").alias("a"),
-            F.greatest("user_id", "next_user").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)  # adj ×2 + anti-join consumer
-    )
+    e = user_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # adj ×2 + anti-join consumer
     adj = e.select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -705,28 +742,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles (degrees ≤ node count — far inside the 2⁵³ mantissa), so
     both engines add identical values; one division at the end.
     """
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    e = (
-        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
-        .filter(
-            F.col("next_user").isNotNull()
-            & (F.col("next_user") != F.col("user_id"))
-        )
-        .select(
-            F.least("user_id", "next_user").alias("a"),
-            F.greatest("user_id", "next_user").alias("b"),
-        )
-        .distinct()
-        # eager: e feeds 3 concurrent plan branches (both unionAll arms
-        # + the ends join); without the checkpoint each re-derives the
-        # events scan + window + distinct (10 parquet scans measured),
-        # and a LAZY checkpoint would race the concurrent branches onto
-        # the same first materialization (the dedup_simhash lesson).
-        .localCheckpoint()
-    )
+    # eager: e feeds 3 concurrent plan branches (both unionAll arms
+    # + the ends join); without the checkpoint each re-derives the
+    # events scan + window + distinct (10 parquet scans measured),
+    # and a LAZY checkpoint would race the concurrent branches onto
+    # the same first materialization (the dedup_simhash lesson).
+    e = user_edges(spark, sf_dir).localCheckpoint()
     adj = e.select(F.col("a").alias("u")).unionAll(
         e.select(F.col("b").alias("u"))
     )
@@ -798,23 +819,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-width lesson from graph_triangle_count applies to the
     closure join here identically.
     """
-    from pyspark.sql import Window
-
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    e = (
-        ev.select("user_id", F.lead("user_id").over(w).alias("next_user"))
-        .filter(
-            F.col("next_user").isNotNull()
-            & (F.col("next_user") != F.col("user_id"))
-        )
-        .select(
-            F.least("user_id", "next_user").alias("a"),
-            F.greatest("user_id", "next_user").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)  # wedge join ×2 + closure + degrees
-    )
+    e = user_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # wedge join ×2 + closure + degrees
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )

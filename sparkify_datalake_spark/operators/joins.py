@@ -938,9 +938,9 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix is a partial-aggregatable rollup and the share denominator
     is a window over those ≤25 rows.
     """
-    from sparkify_datalake_spark.operators.pipeline import dim_scd2_build
+    from sparkify_datalake_spark.operators.pipeline import scd2_frame
 
-    dim = dim_scd2_build(spark, sf_dir).select(
+    dim = scd2_frame(spark, sf_dir).select(
         "custkey",
         F.col("effective_from").alias("d"),
         F.col("priority").alias("regime"),

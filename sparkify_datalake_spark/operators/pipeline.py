@@ -1126,9 +1126,31 @@ def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entity key -- no global sort anywhere -- and the three stages
     reuse one (custkey) shuffle partitioning.
     """
-    o = load(spark, sf_dir, "orders")
+    return scd2_frame(spark, sf_dir).orderBy("custkey", "version")
+
+
+def scd2_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_scd2_build's dimension WITHOUT the presentation sort — the
+    form consumers (join_scd2_pit) want: the global orderBy adds a
+    range-sampling job + full sort that any downstream join/window
+    immediately destroys.
+
+    One custkey exchange feeds everything (r11): repartitioning the raw
+    orders scan on o_custkey satisfies the day-grain aggregate's
+    clustering requirement (hash on a SUBSET of the grouping keys) AND
+    every window's, so the former plan's second exchange — groupBy
+    partitioned on (custkey, day), then a re-shuffle to custkey for the
+    windows — disappears. The trade is shuffling raw order rows instead
+    of day-grain partials, a wash here (≈1 order per customer-day means
+    the partial aggregate reduced nothing) and a win at 100 TB where
+    the day grain is still order-sized.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey"
+    )
     day_attr = (
-        o.groupBy(
+        o.repartition("o_custkey")
+        .groupBy(
             "o_custkey",
             F.date_trunc("day", "o_orderdate").cast("date").alias("d"),
         ).agg(F.min_by("o_orderpriority", "o_orderkey").alias("attr"))
@@ -1139,16 +1161,13 @@ def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev").isNull() | (F.col("attr") != F.col("prev")))
         .drop("prev")
     )
-    return (
-        ch.select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("attr").alias("priority"),
-            F.col("d").alias("effective_from"),
-            F.lead("d").over(w).alias("effective_to"),
-            F.row_number().over(w).cast("long").alias("version"),
-            F.lead("d").over(w).isNull().alias("is_current"),
-        )
-        .orderBy("custkey", "version")
+    return ch.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("attr").alias("priority"),
+        F.col("d").alias("effective_from"),
+        F.lead("d").over(w).alias("effective_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("d").over(w).isNull().alias("is_current"),
     )
 
 

@@ -201,25 +201,153 @@ def _minhash_sig_bands():
     return sig, bands
 
 
+def _minhash_bucket_kernel():
+    """Arrow kernel factory: (doc_id long, hs array<long>) →
+    (doc_id long, bucket long), 8 rows per document — BIT-IDENTICAL to
+    ``explode(bands)`` over ``_minhash_sig_bands()`` (pinned by
+    tests/test_text_ops.py::test_minhash_kernel_matches_hof).
+
+    Rationale (guide §4.2): the nested-HOF signature
+    (32 × ``xxhash64(t, i)`` per token) is interpreted per element by
+    Catalyst — at the 64× probe the ``ArrayTransform.eval`` stack IS
+    the dedup family's hot spot. Only the per-token base hash stays in
+    the JVM (one flat ``transform``); the 32 seeded variants, the
+    signed per-doc minima and the 8 band folds are exact uint64 numpy
+    replications of Spark's XXH64 (``xxhash64(t, i)`` =
+    ``hashInt(i, seed=xxhash64(t))``; a band bucket folds ``hashLong``
+    over its 4 signature longs from ``hashInt(b, 42)``) — verified
+    bit-equal, so bucket identity (and every store built on it) is
+    unchanged. Returned as a nested closure so it pickles by value
+    (foreign-cwd workers can't import this module).
+    """
+    n_hashes, n_bands, rows_per_band = _N_HASHES, _BANDS, _ROWS_PER_BAND
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        P1 = np.uint64(0x9E3779B185EBCA87)
+        P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        P3 = np.uint64(0x165667B19E3779F9)
+        P4 = np.uint64(0x85EBCA77C2B2AE63)
+        P5 = np.uint64(0x27D4EB2F165667C5)
+        u4, u8, u23, u27, u29, u31, u32, u33, u64 = (
+            np.uint64(x) for x in (4, 8, 23, 27, 29, 31, 32, 33, 64)
+        )
+
+        def fmix(h):
+            h ^= h >> u33
+            h *= P2
+            h ^= h >> u29
+            h *= P3
+            h ^= h >> u32
+            return h
+
+        def hash_long(v, seed):
+            h = seed + P5 + u8
+            k1 = v * P2
+            k1 = ((k1 << u31) | (k1 >> (u64 - u31))) * P1
+            h ^= k1
+            h = ((h << u27) | (h >> (u64 - u27))) * P1 + P4
+            return fmix(h)
+
+        # hashInt(i, seed) with i = 0..n_hashes-1, vector over seeds:
+        # precompute the per-i xor terms (i & 0xffffffff) * PRIME64_1.
+        # uint64 wraparound is the hash's arithmetic — arrays wrap
+        # silently; the 1-element bseed vector avoids numpy's
+        # scalar-overflow warnings.
+        iterms = (
+            np.arange(n_hashes, dtype=np.uint64) & np.uint64(0xFFFFFFFF)
+        ) * P1
+        # band-constant seeds: hashInt(b, 42)
+        bs = np.arange(n_bands, dtype=np.uint64)
+        h = np.full(n_bands, np.uint64(42) + P5 + u4, dtype=np.uint64)
+        h ^= bs * P1
+        h = ((h << u23) | (h >> (u64 - u23))) * P2 + P3
+        bseeds = fmix(h)
+
+        for batch in batches:
+            doc_ids = batch.column(0)
+            hs = batch.column(1)
+            n_docs = len(doc_ids)
+            if n_docs == 0:
+                continue
+            flat = hs.flatten().to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            lens = (
+                hs.value_lengths()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            docs_np = doc_ids.to_numpy(zero_copy_only=False)
+            out = np.empty((n_docs, n_bands), dtype=np.uint64)
+            step = 1024  # bounds the T×32 seeded-hash matrix (~50 MB)
+            for lo in range(0, n_docs, step):
+                hi = min(lo + step, n_docs)
+                seg = flat[offs[lo]:offs[hi]]
+                # hashInt(i, h_t): h = h_t + P5 + 4; h ^= iterm[i];
+                # h = rotl(h, 23) * P2 + P3; fmix
+                m = (seg + P5 + u4)[:, None] ^ iterms[None, :]
+                m = ((m << u23) | (m >> (u64 - u23))) * P2 + P3
+                m = fmix(m)
+                # array_min compares LONGs → SIGNED minima
+                sig = np.minimum.reduceat(
+                    m.view(np.int64), offs[lo:hi] - offs[lo], axis=0
+                ).view(np.uint64)
+                for b in range(n_bands):
+                    h = np.full(hi - lo, bseeds[b], dtype=np.uint64)
+                    for j in range(
+                        b * rows_per_band, (b + 1) * rows_per_band
+                    ):
+                        h = hash_long(sig[:, j], h)
+                    out[lo:hi, b] = h
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(docs_np, n_bands)),
+                    pa.array(out.reshape(-1).view(np.int64)),
+                ],
+                ["doc_id", "bucket"],
+            )
+
+    return kernel
+
+
+def _token_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs): per-document distinct-token base hashes — the JVM
+    half of the signature contract (``xxhash64(t)``; the kernel derives
+    every seeded variant from it). Null-text docs are dropped, exactly
+    as ``explode`` of their null band array did."""
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "transform(array_distinct(split(lower(text), ' ')),"
+                " t -> xxhash64(t))"
+            ).alias("hs"),
+        )
+        .where(F.col("hs").isNotNull())
+    )
+
+
 def minhash_band_buckets(docs: DataFrame) -> DataFrame:
     """(doc_id, bucket): 8 banded-MinHash LSH buckets per document.
 
     The signature stage shared by batch dedup (dedup_near) and the
-    incremental signature store (operators/dedup_incremental.py): 32
-    per-row min-hashes via nested higher-order functions (JVM-side, no
-    explode/groupBy shuffle), 8 bands × 4 rows hashed to one bucket id
-    per band. Docs sharing any band bucket are near-dup candidates.
+    incremental signature store (operators/dedup_incremental.py):
+    per-token base hashes in the JVM, then one Arrow kernel for the 32
+    seeded min-hashes + band folds (see _minhash_bucket_kernel — same
+    buckets bit-for-bit as the former nested-HOF transform, ~10× less
+    interpreted work). Docs sharing any band bucket are near-dup
+    candidates.
     """
-    sig, bands = _minhash_sig_bands()
     return (
-        # single-file parquet → one input partition; the minhash
-        # transform is compute-bound, so spread it across cores first
-        # (at scale the scan has many partitions and this is a no-op to
-        # remove).
-        docs.repartition(32)
-        .select("doc_id", F.array_distinct(_tokens()).alias("toks"))
-        .select("doc_id", sig.alias("sig"))
-        .select("doc_id", F.explode(bands).alias("bucket"))
+        # single-file parquet → one input partition; the hash kernel is
+        # compute-bound, so spread it across cores first (at scale the
+        # scan has many partitions and this is a no-op to remove).
+        _token_hashes(docs.repartition(32))
+        .mapInArrow(_minhash_bucket_kernel(), "doc_id long, bucket long")
     )
 
 
@@ -710,7 +838,6 @@ def dedup_verified_frame(
     it is a tunable here, with the registered query pinning the
     measured fixture default. Returns (doc_id, rep_id).
     """
-    sig, bands = _minhash_sig_bands()
     # Materialized once: four consumers (band signatures, both sides of
     # the verify join, singleton self-edges) would otherwise each
     # re-scan the parquet and re-tokenize — measured ~1.5 s of the
@@ -722,9 +849,17 @@ def dedup_verified_frame(
         .select("doc_id", F.array_distinct(_tokens()).alias("toks"))
         .localCheckpoint(eager=False)
     )
+    # Same signature contract as minhash_band_buckets, via the same
+    # Arrow kernel (bit-identical buckets; see _minhash_bucket_kernel)
+    # — the nested-HOF sig transform was the verify pipeline's hottest
+    # interpreted stage at the 64× probe.
     buckets = (
-        toksets.select("doc_id", "toks", sig.alias("sig"))
-        .select("doc_id", F.explode(bands).alias("bucket"))
+        toksets.select(
+            "doc_id",
+            F.expr("transform(toks, t -> xxhash64(t))").alias("hs"),
+        )
+        .where(F.col("hs").isNotNull())
+        .mapInArrow(_minhash_bucket_kernel(), "doc_id long, bucket long")
         .localCheckpoint(eager=False)
     )
     small_buckets = (

@@ -67,6 +67,28 @@ def corpus_fingerprint(sf_dir: str, name: str) -> str:
     return hashlib.md5(raw.encode()).hexdigest()[:10]
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of one fixture table straight from the parquet footer
+    — zero Spark jobs (the catalog-statistics read a warehouse serves
+    from its metastore). Returns 0 = "unknown" on any metadata failure,
+    mirroring scan_width's contract: callers gate SHAPE choices on it
+    and must treat 0 as "assume small" so a failure never forces the
+    scale path at test scale.
+    """
+    from pathlib import Path
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = Path(sf_dir.rstrip("/")) / f"{name}.parquet"
+        files = (
+            sorted(path.glob("*.parquet")) if path.is_dir() else [path]
+        )
+        return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
+    except (ImportError, OSError, ValueError, KeyError):
+        return 0
+
+
 # Per-session relation cache: spark.read.parquet costs ~0.1 s per call
 # (file listing + footer schema read through py4j), and a composite
 # query loads 2-7 tables — that metadata tax dominated the low end of

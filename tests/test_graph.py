@@ -285,3 +285,24 @@ def test_degree_orientation_caps_hub_fanout(spark):
         )
 
     assert tri_count(eo) == 1
+
+
+def test_bucketed_lead_pairs_match_plain_window(spark):
+    """The day-bucketed two-phase lead (the 64×-scale edge derivation)
+    must produce the EXACT pair multiset of the single
+    (event_type)-partitioned window at any scale — boundary rows
+    re-link through the planted probe rows.
+    """
+    from sparkify_datalake_spark.operators.graph import _lead_pairs
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        plain = sorted(
+            (r["user_id"], r["next_user"])
+            for r in _lead_pairs(spark, sf_dir, bucketed=False).collect()
+        )
+        bucketed = sorted(
+            (r["user_id"], r["next_user"])
+            for r in _lead_pairs(spark, sf_dir, bucketed=True).collect()
+        )
+        assert plain == bucketed
+        assert len(plain) > 0

@@ -114,3 +114,119 @@ def test_payload_entropy_matches_plain_python(spark, sf_dir):
         )
         assert row["min_entropy"] == pytest.approx(min(ents), abs=1e-6)
         assert row["max_entropy"] == pytest.approx(max(ents), abs=1e-6)
+
+
+def test_minhash_kernel_matches_hof(spark, sf_dir):
+    """The Arrow minhash-bucket kernel must be BIT-IDENTICAL to the
+    nested-HOF reference (_minhash_sig_bands is THE signature
+    contract): any drift changes bucket identity for dedup_near,
+    dedup_near_verified and the incremental store at once.
+    """
+    from pyspark.sql import functions as F
+
+    from sparkify_datalake_spark.operators.text import (
+        _minhash_sig_bands,
+        _tokens,
+        minhash_band_buckets,
+    )
+    from sparkify_datalake_spark.sources.load import load
+
+    docs = load(spark, sf_dir, "documents")
+    got = sorted(
+        (r["doc_id"], r["bucket"])
+        for r in minhash_band_buckets(docs).collect()
+    )
+    sig, bands = _minhash_sig_bands()
+    want = sorted(
+        (r["doc_id"], r["bucket"])
+        for r in docs.select(
+            "doc_id", F.array_distinct(_tokens()).alias("toks")
+        )
+        .select("doc_id", sig.alias("sig"))
+        .select("doc_id", F.explode(bands).alias("bucket"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_simhash_kernel_matches_explode_formula(spark, sf_dir):
+    """dedup_simhash's Arrow popcount kernel must reproduce the
+    original explode-by-64 signature definition exactly: bit b is set
+    iff Σ_tokens (2·((xxhash64(t)>>b)&1) − 1) > 0. Compares the full
+    candidate-pair output at test scale.
+    """
+    from pyspark.sql import functions as F
+
+    from sparkify_datalake_spark.registry import queries as _qs
+    from sparkify_datalake_spark.sources.load import load
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in _qs()["dedup_simhash"](spark, sf_dir).collect()
+    )
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower("text"), " "))
+        ).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        "h",
+    ).withColumn(
+        "contrib",
+        F.expr("shiftright(h, CAST(b AS INT))").bitwiseAND(F.lit(1)) * 2 - 1,
+    )
+    sig = (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bit", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("bit") * F.expr("shiftleft(1L, CAST(b AS INT))")
+            ).alias("simhash")
+        )
+    )
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.chunk")
+    x, y = banded.alias("x"), banded.alias("y")
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+        .distinct()
+        .collect()
+    )
+    assert got == want
