@@ -911,3 +911,43 @@ def test_dup_ngram_coverage_never_enumerates_pairs(spark):
     plan = _plan(spark, "text_dup_ngram_coverage")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_bucket_matches_global_ntile(spark):
+    """feat_quantile_bucket's bin-arithmetic rewrite must reproduce the
+    global-sort ntile(10) plan exactly (counts AND boundary prices) —
+    the NTILE rank spans and order statistics are computed in the
+    driver from bounded bin counts, so any off-by-one in the rank
+    arithmetic shows here.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkify_datalake_spark.operators.features import (
+        _quantile_bucket_binned,
+    )
+    from sparkify_datalake_spark.sources.load import load
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        orders = load(spark, sf_dir, "orders")
+        got = sorted(
+            tuple(r)
+            for r in _quantile_bucket_binned(spark, orders).collect()
+        )
+        ref = sorted(
+            tuple(r)
+            for r in orders.select(
+                "o_totalprice",
+                F.ntile(10)
+                .over(Window.orderBy("o_totalprice", "o_orderkey"))
+                .alias("bucket"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.min("o_totalprice"), 2).alias("lo"),
+                F.round(F.max("o_totalprice"), 2).alias("hi"),
+            )
+            .collect()
+        )
+        assert got == ref
