@@ -930,9 +930,12 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-null regime forward onto each fact (change-point sorts before
     same-day facts, so a version effective on day d already governs
     day-d shipments): one shuffle, one linear window, zero fan-out —
-    16.1 s at the same probe, of which ~15 s is the inherited
-    dim_scd2_build (persisted once in production; the PIT lookup's
-    marginal cost is seconds). Facts shipping BEFORE the customer's
+    16.1 s at the same probe vs the fan-out's 39.9 s. r11 trims the
+    inherited dimension further: the PIT side consumes scd2_frame
+    (no presentation sort — that global orderBy cost a range-sampling
+    job + full sort this join immediately destroyed), and the dim
+    builds off ONE custkey exchange (14 → 10 Exchanges in the plan;
+    sf0.1 1.83 → 1.40 s). Facts shipping BEFORE the customer's
     first change-point have no regime in force and are excluded — the
     oracle's inner interval join drops exactly the same rows; the 5×5
     matrix is a partial-aggregatable rollup and the share denominator
