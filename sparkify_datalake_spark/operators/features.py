@@ -148,6 +148,13 @@ def _quantile_bucket_binned(spark: SparkSession, orders: DataFrame) -> DataFrame
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
+    if not bin_rows:
+        # Empty input: no buckets at all (ADVICE r11 — the >=2M-row
+        # gate never routes an empty table here, but the helper is
+        # callable directly and next() on an empty iter raised).
+        return spark.createDataFrame(
+            [], "bucket int, n long, lo double, hi double"
+        )
     n = sum(c for _, c in bin_rows)
     small, rem = divmod(n, k)
     # bucket j (1-based) spans global ranks [start_j, end_j]

@@ -195,7 +195,10 @@ def _propagate_min_labels(
         doc_rep = half.localCheckpoint(eager=False)
         if fixed_iters is None:
             s = doc_rep.agg(rep_sum).collect()[0]["s"]
-            if s == prev_sum:
+            # s is None only under non-ANSI decimal(38,0) overflow
+            # (~1e19 rows); two consecutive Nones must NOT read as
+            # converged (ADVICE r11) — keep iterating to the cap.
+            if s is not None and s == prev_sum:
                 break
             prev_sum = s
     return doc_rep

@@ -85,7 +85,19 @@ def table_rows(sf_dir: str, name: str) -> int:
             sorted(path.glob("*.parquet")) if path.is_dir() else [path]
         )
         return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
-    except (ImportError, OSError, ValueError, KeyError):
+    except (ImportError, OSError, ValueError, KeyError) as exc:
+        # 0 = "assume small" keeps correctness but silently routes
+        # scale-gated queries to the single-task plans; make the miss
+        # observable (ADVICE r11) without changing the contract.
+        import warnings
+
+        warnings.warn(
+            f"table_rows({name}): parquet metadata read failed ({exc!r});"
+            " returning 0 = 'assume small' — scale-gated plans will take"
+            " their small-input shape",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return 0
 
 
