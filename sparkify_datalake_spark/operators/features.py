@@ -2384,7 +2384,10 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").alias("g"),
         ).agg(F.count(F.lit(1)).alias("c"))
     ).localCheckpoint()
-    tv = pv.groupBy("v").agg(F.sum("c").alias("t")).localCheckpoint()
+    # tv is a ≤50-row rollup of the already-checkpointed pv — deriving
+    # it per consumer is one tiny stage; its former EAGER checkpoint
+    # cost a full extra action (r12).
+    tv = pv.groupBy("v").agg(F.sum("c").alias("t"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     rk = tv.select(
         "v",
@@ -2399,7 +2402,7 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.col("arank2")).alias("s2_j"),
         )
     )
-    tot = pg.agg(F.sum("n_j").alias("nt"), F.count(F.lit(1)).alias("k"))
+    wg = Window.partitionBy()
     # t³ overflows long once per-value tie counts pass ~2M (hit at the
     # 64× probe: t ≈ 768k ⇒ Σt³ ≈ 2.3e19 > 2^63). Route the cube
     # through DECIMAL — cast t BEFORE the first multiply, because even
@@ -2416,15 +2419,19 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie = tv.agg(
         F.sum(t_dec * t_dec * t_dec - t_dec).alias("tt")
     )
-    pg2 = pg.crossJoin(F.broadcast(tot)).withColumn(
+    # tot and glob ride GLOBAL windows over the ≤3-row pg frame instead
+    # of two broadcast-build jobs (r12); tie stays the one broadcast
+    # (it aggregates the sibling tv grain, not pg).
+    pg2 = pg.withColumn("nt", F.sum("n_j").over(wg)).withColumn(
+        "k", F.count(F.lit(1)).over(wg)
+    ).withColumn(
         "d",
         (F.col("s2_j") - F.col("n_j") * (F.col("nt") + 1))
         / (2.0 * F.col("n_j")),
     )
-    glob = pg2.agg(
-        F.sum(F.col("n_j") * F.col("d") * F.col("d")).alias("ssq")
-    )
-    res = pg2.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tie))
+    res = pg2.withColumn(
+        "ssq", F.sum(F.col("n_j") * F.col("d") * F.col("d")).over(wg)
+    ).crossJoin(F.broadcast(tie))
     nt = F.col("nt")
     h = 12.0 / (nt * (nt + 1)) * F.col("ssq")
     hc = h / (
@@ -4251,50 +4258,63 @@ def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("week"),
         F.dayofweek("d").alias("dow"),
     )
-    complete = (
+    # ONE linear chain (r12; was 6 branching shuffles + 2 broadcasts =
+    # 16 jobs): each complete week is a 7-element block, so midranks,
+    # per-dow rank picks and the tie term are per-ROW array expressions
+    # over the collected block — r(e) = (#less + #leq + 1)/2 equals the
+    # former rank() + (ties−1)/2 window exactly, and Σ(t³−t) folds as
+    # Σ_elements ((#leq−#less)² − 1). Blocks are calendar-bounded (≤7
+    # rows each), so collect_list is a constant-size buffer; everything
+    # after the day rollup is two tiny exchanges.
+    blocks = (
         wk.groupBy("event_type", "week")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") == 7)
-        .select("event_type", "week")
+        .agg(F.collect_list(F.struct("dow", "cnt")).alias("bc"))
+        .filter(F.size("bc") == 7)
     )
-    w_rank = Window.partitionBy("event_type", "week").orderBy("cnt")
-    w_tie = Window.partitionBy("event_type", "week", "cnt")
-    ranked = wk.join(complete, ["event_type", "week"]).select(
+
+    def _less(e):
+        return F.size(F.filter("bc", lambda x: x["cnt"] < e["cnt"]))
+
+    def _leq(e):
+        return F.size(F.filter("bc", lambda x: x["cnt"] <= e["cnt"]))
+
+    ranked = blocks.select(
         "event_type",
-        "week",
-        "dow",
-        "cnt",
-        (
-            F.rank().over(w_rank)
-            + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
-        ).alias("r"),
+        F.transform(
+            "bc",
+            lambda e: F.struct(
+                e["dow"].alias("dow"),
+                ((_less(e) + _leq(e) + 1) / 2.0).alias("r"),
+                (
+                    (_leq(e) - _less(e)) * (_leq(e) - _less(e)) - 1
+                ).alias("tt"),
+            ),
+        ).alias("rr"),
     )
-    ties = (
-        ranked.groupBy("event_type", "week", "cnt")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.col("t") * F.col("t") * F.col("t") - F.col("t")
-            ).alias("tie_term")
-        )
+    # complete blocks hold each dow exactly once: pick its midrank
+    rj_cols = [
+        F.sum(
+            F.element_at(
+                F.filter("rr", lambda x: x["dow"] == F.lit(j)), 1
+            )["r"]
+        ).alias(f"rj{j}")
+        for j in range(1, 8)
+    ]
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.aggregate(
+                "rr", F.lit(0).cast("long"), lambda acc, x: acc + x["tt"]
+            )
+        ).alias("tie_term"),
+        *rj_cols,
     )
-    colsum = ranked.groupBy("event_type", "dow").agg(
-        F.sum("r").alias("rj")
-    )
-    n_weeks = complete.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_weeks")
-    )
-    agg = (
-        colsum.join(F.broadcast(n_weeks), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("k"),
-            F.max("n_weeks").alias("n"),
-            F.sum(F.col("rj") * F.col("rj")).alias("sum_rj2"),
-        )
-    )
-    n, k = F.col("n"), F.col("k")
+    sum_rj2 = None
+    for j in range(1, 8):
+        term = F.col(f"rj{j}") * F.col(f"rj{j}")
+        sum_rj2 = term if sum_rj2 is None else sum_rj2 + term
+    agg = agg.withColumn("sum_rj2", sum_rj2)
+    n, k = F.col("n"), F.lit(7).cast("long")
     q_raw = (
         12.0 / (n * k * (k + 1)) * F.col("sum_rj2") - 3.0 * n * (k + 1)
     )
@@ -4302,17 +4322,13 @@ def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * k * (k.cast("double") * k * k - k) / k
     )
     q = F.round(q_raw / F.nullif(corr, F.lit(0.0)), 6)
-    return (
-        agg.join(F.broadcast(ties), "event_type")
-        .select(
-            "event_type",
-            n.cast("long").alias("n_weeks"),
-            q.alias("q_stat"),
-            (k - 1).cast("long").alias("df"),
-            (q > 12.591587).alias("reject_5pct"),
-        )
-        .orderBy("event_type")
-    )
+    return agg.select(
+        "event_type",
+        n.cast("long").alias("n_weeks"),
+        q.alias("q_stat"),
+        (k - 1).cast("long").alias("df"),
+        (q > 12.591587).alias("reject_5pct"),
+    ).orderBy("event_type")
 
 
 @query(

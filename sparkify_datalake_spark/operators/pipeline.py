@@ -529,9 +529,25 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-constraint queries) is the production pattern.
     """
     orders = load(spark, sf_dir, "orders")
-    cust_keys = load(spark, sf_dir, "customer").select("c_custkey")
+    # DISTINCT dim keys so the membership left-join below can never
+    # duplicate fact rows (c_custkey is the PK, but the check must not
+    # assume the dim it audits is itself clean).
+    cust_keys = (
+        load(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
 
-    base = orders.agg(
+    # ONE fact scan for all five checks (r12; was two — a global agg
+    # plus a separate anti-join scan): FK membership rides a broadcast
+    # LEFT join whose null side IS the orphan count, so every counter
+    # shares the same partial-aggregated pass. The five report rows
+    # come from exploding the 1-row aggregate — no 5-way union of the
+    # same subtree, one linear action chain.
+    j = orders.join(
+        F.broadcast(cust_keys),
+        orders.o_custkey == cust_keys.c_custkey,
+        "left",
+    )
+    base = j.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
             "dup_keys"
@@ -547,37 +563,34 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)
         ).alias("null_date"),
+        F.sum(
+            F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+        ).alias("orphan"),
     )
-    orphan = (
-        orders.join(
-            F.broadcast(cust_keys),
-            orders.o_custkey == cust_keys.c_custkey,
-            "left_anti",
-        )
-        .agg(F.count(F.lit(1)).alias("orphan"))
-    )
-
-    rows = None
     specs = [
         ("o_orderkey_unique", "dup_keys"),
         ("o_totalprice_positive", "bad_price"),
         ("o_orderstatus_in_domain", "bad_status"),
         ("o_orderdate_not_null", "null_date"),
+        ("o_custkey_fk_customer", "orphan"),
     ]
-    for cname, col in specs:
-        part = base.select(
-            F.lit(cname).alias("check_name"),
-            "n_rows",
-            F.col(col).cast("long").alias("n_violations"),
+    checks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(cname).alias("check_name"),
+                    F.col(col).cast("long").alias("n_violations"),
+                )
+                for cname, col in specs
+            ]
         )
-        rows = part if rows is None else rows.unionByName(part)
-    fk_row = base.crossJoin(F.broadcast(orphan)).select(
-        F.lit("o_custkey_fk_customer").alias("check_name"),
+    ).alias("chk")
+    return base.select("n_rows", checks).select(
+        F.col("chk.check_name").alias("check_name"),
         "n_rows",
-        F.col("orphan").cast("long").alias("n_violations"),
+        F.col("chk.n_violations").alias("n_violations"),
+        (F.col("chk.n_violations") == 0).alias("passed"),
     )
-    rows = rows.unionByName(fk_row)
-    return rows.withColumn("passed", F.col("n_violations") == 0)
 
 
 _FK_EDGES = [

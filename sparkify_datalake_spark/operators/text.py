@@ -1884,13 +1884,18 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact to 2^-47).
     """
     docs = load(spark, sf_dir, "documents")
-    # Re-deriving tokenize+explode per consumer is the measured-best
-    # plan at the 64× probe (11.3 s): checkpointing the token frame
-    # gains nothing (11.6 s — split isn't the bottleneck, the three
-    # 16M-row explode+aggregate passes are), checkpointing the pair
-    # stream LOSES (14.6 s — row-format re-reads of 16M rows), and a
-    # (doc,w1,w2)-cell pre-aggregation loses badly (22.4 s — 3-key
-    # shuffle of the whole stream with no map-side reduction).
+    # ONE pair-stream join, not two (r12): the surprisal is attached to
+    # the bigram TYPE table (a vocabulary-grain f2⋈f1 join), so the
+    # 16M-row pair stream is joined once — the former pairs⋈f2⋈f1
+    # chain paid a second full-stream join keyed on w1 (at web scale,
+    # where the type tables cross the broadcast threshold, that was a
+    # second full shuffle of the stream). f1 stays a direct rollup of
+    # the raw stream: deriving it from f2 (c1 = Σ_w2 c12, output-
+    # identical) was A/B-measured SLOWER at sf0.1 (1.14 vs 0.81 s) —
+    # it serializes f1 behind f2's exchange where the map-side partial
+    # agg of the raw stream overlaps it for free. Checkpointing
+    # alternatives stay measured-out (r11: token-frame checkpoint
+    # 11.6 s vs 11.3, pair-stream 14.6, (doc,w1,w2) cells 22.4 at 64×).
     t = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
     ).where(F.size("ws") >= 2)
@@ -1908,13 +1913,15 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     surprisal = -F.log2(
         F.col("c12").cast("double") / F.col("c1").cast("double")
     )
+    scored = f2.join(f1, "w1").select(
+        "w1", "w2", surprisal.alias("s")
+    )
     return (
-        pairs.join(f2, ["w1", "w2"])
-        .join(f1, "w1")
+        pairs.join(scored, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(surprisal), 4).alias("bits_per_bigram"),
+            F.round(F.avg("s"), 4).alias("bits_per_bigram"),
         )
     )
 
@@ -2181,6 +2188,11 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pr.w1", "pr.w2")
     )
     f2 = tp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # NOT derived from f2 (c1 = Σ_w2 c12 is output-identical): the
+    # rollup serializes f1 behind f2's exchange, where the direct
+    # map-side partial agg of the train stream overlaps it for free —
+    # A/B-measured slower at sf0.1 (r12; the text_bigram_surprisal
+    # finding).
     f1 = tp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = (
         t.filter("is_train")

@@ -2442,18 +2442,36 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).cast("double").alias("x")
     )
-    dmin = daily.agg(F.min("d").alias("d0"))
-    idx = daily.crossJoin(F.broadcast(dmin)).select(
-        "x", F.datediff("d", "d0").alias("t")
+    # ONE linear chain (r12; was a 4-broadcast chain = 14 jobs): the
+    # day frame is calendar-bounded (≤366 rows at any SF), so min(d),
+    # mu/n and the power totals all ride GLOBAL windows over it instead
+    # of separate broadcast-build jobs — single-partition windows on a
+    # KB frame are free, and the one data-sized pass stays the day
+    # rollup. The candidate periods expand via an inline array explode
+    # (no createDataFrame+broadcast).
+    wg = Window.partitionBy()
+    idx = daily.select(
+        "x",
+        F.datediff("d", F.min("d").over(wg)).alias("t"),
+        F.avg("x").over(wg).alias("mu"),
+        F.count(F.lit(1)).over(wg).alias("n"),
     )
-    m = idx.agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n"))
-    per = spark.createDataFrame(
-        [(p,) for p in _PERIODOGRAM_PERIODS], ["period"]
-    ).select(F.col("period").cast("int"))
     two_pi = 2 * 3.141592653589793
     comp = (
-        idx.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(per))
+        idx.select(
+            "x",
+            "t",
+            "mu",
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.lit(p).cast("int")
+                        for p in _PERIODOGRAM_PERIODS
+                    ]
+                )
+            ).alias("period"),
+        )
         .groupBy("period")
         .agg(
             F.sum(
@@ -2476,14 +2494,14 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("power"),
     )
-    tot = pw.agg(F.sum("power").alias("tp"), F.max("power").alias("mx"))
     return (
-        pw.crossJoin(F.broadcast(tot))
-        .select(
+        pw.select(
             "period",
             "power",
-            F.round(F.col("power") / F.col("tp"), 6).alias("power_share"),
-            (F.col("power") == F.col("mx")).alias("is_peak"),
+            F.round(
+                F.col("power") / F.sum("power").over(wg), 6
+            ).alias("power_share"),
+            (F.col("power") == F.max("power").over(wg)).alias("is_peak"),
         )
         .orderBy("period")
     )
