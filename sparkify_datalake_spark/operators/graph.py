@@ -148,11 +148,6 @@ def _propagate_min_labels(
     iteration count (the old behavior, kept as fixed_iters for tests,
     without jumping) under-converges on deep cluster chains.
     """
-    doc_rep = (
-        buckets.groupBy("doc_id")
-        .agg(F.min("doc_id").alias("rep"))
-        .localCheckpoint()
-    )
     # Convergence witness (r11): reps only DECREASE, so the exact
     # decimal(38,0) sum of the rep column strictly decreases until the
     # fixpoint — one aggregate over the already-checkpointed map replaces
@@ -164,12 +159,22 @@ def _propagate_min_labels(
     # zero non-singleton components, vs one saved aggregate job on
     # every real run.
     prev_sum = None
+    doc_rep = None
     for _ in range(fixed_iters if fixed_iters is not None else _PROP_MAX_ITERS):
-        bucket_rep = (
-            buckets.join(doc_rep, "doc_id")
-            .groupBy("bucket")
-            .agg(F.min("rep").alias("brep"))
-        )
+        if doc_rep is None:
+            # Pass 1 fused with init (r12): with rep₀ = doc_id the
+            # first bucket-min is just min(doc_id) per bucket, so the
+            # former identity join of the freshly-initialized map (and
+            # the map's own eager checkpoint action) is skipped.
+            bucket_rep = buckets.groupBy("bucket").agg(
+                F.min("doc_id").alias("brep")
+            )
+        else:
+            bucket_rep = (
+                buckets.join(doc_rep, "doc_id")
+                .groupBy("bucket")
+                .agg(F.min("rep").alias("brep"))
+            )
         half = (
             buckets.join(bucket_rep, "bucket")
             .groupBy("doc_id")
@@ -201,6 +206,71 @@ def _propagate_min_labels(
             if s is not None and s == prev_sum:
                 break
             prev_sum = s
+    if doc_rep is None:  # fixed_iters=0: the init map, as before
+        doc_rep = buckets.groupBy("doc_id").agg(
+            F.min("doc_id").alias("rep")
+        )
+    return doc_rep
+
+
+def _propagate_min_labels_over_edges(edges: DataFrame) -> DataFrame:
+    """Hash-to-min over an undirected (src, dst) edge list — the
+    edge-direct twin of _propagate_min_labels for inputs that are
+    ALREADY pair edges (verified near-dup pairs, generic edge lists).
+
+    The bucket engine models a pair as a 2-member bucket, so each pass
+    pays doc→bucket→doc: two joins + two aggregates (~6 exchanges) and
+    a concat-string bucket key. A pair bucket's min is just the two
+    endpoints' min, so the same per-pass operator collapses to ONE
+    neighbor join + one aggregate over long keys (~3 exchanges), with
+    the identical monotone-sum convergence witness and pointer jump —
+    the fixpoint (min node id per component) is unchanged. Self-loops
+    carry singletons. Init fuses pass 1: rep₀(d) = min(d, neighbors) is
+    exactly what the first bucket pass produced from rep = id.
+    """
+    sym = (
+        edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("nbr"))
+        .union(
+            edges.select(
+                F.col("dst").alias("doc_id"), F.col("src").alias("nbr")
+            )
+        )
+        .localCheckpoint()
+    )
+    doc_rep = (
+        sym.groupBy("doc_id")
+        .agg(F.min("nbr").alias("m"))
+        .select("doc_id", F.least("m", "doc_id").alias("rep"))
+        .localCheckpoint()
+    )
+    rep_sum = F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")
+    prev_sum = None
+    for _ in range(_PROP_MAX_ITERS):
+        msgs = sym.join(
+            doc_rep.select(F.col("doc_id").alias("nbr"), "rep"), "nbr"
+        ).select("doc_id", "rep")
+        half = (
+            msgs.union(doc_rep.select("doc_id", "rep"))
+            .groupBy("doc_id")
+            .agg(F.min("rep").alias("rep"))
+        )
+        # pointer jump (rep ← rep(rep)), lineage truncated first — the
+        # self-join's two sides shuffle on different keys, so an
+        # un-checkpointed half would re-derive the whole pass twice
+        # (the _propagate_min_labels r11 finding).
+        half = half.localCheckpoint(eager=False)
+        lookup = half.select(
+            F.col("doc_id").alias("rep"), F.col("rep").alias("rep2")
+        )
+        half = half.join(lookup, "rep", "left").select(
+            "doc_id", F.coalesce("rep2", "rep").alias("rep")
+        )
+        doc_rep = half.localCheckpoint(eager=False)
+        s = doc_rep.agg(rep_sum).collect()[0]["s"]
+        # NULL sum = decimal overflow; never read as converged.
+        if s is not None and s == prev_sum:
+            break
+        prev_sum = s
     return doc_rep
 
 
@@ -212,13 +282,7 @@ def connected_components_from_edges(edges: DataFrame) -> DataFrame:
     Isolated self-loops are fine; nodes absent from edges are absent
     from the output (union self-edges first if every node must appear).
     """
-    eid = F.concat_ws("#", "src", "dst")
-    bipartite = (
-        edges.select(F.col("src").alias("doc_id"), eid.alias("bucket"))
-        .union(edges.select(F.col("dst").alias("doc_id"), eid.alias("bucket")))
-        .localCheckpoint()
-    )
-    rep = _propagate_min_labels(bipartite)
+    rep = _propagate_min_labels_over_edges(edges)
     return rep.select(
         F.col("doc_id").alias("node"), F.col("rep").alias("component")
     )

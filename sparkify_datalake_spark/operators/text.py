@@ -179,6 +179,7 @@ _ROWS_PER_BAND = _N_HASHES // _BANDS
 # general mechanism's home); dedup is one consumer of it.
 from sparkify_datalake_spark.operators.graph import (  # noqa: E402
     _propagate_min_labels,
+    _propagate_min_labels_over_edges,
 )
 
 
@@ -897,27 +898,19 @@ def dedup_verified_frame(
         .filter(F.round(jac, 6) >= jaccard_tau)
         .select("doc_a", "doc_b")
     )
-    # verified edges + self-edges (singletons) feed the same hash-to-min
-    # propagation as dedup_near; edge id doubles as the "bucket"
-    edges = (
-        verified.select(
-            F.col("doc_a").alias("doc_id"),
-            F.concat_ws("#", "doc_a", "doc_b").alias("bucket"),
+    # verified pairs + self-loops (singletons) feed the EDGE-DIRECT
+    # hash-to-min loop (r12): a pair is a 2-member bucket, so the
+    # bucket engine's doc→bucket→doc pass collapses to one neighbor
+    # join + one aggregate per pass over long keys — ~half the
+    # exchanges and no concat-string bucket keys (guide §2.3/§2.4).
+    edges = verified.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        toksets.select(
+            F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")
         )
-        .union(
-            verified.select(
-                F.col("doc_b").alias("doc_id"),
-                F.concat_ws("#", "doc_a", "doc_b").alias("bucket"),
-            )
-        )
-        .union(
-            toksets.select(
-                "doc_id", F.concat_ws("#", F.lit("self"), "doc_id").alias("bucket")
-            )
-        )
-        .localCheckpoint(eager=False)
     )
-    rep = _propagate_min_labels(edges)
+    rep = _propagate_min_labels_over_edges(edges)
     return rep.select("doc_id", F.col("rep").alias("rep_id"))
 
 
