@@ -28,9 +28,12 @@ reads). The cache is keyed by (applicationId, sf_dir) and holds ONE
 live grain — switching corpora drops the old reference so Spark's
 ContextCleaner unpersists it.
 
-Zipf's-law note: `text_zipf_fit` intentionally stays OFF this grain —
-it pins the regex tokenizer (`[^a-zA-Z0-9]+`) so the corpus keeps one
-alnum-token reference point; sharing requires an identical tokenizer.
+Zipf's-law note: `text_zipf_fit` pins the regex tokenizer
+(`[^a-zA-Z0-9]+`) but rides this grain anyway (r12): whitespace is a
+non-alnum separator, so regex-splitting the text equals regex-splitting
+each whitespace TYPE and weighting by its count — exact same
+frequencies, with the regex explode over the vocabulary instead of the
+token stream.
 """
 
 from __future__ import annotations

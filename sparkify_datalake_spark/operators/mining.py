@@ -298,30 +298,36 @@ def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns round at 6dp.
     """
     ev = load(spark, sf_dir, "events")
-    txn = ev.select(
-        "user_id",
-        F.to_date(F.date_trunc("day", "ts")).alias("d"),
-        "event_type",
-    ).distinct()
+    # ONE (user, day) grouping replaces the former DISTINCT + ordered
+    # self-join (r12): the per-transaction type set is ≤ |vocabulary|
+    # (5), so pairs come from a bounded in-row combination fan-out —
+    # the mine_basket_pairs generator discipline — instead of a second
+    # full shuffle of the transaction frame joined against itself.
+    # Exchange reuse serves the three rollups of the shared grouping;
+    # a lazy checkpoint A/B-measured no better (its build jobs offset
+    # the reuse it buys).
+    txg = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.array_sort(F.collect_set("event_type")).alias("types"))
     # 1-row scalar, broadcast-joined below (no driver-side action).
-    n_txn = (
-        txn.select("user_id", "d")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("double").alias("n_txn"))
+    n_txn = txg.agg(F.count(F.lit(1)).cast("double").alias("n_txn"))
+    singles = (
+        txg.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    singles = txn.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    a, b = txn.alias("a"), txn.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.d") == F.col("b.d"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+        txg.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(types, (x, i) ->"
+                    " transform(slice(types, i + 2, size(types) - i - 1),"
+                    " y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     sa = singles.select(

@@ -1451,21 +1451,35 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-frequency vs log-rank on the top-1000 tokens (natural text
     lands near −1; a flat or broken slope flags templated/synthetic
     corpora — the cheap statistical smell test run alongside
-    text_vocab_growth). Token counting is the standard explode +
-    partial-agg groupBy (the only stage that sees raw text); ranking
-    the top slice is a TakeOrderedAndProject-sized problem (row_number
-    over the 1000-row frequency head), and the regression is one
-    REGR_* aggregate over 1000 (ln r, ln f) points — identical
+    text_vocab_growth). Token counts derive from the shared whitespace
+    tf grain (regex-splitting the text ≡ regex-splitting each
+    whitespace token, since whitespace is itself a non-alnum separator
+    — so the regex explode runs over the vocabulary-sized type table);
+    ranking the top slice is a TakeOrderedAndProject-sized problem
+    (row_number over the 1000-row frequency head), and the regression
+    is one REGR_* aggregate over 1000 (ln r, ln f) points — identical
     tokenizer regex and tie order (freq desc, token asc) pinned in
     both engines.
     """
-    docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        F.explode(
-            F.split(F.lower(F.col("text")), "[^a-zA-Z0-9]+")
-        ).alias("w")
+    # Rides the SHARED session tf grain (r12): whitespace is itself a
+    # [^a-zA-Z0-9]+ separator, so regex-splitting the full text equals
+    # regex-splitting each whitespace token and dropping empties —
+    # counts are EXACTLY the raw-explode counts (freq(w) = Σ over
+    # whitespace types t of count(t) × occurrences of w in t). The
+    # regex explode therefore runs over the TYPE table (vocabulary-
+    # sized), never the token stream, and the corpus tokenize is the
+    # grain's (already paid by any other text consumer this session).
+    from sparkify_datalake_spark.operators.corpus_grain import (
+        whitespace_tf_grain,
+    )
+
+    grain = whitespace_tf_grain(spark, sf_dir)
+    types = grain.groupBy("w").agg(F.sum("c").alias("cnt"))
+    tok = types.select(
+        F.explode(F.split(F.col("w"), "[^a-zA-Z0-9]+")).alias("w"),
+        "cnt",
     ).filter(F.col("w") != "")
-    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    freq = tok.groupBy("w").agg(F.sum("cnt").alias("f"))
     # limit() first so the head is TakeOrderedAndProject (per-partition
     # heaps over the vocab); the global row_number window then ranks
     # 1000 rows, never the full vocabulary.
