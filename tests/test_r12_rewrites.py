@@ -35,6 +35,31 @@ def test_dq_constraints_fk_join_survives_duplicate_dim_keys(spark):
     assert row["orphan"] == 1  # only custkey 99 is an orphan
 
 
+def test_rewritten_queries_stay_single_action(spark, sf_dir):
+    """The r12 job-count rewrites must never silently regain a
+    driver-side build action (eager checkpoint, collect, createDataFrame
+    broadcast): plan construction alone schedules ZERO Spark jobs for
+    the single-action rewrites (the VERDICT r10 #5 guard, applied to
+    the queries this round restructured)."""
+    from sparkify_datalake_spark.registry import queries
+
+    qs = queries()
+    tracker = spark.sparkContext.statusTracker()
+    for name in [
+        "ts_periodogram",
+        "stat_friedman",
+        "dq_constraints",
+        "events_cooccurrence_pmi",
+        "text_bigram_surprisal",
+        "text_zipf_fit",
+    ]:
+        qs[name](spark, sf_dir)  # warm relation cache (schema read job)
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        qs[name](spark, sf_dir)
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        assert after == before, f"{name} schedules jobs at plan build"
+
+
 def test_friedman_array_midranks_match_window_formula(spark):
     """stat_friedman's per-block array midranks (#less + #leq + 1)/2
     must equal the former rank() + (tie_count − 1)/2 window on a block
